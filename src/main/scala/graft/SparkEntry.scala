@@ -1,13 +1,851 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Ops}
+import graft.functions.{TextFns, VectorFns}
+
+/** Driver contract — each entry in [[queries]] exercises one operator
+  * family from SURVEY.md §2 (query names carry the §2 ids), re-expressed
+  * over the driver's synthetic tables (`TESTDATA.md`). [[oracleSql]]
+  * holds the DuckDB-equivalent SQL the driver hash-compares against.
+  *
+  * Determinism rules used throughout (both engines):
+  *  - every double output is `round(x, 4)` (values) or `round(x, 6)`
+  *    (ratios) to absorb float summation-order noise;
+  *  - every order-sensitive reduction has an explicit (ts, id) tie-break;
+  *  - hashes are md5-derived (identical across engines), never
+  *    xxhash64/murmur.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Engine-stable rounding: a raw double that differs by 1 ulp between
+    * Spark and DuckDB (summation order) can round OPPOSITE ways when the
+    * true value sits exactly on a half boundary (e.g. 29.97575 → 29.9757
+    * vs 29.9758). Rounding first at `scale+5` collapses both engines'
+    * ulp-noise onto the same double, so the final round decides
+    * identically. The oracle SQL is rewritten the same way by
+    * [[stableRoundSql]]. Shadows functions.round inside this object. */
+  private def round(c: Column, scale: Int): Column =
+    org.apache.spark.sql.functions.round(
+      org.apache.spark.sql.functions.round(c, scale + 5), scale)
+
+  /** Rewrites every `round(expr, n)` in oracle SQL to
+    * `round(round(expr, n+5), n)` (balanced-paren aware). */
+  private def stableRoundSql(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.regionMatches(true, i, "round(", 0, 6)) {
+        var depth = 1
+        var j = i + 6
+        while (depth > 0) {
+          val ch = sql.charAt(j)
+          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          j += 1
+        }
+        val inner = sql.substring(i + 6, j - 1)
+        // split at the top-level comma (the scale argument)
+        var d = 0
+        var cut = -1
+        var k = 0
+        while (k < inner.length) {
+          val ch = inner.charAt(k)
+          if (ch == '(') d += 1
+          else if (ch == ')') d -= 1
+          else if (ch == ',' && d == 0) cut = k
+          k += 1
+        }
+        val e = stableRoundSql(inner.substring(0, cut))
+        val n = inner.substring(cut + 1).trim.toInt
+        out.append(s"round(round($e, ${n + 5}), $n)")
+        i = j
+      } else {
+        out.append(sql.charAt(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
+    // type for — with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    // Verify/Bench session builders) it surfaces as epoch-ns long; floor
+    // to µs (the data is µs-precision) and restore TimestampType.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** events with the json `k` prop extracted and the minute key — the
+    * universal normalizer (SURVEY §2.2 P1). */
+  private def eventsK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("minute", date_trunc("minute", col("ts")))
+
+  /** Dense minute spine spanning the events table (SURVEY §1.1: the
+    * time-series spine all sources left-join onto). Bounds derive from
+    * the data so the query scales with the input, not a hardcoded range. */
+  private def minuteSpine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(date_trunc("minute", min(col("ts"))).as("mn"),
+           date_trunc("minute", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 minute"))).as("m"))
+
+  private def hourSpine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+           date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+
+  /** Flagship query on sf=0.001 (star-join revenue rollup). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("j9_star_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1: pruned parquet scan → filter + projection + hash agg. The plan
+    // must show PushedFilters on l_shipdate and a 4-column ReadSchema.
+    "s1_pruned_scan_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+                                         lit("1997-01-01").cast("timestamp")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_extendedprice")), 4).as("sum_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"))
+    }),
+
+    // S2: min/max timestamp inspection (source_reader.py:13-28).
+    "s2_minmax_ts" -> ((s, dir) => {
+      t(s, dir, "events").agg(min(col("ts")).as("min_ts"),
+                              max(col("ts")).as("max_ts"),
+                              count(lit(1)).as("n"))
+    }),
+
+    // S3: latest-wins dedup — keep the newest event per user by
+    // (ts, event_id) (source_reader.py:44-59 pattern).
+    "s3_latest_wins_dedup" -> ((s, dir) => {
+      Ops.dedupKeepLast(t(s, dir, "events"), Seq("user_id"),
+                        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+                round(col("value"), 4).as("last_value"),
+                col("event_type").as("last_type"))
+    }),
+
+    // P2+JSON: conditional split projections (whale/retail pattern,
+    // minute_builder.py:204-235) keyed off a JSON-extracted field.
+    "p2_json_conditional_split" -> ((s, dir) => {
+      eventsK(s, dir)
+        .groupBy("event_type")
+        .agg(round(sum(when(col("k") >= 50, col("value")).otherwise(0.0)), 4).as("whale_value"),
+             round(sum(when(col("k") < 50, col("value")).otherwise(0.0)), 4).as("retail_value"),
+             sum(when(col("k") >= 50, 1L).otherwise(0L)).as("whale_cnt"),
+             count(lit(1)).as("cnt"))
+    }),
+
+    // P4/P5: null-gated derivations + coalesce fallback chains
+    // (minute_builder.py:545-621, 491-498).
+    "p5_null_gated_derived" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(round(sum(when(col("l_discount") > 0.02,
+                            col("l_extendedprice") * (lit(1.0) - col("l_discount")))), 4)
+               .as("disc_revenue"),
+             round(sum(coalesce(nullif(col("l_tax"), lit(0.0)), lit(0.01)) *
+                       col("l_extendedprice")), 4).as("tax_amount"),
+             count(when(col("l_discount") > 0.02, lit(1))).as("n_discounted"))
+    }),
+
+    // J1: dense spine left-join (minute_builder.py:93-119,125-143) —
+    // per-minute aggregates joined onto the generated spine; missing
+    // minutes surface as zero-filled rows.
+    "j1_spine_left_join" -> ((s, dir) => {
+      val perMin = eventsK(s, dir).groupBy("minute")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("val"))
+      minuteSpine(s, dir)
+        .join(perMin, col("m") === col("minute"), "left")
+        .select(col("m"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+                coalesce(col("val"), lit(0.0)).as("val"))
+    }),
+
+    // J2: as-of backward join with tolerance (minute_builder.py:409-454)
+    // — hourly spine picks up the latest 'purchase' value no older than
+    // 120 minutes. Composition: union + last-over-window (SURVEY §2.3).
+    "j2_asof_tolerance" -> ((s, dir) => {
+      val purchases = Ops.dedupKeepLast(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        Seq("ts"), Seq(col("event_id")))
+        .select(col("ts"), col("value").as("asof_value"))
+      AsOf.asofJoinBackward(hourSpine(s, dir), purchases,
+                            leftOn = "h", rightOn = "ts",
+                            valueCols = Seq("asof_value"),
+                            toleranceMs = Some(120L * 60 * 1000))
+        .select(col("h"), round(col("asof_value"), 4).as("asof_value"))
+    }),
+
+    // J6: anti join — customers that never ordered (validator.py:45-52).
+    "j6_anti_customers" -> ((s, dir) => {
+      Ops.antiByKeys(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        Seq("custkey"))
+        .select(col("custkey").as("c_custkey"), col("c_name"))
+    }),
+
+    // J-star: multi-way equi-join rollup; nation/region are broadcast
+    // dims, the lineitem↔orders join shuffles on the key.
+    "j9_star_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             countDistinct(col("o_orderkey")).as("n_orders"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // A1: trade→minute aggregation with guarded VWAP and buy/sell split
+    // (minute_builder.py:244-259).
+    "a1_minute_trade_agg" -> ((s, dir) => {
+      eventsK(s, dir)
+        .groupBy("minute")
+        .agg(count(lit(1)).as("trade_count"),
+             round(when(sum(col("k")) > 0,
+                        sum(col("value") * col("k")) / sum(col("k"))), 4).as("vwap"),
+             round(max(col("value")), 4).as("max_value"),
+             round(sum(when(col("event_id") % 2 === 0, col("value")).otherwise(0.0)), 4)
+               .as("buy_value"),
+             round(sum(when(col("event_id") % 2 =!= 0, col("value")).otherwise(0.0)), 4)
+               .as("sell_value"))
+    }),
+
+    // A5: HTF bucket aggregation — OHLC via explicit-order first/last
+    // (min_by/max_by, SURVEY §7.3: Spark groupBy first/last is
+    // order-nondeterministic and must not be used), plus completeness
+    // accounting (aggregation_rules.py:129-272).
+    "a5_htf_ohlc_bucket" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      eventsK(s, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(round(Ops.firstByOrd(col("value"), ord), 4).as("open"),
+             round(max(col("value")), 4).as("high"),
+             round(min(col("value")), 4).as("low"),
+             round(Ops.lastByOrd(col("value"), ord), 4).as("close"),
+             round(sum(col("value")), 4).as("volume"),
+             count(lit(1)).as("cnt"),
+             countDistinct(col("minute")).as("observed_minutes"))
+    }),
+
+    // A6/A12: exact interpolating percentiles (aggregation.py:146-150,
+    // websocket.py:100-105 — DuckDB quantile_cont ≡ Spark percentile).
+    "a6_percentile_p95" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.95)"), 6).as("p95"),
+             round(expr("percentile(value, 0.5)"), 6).as("p50"),
+             count(lit(1)).as("n"))
+    }),
+
+    // A7: bucket-completeness accounting (bucketing.py:61-68,
+    // validator.py:17-52): observed vs expected minutes per day.
+    "a7_bucket_completeness" -> ((s, dir) => {
+      eventsK(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day")
+        .agg(countDistinct(col("minute")).as("observed_minutes"))
+        .withColumn("expected_minutes", lit(1440L))
+        .withColumn("missing_minutes", lit(1440L) - col("observed_minutes"))
+        .withColumn("complete", col("observed_minutes") === 1440L)
+    }),
+
+    // A9/A10: partition audit aggregation (partition_audit.py:18-95):
+    // row count, key uniqueness, null accounting per day partition.
+    "a9_partition_audit" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("event_id")).as("n_unique_ids"),
+             countDistinct(col("user_id")).as("n_users"),
+             sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+             round(min(col("value")), 4).as("min_value"),
+             round(max(col("value")), 4).as("max_value"))
+    }),
+
+    // A11 + bool-OR + weighted-avg-with-fallback: liquidation-style
+    // per-minute accumulation over one event class, side-split by a
+    // modular key, notional-weighted fill price with simple-mean
+    // fallback (websocket.py:1588-1637, aggregation_rules.py:234-254).
+    "a11_side_split_weighted" -> ((s, dir) => {
+      eventsK(s, dir)
+        .where(col("event_type") === "error")
+        .groupBy("minute")
+        .agg(round(sum(when(col("k") % 2 === 0, col("value")).otherwise(0.0)), 4)
+               .as("long_vol"),
+             round(sum(when(col("k") % 2 =!= 0, col("value")).otherwise(0.0)), 4)
+               .as("short_vol"),
+             sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("long_count"),
+             sum(when(col("k") % 2 =!= 0, 1L).otherwise(0L)).as("short_count"),
+             round(Ops.weightedAvgFallback(col("value"), col("k").cast("double")), 4)
+               .as("avg_fill_price"),
+             expr("bool_or(k > 90)").as("any_extreme"))
+    }),
+
+    // W1: per-group lag → log returns → realized volatility
+    // (minute_builder.py:236-242).
+    "w1_log_return_vol" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .where(col("value") > 0)
+        .withColumn("r", log(col("value")) - log(lag(col("value"), 1).over(w)))
+        .groupBy("user_id")
+        .agg(round(sqrt(sum(col("r") * col("r"))), 6).as("realized_vol"),
+             count(col("r")).as("n_returns"))
+    }),
+
+    // W3: bar-over-bar deltas via lag over the bucketed series
+    // (service.py:1218-1257).
+    "w3_bar_deltas" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(sum(col("value")).as("vol"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      hourly
+        .withColumn("delta_vol", round(col("vol") - lag(col("vol"), 1).over(w), 4))
+        .select(col("hour"), col("event_type"), round(col("vol"), 4).as("vol"),
+                col("delta_vol"))
+    }),
+
+    // W4: running cumulative signed sum — CVD (aggregation.py:222-227).
+    "w4_cvd_running" -> ((s, dir) => {
+      val signed = when(col("event_id") % 2 === 0, col("value")).otherwise(-col("value"))
+      t(s, dir, "events")
+        .withColumn("cvd", round(Ops.runningSum(signed,
+          order = Seq(col("ts"), col("event_id")),
+          partitionCols = Seq(col("user_id"))), 4))
+        .select(col("event_id"), col("user_id"), col("cvd"))
+    }),
+
+    // W5: bounded forward-fill over the dense spine
+    // (minute_builder.py:624-642; limit semantics are the subtle part).
+    "w5_bounded_ffill" -> ((s, dir) => {
+      val lastPerMin = eventsK(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy("minute")
+        .agg(Ops.lastByOrd(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+      minuteSpine(s, dir)
+        .join(lastPerMin, col("m") === col("minute"), "left")
+        .select(col("m"),
+                round(Ops.boundedFfill(col("v"), Seq(col("m")), Some(30)), 4)
+                  .as("filled"))
+    }),
+
+    // W7: gaps-and-islands sessionization (backfill.py:105-121 pattern).
+    "w7_sessionization" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("session", Ops.sessionId(col("ts"),
+          Seq(col("ts"), col("event_id")), Seq(col("user_id")), 30L * 60 * 1000))
+      ev.groupBy("user_id", "session").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+             round(avg(col("n")), 6).as("avg_session_events"),
+             max(col("n")).as("max_session_events"))
+    }),
+
+    // O2: top-k with deterministic tie-break (aggregation.py:171 tail).
+    "o2_topk_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(round(sum(col("value")), 4).as("total_value"),
+             count(lit(1)).as("n"))
+        .orderBy(col("total_value").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
+    // U2: overlapping-window union + last-wins dedup merge
+    // (utils.py:59-70, atomic.py:67-72).
+    "u2_union_dedup_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") >= 20000)
+      val lo = o.where(col("o_totalprice") <= 100000)
+      Ops.dedupKeepLast(hi.unionByName(lo), Seq("o_orderkey"),
+                        Seq(col("o_orderdate"), col("o_orderkey")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // TXT: quality scoring — token stats, stopword & punctuation ratios
+    // (training-data pipeline op).
+    "txt_quality_score" -> ((s, dir) => {
+      val stop = Seq("the", "and", "of", "to", "a", "in", "is", "on")
+      val stopList = stop.map(w => s"'$w'").mkString(", ")
+      t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") /
+                size(col("toks")), 6).as("mean_token_len"),
+          round(expr(s"size(filter(toks, x -> x in ($stopList)))").cast("double") /
+                size(col("toks")), 6).as("stopword_ratio"),
+          round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
+    }),
+
+    // TXT: token counting rollup per source.
+    "txt_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(TextFns.tokens(col("text")))).as("total_tokens"),
+             round(avg(size(TextFns.tokens(col("text")))), 6).as("avg_tokens"),
+             count(lit(1)).as("n_docs"))
+    }),
+
+    // TXT: n-gram-heuristic language ID (deterministic stopword scoring,
+    // first-listed language wins ties).
+    "txt_langid" -> ((s, dir) => {
+      val langs = Seq(
+        "en" -> Seq("the", "and", "of", "to", "is"),
+        "de" -> Seq("der", "die", "und", "nicht", "ist"),
+        "fr" -> Seq("le", "la", "et", "les", "des"),
+        "es" -> Seq("el", "los", "las", "una", "y"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                TextFns.langIdExpr("text", langs).as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    }),
+
+    // TXT/DEDUP: exact-dup fingerprint accounting per source
+    // (md5 of normalized text).
+    "txt_fingerprint_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("fp")).as("n_distinct"),
+             (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+    }),
+
+    // DEDUP: n-gram Jaccard near-dup pairs within each source bucket.
+    // Self-join is bucketed by `source` so candidate pairs stay bounded
+    // (the LSH variant below is the unbucketed scale path).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+                TextFns.shinglesFromTokens("toks", 3).as("sh"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6))
+        .where(col("jaccard") >= 0.06)
+        .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // DEDUP: MinHash signatures + LSH band buckets (16 perms, 8 bands ×
+    // 2 rows) — the shingle→minhash→band pipeline; band buckets are the
+    // LSH join keys at scale.
+    "dedup_minhash_bands" -> ((s, dir) => {
+      val withSig = t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("sh", TextFns.shinglesFromTokens("toks", 3))
+        .withColumn("sig", TextFns.minhashSignature("sh", 16))
+      val bands = (0 until 8).map { bnd =>
+        md5(concat_ws("|",
+          col("sig").getItem(bnd * 2).cast("string"),
+          col("sig").getItem(bnd * 2 + 1).cast("string"))).as(s"band$bnd")
+      }
+      withSig.select(col("doc_id") +: bands: _*)
+    }),
+
+    // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("hs", TextFns.tokenHashes32("toks"))
+        .select(col("doc_id"), TextFns.simhash32FromHashes("hs").as("simhash"))
+    }),
+
+    // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
+    // against the full embedding table; one narrow pass + per-query
+    // top-k (the baseline; LSH/IVF prune candidates at scale).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val scored = q.join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFns.cosine("q_emb", "n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 5).as("cos"), col("rank"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> stableRoundSql(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
+
+    "s1_pruned_scan_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 4) AS sum_price,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "s2_minmax_ts" ->
+      "SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n FROM events",
+
+    "s3_latest_wins_dedup" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       round(value, 4) AS last_value, event_type AS last_type
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "p2_json_conditional_split" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type,
+        |       round(sum(CASE WHEN k >= 50 THEN value ELSE 0 END), 4) AS whale_value,
+        |       round(sum(CASE WHEN k < 50 THEN value ELSE 0 END), 4) AS retail_value,
+        |       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS whale_cnt,
+        |       count(*) AS cnt
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "p5_null_gated_derived" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_discount > 0.02
+        |                      THEN l_extendedprice * (1.0 - l_discount) END), 4)
+        |         AS disc_revenue,
+        |       round(sum(coalesce(nullif(l_tax, 0.0), 0.01) * l_extendedprice), 4)
+        |         AS tax_amount,
+        |       count(CASE WHEN l_discount > 0.02 THEN 1 END) AS n_discounted
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "j1_spine_left_join" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('minute', min(ts)) FROM events),
+        |    (SELECT date_trunc('minute', max(ts)) FROM events),
+        |    INTERVAL 1 MINUTE)) AS m),
+        |per_min AS (
+        |  SELECT date_trunc('minute', ts) AS minute, count(*) AS n_events,
+        |         round(sum(value), 4) AS val
+        |  FROM events GROUP BY 1)
+        |SELECT m, coalesce(n_events, 0) AS n_events, coalesce(val, 0.0) AS val
+        |FROM spine LEFT JOIN per_min ON spine.m = per_min.minute""".stripMargin,
+
+    "j2_asof_tolerance" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS h),
+        |p AS (
+        |  SELECT ts, value FROM (
+        |    SELECT ts, value, row_number() OVER
+        |      (PARTITION BY ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT s.h,
+        |       CASE WHEN s.h - p.ts <= INTERVAL 120 MINUTE
+        |            THEN round(p.value, 4) END AS asof_value
+        |FROM spine s ASOF LEFT JOIN p ON p.ts <= s.h""".stripMargin,
+
+    "j6_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j9_star_join_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "a1_minute_trade_agg" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute
+        |           FROM events)
+        |SELECT minute, count(*) AS trade_count,
+        |       round(CASE WHEN sum(k) > 0 THEN sum(value * k) / sum(k) END, 4) AS vwap,
+        |       round(max(value), 4) AS max_value,
+        |       round(sum(CASE WHEN event_id % 2 = 0 THEN value ELSE 0 END), 4) AS buy_value,
+        |       round(sum(CASE WHEN event_id % 2 <> 0 THEN value ELSE 0 END), 4) AS sell_value
+        |FROM e GROUP BY minute""".stripMargin,
+
+    "a5_htf_ohlc_bucket" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, ts, event_id, value,
+        |         date_trunc('minute', ts) AS minute,
+        |         first_value(value) OVER w AS o, last_value(value) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY date_trunc('hour', ts), event_type
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT hour, event_type,
+        |       round(any_value(o), 4) AS open, round(max(value), 4) AS high,
+        |       round(min(value), 4) AS low, round(any_value(c), 4) AS close,
+        |       round(sum(value), 4) AS volume, count(*) AS cnt,
+        |       count(DISTINCT minute) AS observed_minutes
+        |FROM b GROUP BY hour, event_type""".stripMargin,
+
+    "a6_percentile_p95" ->
+      """SELECT event_type, round(quantile_cont(value, 0.95), 6) AS p95,
+        |       round(quantile_cont(value, 0.5), 6) AS p50, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a7_bucket_completeness" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |       count(DISTINCT date_trunc('minute', ts)) AS observed_minutes,
+        |       1440 AS expected_minutes,
+        |       1440 - count(DISTINCT date_trunc('minute', ts)) AS missing_minutes,
+        |       count(DISTINCT date_trunc('minute', ts)) = 1440 AS complete
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a9_partition_audit" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n_rows,
+        |       count(DISTINCT event_id) AS n_unique_ids,
+        |       count(DISTINCT user_id) AS n_users,
+        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_values,
+        |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a11_side_split_weighted" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute
+        |           FROM events WHERE event_type = 'error')
+        |SELECT minute,
+        |       round(sum(CASE WHEN k % 2 = 0 THEN value ELSE 0 END), 4) AS long_vol,
+        |       round(sum(CASE WHEN k % 2 <> 0 THEN value ELSE 0 END), 4) AS short_vol,
+        |       sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS long_count,
+        |       sum(CASE WHEN k % 2 <> 0 THEN 1 ELSE 0 END) AS short_count,
+        |       round(CASE WHEN sum(k) > 0 THEN sum(value * k) / sum(k)
+        |                  ELSE avg(value) END, 4) AS avg_fill_price,
+        |       bool_or(k > 90) AS any_extreme
+        |FROM e GROUP BY minute""".stripMargin,
+
+    "w1_log_return_vol" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |         ln(value) - ln(lag(value) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) AS r
+        |  FROM events WHERE value > 0)
+        |SELECT user_id, round(sqrt(sum(r * r)), 6) AS realized_vol,
+        |       count(r) AS n_returns
+        |FROM r GROUP BY user_id""".stripMargin,
+
+    "w3_bar_deltas" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, sum(value) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, round(v, 4) AS vol,
+        |       round(v - lag(v) OVER (PARTITION BY event_type ORDER BY hour), 4)
+        |         AS delta_vol
+        |FROM hourly""".stripMargin,
+
+    "w4_cvd_running" ->
+      """SELECT event_id, user_id,
+        |       round(sum(CASE WHEN event_id % 2 = 0 THEN value ELSE -value END)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |         AS cvd
+        |FROM events""".stripMargin,
+
+    "w5_bounded_ffill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('minute', min(ts)) FROM events),
+        |    (SELECT date_trunc('minute', max(ts)) FROM events),
+        |    INTERVAL 1 MINUTE)) AS m),
+        |lastpm AS (
+        |  SELECT minute, value AS v FROM (
+        |    SELECT date_trunc('minute', ts) AS minute, value,
+        |           row_number() OVER (PARTITION BY date_trunc('minute', ts)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |joined AS (
+        |  SELECT m, v FROM spine LEFT JOIN lastpm ON spine.m = lastpm.minute)
+        |SELECT m, round(last_value(v IGNORE NULLS) OVER
+        |         (ORDER BY m ROWS BETWEEN 30 PRECEDING AND CURRENT ROW), 4)
+        |         AS filled
+        |FROM joined""".stripMargin,
+
+    "w7_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session
+        |  FROM g),
+        |per_sess AS (
+        |  SELECT user_id, session, count(*) AS n FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       round(avg(n), 6) AS avg_session_events,
+        |       max(n) AS max_session_events
+        |FROM per_sess GROUP BY user_id""".stripMargin,
+
+    "o2_topk_users" ->
+      """SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "u2_union_dedup_merge" ->
+      """WITH u AS (
+        |  SELECT * FROM orders WHERE o_totalprice >= 20000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice <= 100000),
+        |d AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC)
+        |      AS rn FROM u) WHERE rn = 1)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM d GROUP BY o_orderstatus""".stripMargin,
+
+    "txt_quality_score" ->
+      """WITH d AS (SELECT doc_id, text,
+        |                  string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |             / len(toks), 6) AS mean_token_len,
+        |       round(CAST(len(list_filter(toks, x -> x IN
+        |               ('the','and','of','to','a','in','is','on'))) AS DOUBLE)
+        |             / len(toks), 6) AS stopword_ratio,
+        |       round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |                  AS DOUBLE) / length(text), 6) AS punct_ratio
+        |FROM d""".stripMargin,
+
+    "txt_token_count" ->
+      """SELECT source,
+        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "txt_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|ist)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|y)\b')) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+        |            ELSE 'es' END AS pred_lang,
+        |       (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |             WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |             WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+        |             ELSE 'es' END) = lang AS is_match
+        |FROM s""".stripMargin,
+
+    "txt_fingerprint_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS n_distinct,
+        |       count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS n_dups
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.06""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bits = (0 until 32).map { b =>
+        s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(trim(text), '\s+'),
+        |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+        |  FROM documents)
+        |""".stripMargin + s"SELECT doc_id, $bits AS simhash FROM d"
+    },
+
+    "dedup_minhash_bands" -> {
+      val shingles =
+        """list_distinct(list_transform(
+          |  generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+          |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+          |       string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+          |       string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
+      val mins = (0 until 16).map { p =>
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$p' || ':' || s), 1, 15))::BIGINT)) AS m$p"
+      }.mkString(", ")
+      val bands = (0 until 8).map { b =>
+        s"md5(concat_ws('|', CAST(m${b * 2} AS VARCHAR), CAST(m${b * 2 + 1} AS VARCHAR))) AS band$b"
+      }.mkString(", ")
+      s"WITH d AS (SELECT doc_id, $shingles AS sh FROM documents), " +
+        s"sig AS (SELECT doc_id, $mins FROM d) " +
+        s"SELECT doc_id, $bands FROM sig"
+    },
+
+    "ann_cosine_topk" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, round(cos, 5) AS cos, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin
+  )
 }
