@@ -484,6 +484,74 @@ object SparkEntry {
         .select(col("doc_id"), TextFns.simhash32FromHashes("hs").as("simhash"))
     }),
 
+    // A5 end-to-end through the domain HtfAggregator: synthesize a sparse
+    // canonical minute frame from events (OHLC of value, volumes, sparse
+    // OI snapshots), aggregate to 1h buckets — checks explicit-order
+    // first/last, last-non-null snapshots, completeness accounting and
+    // in-bucket realized vol against the SQL oracle.
+    "htf_aggregate_1h" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      val minutes = eventsK(s, dir).groupBy("minute").agg(
+        Ops.firstByOrd(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        Ops.lastByOrd(col("value"), ord).as("close"),
+        sum(col("value")).as("volume_btc"),
+        sum(col("value") * col("k")).as("volume_usdt"),
+        count(lit(1)).as("trade_count"),
+        max(when(col("event_type") === "view", col("k").cast("double"))).as("oi_contracts"))
+        .withColumnRenamed("minute", "timestamp")
+      val canonical = graft.operators.MinuteBuilder.finalizeSchema(minutes)
+      graft.operators.HtfAggregator
+        .aggregateMinutes(canonical, graft.schema.Timeframes.parse("1h"), "EVT")
+        .select(col("bucket_start"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          round(col("volume_btc"), 4).as("volume_btc"),
+          round(col("vwap"), 4).as("vwap"),
+          col("trade_count"), col("observed_minutes_in_bucket"),
+          col("missing_minutes_count"), col("bucket_complete"),
+          round(col("oi_contracts"), 4).as("oi_contracts"),
+          round(col("realized_vol_htf"), 6).as("realized_vol_htf"))
+    }),
+
+    // A6 end-to-end through the domain QueryAggregator: dense canonical
+    // minutes from the spine (zero-filled trade columns, sparse funding
+    // snapshots), 15m tumbling aggregation with complete-window gate,
+    // trailing-200 tail and CVD (aggregation.py:9-229).
+    "qagg_aggregate_15m" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      val perMin = eventsK(s, dir).groupBy("minute").agg(
+        Ops.firstByOrd(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        Ops.lastByOrd(col("value"), ord).as("close"),
+        sum(col("value")).as("volume_btc"),
+        sum(col("value") * col("k")).as("volume_usdt"),
+        count(lit(1)).as("trade_count"),
+        sum(when(col("event_id") % 2 === 0, col("value")).otherwise(-col("value")))
+          .as("net_taker_vol_btc"),
+        max(when(col("event_type") === "error", col("k").cast("double") / 1000.0))
+          .as("funding_rate"))
+      val dense = minuteSpine(s, dir)
+        .join(perMin, col("m") === col("minute"), "left")
+        .drop("minute").withColumnRenamed("m", "timestamp")
+        .withColumn("volume_btc", coalesce(col("volume_btc"), lit(0.0)))
+        .withColumn("volume_usdt", coalesce(col("volume_usdt"), lit(0.0)))
+        .withColumn("trade_count", coalesce(col("trade_count"), lit(0L)))
+        .withColumn("net_taker_vol_btc", coalesce(col("net_taker_vol_btc"), lit(0.0)))
+      val canonical = graft.operators.MinuteBuilder.finalizeSchema(dense)
+      val agg = graft.operators.QueryAggregator.aggregateCanonicalFrame(
+        canonical, graft.schema.Timeframes.parse("15m"), limit = 200)
+      agg.select(col("timestamp"),
+        round(col("open"), 4).as("open"), round(col("close"), 4).as("close"),
+        round(col("volume_btc"), 4).as("volume_btc"),
+        round(col("vwap_1m"), 4).as("vwap_bar"),
+        col("trade_count"),
+        round(col("funding_rate"), 6).as("funding_rate"),
+        round(col("cvd_btc"), 4).as("cvd_btc"))
+    }),
+
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
     // against the full embedding table; one narrow pass + per-query
     // top-k (the baseline; LSH/IVF prune candidates at scale).
@@ -830,6 +898,97 @@ object SparkEntry {
         s"sig AS (SELECT doc_id, $mins FROM d) " +
         s"SELECT doc_id, $bands FROM sig"
     },
+
+    "htf_aggregate_1h" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute FROM events),
+        |mw AS (
+        |  SELECT minute, ts, event_id, value, event_type, k,
+        |         first_value(value) OVER w AS mo, last_value(value) OVER w AS mc
+        |  FROM e WINDOW w AS (PARTITION BY minute ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |mins AS (
+        |  SELECT minute, any_value(mo) AS o, max(value) AS hi, min(value) AS lo,
+        |         any_value(mc) AS c, sum(value) AS vb, sum(value * k) AS vu,
+        |         count(*) AS tc,
+        |         max(CASE WHEN event_type = 'view' THEN CAST(k AS DOUBLE) END) AS oi
+        |  FROM mw GROUP BY minute),
+        |b AS (
+        |  SELECT date_trunc('hour', minute) AS bucket_start, minute, o, hi, lo, c,
+        |         vb, vu, tc, oi,
+        |         first_value(o) OVER wb AS bo, last_value(c) OVER wb AS bc,
+        |         last_value(oi IGNORE NULLS) OVER wb AS boi,
+        |         lag(c) OVER (PARTITION BY date_trunc('hour', minute)
+        |                      ORDER BY minute) AS prev_c
+        |  FROM mins
+        |  WINDOW wb AS (PARTITION BY date_trunc('hour', minute) ORDER BY minute
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT bucket_start,
+        |       round(any_value(bo), 4) AS open, round(max(hi), 4) AS high,
+        |       round(min(lo), 4) AS low, round(any_value(bc), 4) AS close,
+        |       round(sum(vb), 4) AS volume_btc,
+        |       round(CASE WHEN sum(vb) > 0 THEN sum(vu) / sum(vb) END, 4) AS vwap,
+        |       sum(tc) AS trade_count,
+        |       count(*) AS observed_minutes_in_bucket,
+        |       60 - count(*) AS missing_minutes_count,
+        |       count(*) = 60 AS bucket_complete,
+        |       round(any_value(boi), 4) AS oi_contracts,
+        |       round(sqrt(coalesce(sum(CASE WHEN prev_c > 0 AND c > 0
+        |                                    THEN pow(ln(c / prev_c), 2) END), 0.0)), 6)
+        |         AS realized_vol_htf
+        |FROM b GROUP BY bucket_start""".stripMargin,
+
+    "qagg_aggregate_15m" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute FROM events),
+        |mw AS (
+        |  SELECT minute, ts, event_id, value, event_type, k,
+        |         first_value(value) OVER w AS mo, last_value(value) OVER w AS mc
+        |  FROM e WINDOW w AS (PARTITION BY minute ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |per_min AS (
+        |  SELECT minute, any_value(mo) AS o, any_value(mc) AS c,
+        |         sum(value) AS vb, sum(value * k) AS vu, count(*) AS tc,
+        |         sum(CASE WHEN event_id % 2 = 0 THEN value ELSE -value END) AS net,
+        |         max(CASE WHEN event_type = 'error'
+        |                  THEN CAST(k AS DOUBLE) / 1000.0 END) AS fr
+        |  FROM mw GROUP BY minute),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('minute', min(ts)) FROM events),
+        |    (SELECT date_trunc('minute', max(ts)) FROM events),
+        |    INTERVAL 1 MINUTE)) AS mts),
+        |dense AS (
+        |  SELECT mts, o, c, coalesce(vb, 0.0) AS vb, coalesce(vu, 0.0) AS vu,
+        |         coalesce(tc, 0) AS tc, coalesce(net, 0.0) AS net, fr
+        |  FROM spine LEFT JOIN per_min ON mts = minute),
+        |ff AS (
+        |  SELECT *, last_value(fr IGNORE NULLS) OVER
+        |    (ORDER BY mts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frf
+        |  FROM dense),
+        |bkt AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, mts) AS bs, mts, o, c, vb, tc, net,
+        |         first_value(o) OVER wb AS bo, last_value(c) OVER wb AS bc,
+        |         last_value(frf) OVER wb AS bfr,
+        |         CASE WHEN c IS NOT NULL THEN c * vb END AS notional
+        |  FROM ff
+        |  WINDOW wb AS (PARTITION BY time_bucket(INTERVAL 15 MINUTE, mts)
+        |                ORDER BY mts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |bars AS (
+        |  SELECT bs, any_value(bo) AS o, any_value(bc) AS c, sum(vb) AS vb,
+        |         sum(notional) AS notional, sum(tc) AS tc, sum(net) AS net,
+        |         any_value(bfr) AS fr, count(*) AS n
+        |  FROM bkt GROUP BY bs),
+        |tl AS (
+        |  SELECT * FROM bars WHERE n = 15 ORDER BY bs DESC LIMIT 200)
+        |SELECT bs AS timestamp, round(o, 4) AS open, round(c, 4) AS close,
+        |       round(vb, 4) AS volume_btc,
+        |       round(CASE WHEN vb > 0 THEN notional / vb ELSE c END, 4) AS vwap_bar,
+        |       tc AS trade_count, round(fr, 6) AS funding_rate,
+        |       round(sum(net) OVER (ORDER BY bs
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cvd_btc
+        |FROM tl""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH scored AS (

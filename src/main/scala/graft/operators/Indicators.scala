@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Indicator math (reference `live_indicators/`): TradingView EMA and
+  * classic pivot points.
+  *
+  * EMA is recursive (SMA seed over the first `length` values, then
+  * α-blend — reference `ema.py:6-24`) and not expressible as a built-in
+  * Spark window. Indicator windows are bounded (≤ a few hundred bars,
+  * reference `config.py:14-15`), so the idiomatic route is the Catalyst
+  * `aggregate` higher-order function over a sorted `collect_list` — pure
+  * expressions, no UDAF, stays codegen'd (SURVEY §2.10/§7.2).
+  */
+object Indicators {
+
+  /** EMA over an array column; element i of the result is the EMA at
+    * index i (NULL before the seed index). */
+  def emaExpr(valuesCol: String, length: Int): Column = {
+    require(length >= 1, "EMA length must be at least 1")
+    val a = 2.0 / (length + 1.0)
+    // state: (i = elements consumed, s = running seed sum, e = ema, out = array)
+    expr(
+      s"""aggregate(
+         |  $valuesCol,
+         |  named_struct('i', 0, 's', cast(0.0 as double),
+         |               'e', cast(null as double),
+         |               'out', cast(array() as array<double>)),
+         |  (acc, x) -> named_struct(
+         |    'i', acc.i + 1,
+         |    's', acc.s + x,
+         |    'e', case
+         |      when acc.i + 1 < $length then cast(null as double)
+         |      when acc.i + 1 = $length then (acc.s + x) / cast($length as double)
+         |      else $a * x + ${1.0 - a} * acc.e end,
+         |    'out', concat(acc.out, array(case
+         |      when acc.i + 1 < $length then cast(null as double)
+         |      when acc.i + 1 = $length then (acc.s + x) / cast($length as double)
+         |      else $a * x + ${1.0 - a} * acc.e end))),
+         |  acc -> acc.out)""".stripMargin)
+  }
+
+  /** TradingView EMA on a bar frame: returns the input plus an `ema`
+    * column, computed over rows ordered by `orderCol`. The frame is
+    * driver-bounded, so a single collect_list group is fine. */
+  def withEma(bars: DataFrame, valueCol: String, length: Int,
+              orderCol: String = "timestamp", outCol: String = "ema"): DataFrame = {
+    val collected = bars
+      .select(col(orderCol), col(valueCol).cast("double").as("__v"))
+      .agg(expr(s"array_sort(collect_list(struct($orderCol, __v)))").as("arr"))
+      .select(expr(s"transform(arr, x -> x.$orderCol)").as("ks"),
+        emaExpr(s"transform(arr, x -> x.__v)", length).as("emas"))
+      .select(explode(arrays_zip(col("ks"), col("emas"))).as("z"))
+      .select(col(s"z.ks").as(orderCol), col(s"z.emas").as(outCol))
+    bars.join(collected, Seq(orderCol), "left")
+  }
+
+  /** Traditional pivot points from the previous period's H/L/C
+    * (reference `live_indicators/pivots.py:4-12`). */
+  def pivotPoints(high: Column, low: Column, close: Column): Seq[(String, Column)] = {
+    val p = (high + low + close) / 3.0
+    Seq(
+      "p" -> p,
+      "r1" -> (p * 2.0 - low),
+      "r2" -> (p + (high - low)),
+      "s1" -> (p * 2.0 - high),
+      "s2" -> (p - (high - low)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Ops}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepLast keeps the greatest order tuple per key") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 3L, 30.0), ("a", 2L, 20.0),
+      ("b", 5L, 50.0)).toDF("k", "ord", "v")
+    val out = Ops.dedupKeepLast(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("a", 30.0), ("b", 50.0)))
+  }
+
+  test("boundedFfill respects the limit") {
+    val df = (1 to 10).map(i => (i, if (i == 1) Some(10.0) else None))
+      .toDF("i", "v")
+    val out = df.select(col("i"),
+      Ops.boundedFfill(col("v"), Seq(col("i")), Some(3)).as("f"))
+      .orderBy("i").collect()
+    // value at i=1 fills rows 2..4 (3 preceding rows), gone at i=5
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(10.0), Some(10.0), Some(10.0), Some(10.0), None, None, None, None, None, None))
+  }
+
+  test("asofJoinBackward: backward-inclusive with tolerance") {
+    val left = Seq(ts("2026-01-01T00:00:00Z"), ts("2026-01-01T00:10:00Z"),
+      ts("2026-01-01T01:00:00Z")).map(Tuple1(_)).toDF("t")
+    val right = Seq((ts("2026-01-01T00:00:00Z"), 1.0),
+      (ts("2026-01-01T00:05:00Z"), 2.0)).toDF("rt", "v")
+    val out = AsOf.asofJoinBackward(left, right, "t", "rt", Seq("v"),
+      toleranceMs = Some(30L * 60 * 1000))
+      .orderBy("t").collect()
+    // 00:00 → exact match 1.0; 00:10 → 2.0 (5 min old); 01:00 → null (55 min > 30)
+    assert(out.map(r => Option(r.get(1))).toSeq == Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("bucketed as-of join equals the windowed as-of join") {
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 500).map(i => Tuple1(java.sql.Timestamp.from(
+      instant("2026-01-01T00:00:00Z").plusSeconds(i * 61L)))).toDF("t")
+    val right = (0 until 80).map { i =>
+      (java.sql.Timestamp.from(instant("2026-01-01T00:00:00Z")
+        .plusSeconds(rnd.nextInt(500 * 61))), rnd.nextDouble())
+    }.toDF("rt", "v")
+    val tol = 15L * 60 * 1000
+    val a = AsOf.asofJoinBackward(left, right, "t", "rt", Seq("v"), Some(tol))
+      .orderBy("t").collect().map(r => (r.getTimestamp(0), Option(r.get(1))))
+    val b = AsOf.asofJoinBackwardBucketed(left, right, "t", "rt", Seq("v"), tol)
+      .orderBy("t").collect().map(r => (r.getTimestamp(0), Option(r.get(1))))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("sessionId splits on gaps greater than the threshold") {
+    val df = Seq(
+      ("u", ts("2026-01-01T00:00:00Z")), ("u", ts("2026-01-01T00:10:00Z")),
+      ("u", ts("2026-01-01T01:00:00Z")), ("u", ts("2026-01-01T01:05:00Z"))
+    ).toDF("u", "t")
+    val out = df.withColumn("s", Ops.sessionId(col("t"), Seq(col("t")),
+      Seq(col("u")), 30L * 60 * 1000)).orderBy("t").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 1L))
+  }
+
+  test("weightedAvgFallback uses weights when present, mean otherwise") {
+    val df = Seq((1.0, 100.0), (3.0, 300.0)).toDF("v", "w")
+    val got = df.agg(Ops.weightedAvgFallback(col("v"), col("w"))).head.getDouble(0)
+    assert(got == 2.5)
+    val df0 = Seq((1.0, 0.0), (3.0, 0.0)).toDF("v", "w")
+    val got0 = df0.agg(Ops.weightedAvgFallback(col("v"), col("w"))).head.getDouble(0)
+    assert(got0 == 2.0)
+  }
+
+  test("last/first non-null by ordering key") {
+    val df = Seq(
+      (1L, Option.empty[Double]), (2L, Some(10.0)), (3L, Option.empty[Double]),
+      (4L, Some(11.0)), (5L, Option.empty[Double])).toDF("t", "v")
+    val r = df.agg(
+      Ops.lastNonNullByOrd(col("v"), col("t")).as("l"),
+      Ops.firstNonNullByOrd(col("v"), col("t")).as("f")).head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 10.0)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session keeps
+  * the suite fast). */
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  def instant(s: String): java.time.Instant = java.time.Instant.parse(s)
+
+  def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+}
