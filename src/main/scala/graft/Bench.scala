@@ -1,23 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query is fully materialized with a noop-format write (count()
+  * would let Catalyst prune the projections and undercount the real
+  * work). One warm-up query runs first so JVM/classloader startup isn't
+  * billed to the first query measured.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warm-up: JVM + parquet footer caches (not reported)
+    run("s1_pruned_scan_agg")
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

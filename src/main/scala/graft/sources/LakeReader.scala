@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.time.Instant
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+import graft.schema.CanonicalSchema
+
+/** Minute-lake reader (reference `aggregator/source_reader.py:13-78`,
+  * `live_data_api_service/repository.py:22-52`).
+  *
+  * The reference builds explicit partition paths by hand; here a plain
+  * `spark.read.parquet(root)` plus partition-column predicates lets
+  * Catalyst prune `symbol=/year=/month=/day=/hour=` directories — the
+  * same I/O, no path math (SURVEY §4). Timestamp predicates additionally
+  * push into parquet row-group statistics.
+  */
+class MinuteLakeReader(root: String) {
+
+  private def lakeDir = s"$root/futures/um/minute"
+
+  private def hasData(spark: SparkSession): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new HPath(lakeDir))
+  }
+
+  def scanSymbol(spark: SparkSession, symbol: String): DataFrame =
+    if (!hasData(spark))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        CanonicalSchema.structType)
+    else
+      spark.read.parquet(lakeDir).where(col("symbol") === symbol.toUpperCase)
+        .drop("symbol", "year", "month", "day", "hour")
+
+  /** min/max timestamp — parquet footer statistics make this a
+    * metadata-only scan (S2). */
+  def inspectRange(spark: SparkSession, symbol: String): (Option[Instant], Option[Instant]) = {
+    val r = scanSymbol(spark, symbol)
+      .agg(min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"))
+      .collect().head
+    (Option(r.getTimestamp(0)).map(_.toInstant), Option(r.getTimestamp(1)).map(_.toInstant))
+  }
+
+  def latestMinute(spark: SparkSession, symbol: String): Option[Instant] =
+    inspectRange(spark, symbol)._2
+
+  def scanAvailableMinutes(spark: SparkSession, symbol: String,
+                           start: Option[Instant] = None,
+                           end: Option[Instant] = None): DataFrame = {
+    var df = scanSymbol(spark, symbol).select("timestamp")
+    start.foreach(s => df = df.where(col("timestamp") >= java.sql.Timestamp.from(s)))
+    end.foreach(e => df = df.where(col("timestamp") <= java.sql.Timestamp.from(e)))
+    df.distinct()
+  }
+
+  /** Windowed read with latest-wins dedup (S3, reference
+    * `source_reader.py:44-59`): one row per timestamp, the one with the
+    * greatest (arrival_time, event_time, transact_time, update_id_end)
+    * nulls-last tuple. */
+  def readWindow(spark: SparkSession, symbol: String, start: Instant, end: Instant): DataFrame = {
+    val df = scanSymbol(spark, symbol)
+      .where(col("timestamp").between(
+        java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
+    Ops.dedupKeepLast(df, Seq("timestamp"),
+      Seq(col("arrival_time"), col("event_time"), col("transact_time"), col("update_id_end")))
+  }
+
+  /** Partition-directory snapshot for change detection (S5, reference
+    * `source_reader.py:61-69`). */
+  def partitionDirectories(spark: SparkSession, symbol: String): Set[String] = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val symbolRoot = new HPath(s"$lakeDir/symbol=${symbol.toUpperCase}")
+    if (!fs.exists(symbolRoot)) Set.empty
+    else {
+      val it = fs.listFiles(symbolRoot, true)
+      val dirs = scala.collection.mutable.Set[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          dirs += f.getPath.getParent.toString.stripPrefix(symbolRoot.toString).stripPrefix("/")
+      }
+      dirs.toSet
+    }
+  }
+}

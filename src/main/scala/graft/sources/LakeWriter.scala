@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+import graft.schema.CanonicalSchema
+import graft.validation.DQValidator
+
+/** Minute-lake writer — Spark re-expression of the reference's
+  * `AtomicParquetWriter` (`writer/atomic.py:27-117`).
+  *
+  * Layout: `futures/um/minute/symbol=S/year=YYYY/month=MM/day=DD/hour=HH/`
+  * (Hive-style, so Catalyst partition pruning is automatic on read).
+  *
+  * Two write paths:
+  *  - [[writeHourPartition]] — the exact semantic port: read existing
+  *    partition, last-wins merge with LIVE_ONLY preservation (bool-OR
+  *    for coverage flags, coalesce for the rest), DQ-validate, rewrite
+  *    the single partition (write-to-tmp + rename keeps readers atomic).
+  *  - [[writePartitionedBulk]] — the lake-scale path: one job writes many
+  *    partitions at once with `partitionOverwriteMode=dynamic`; use for
+  *    backfills where per-hour loops would serialize.
+  */
+class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
+
+  private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH").withZone(ZoneOffset.UTC)
+
+  def partitionDir(symbol: String, hourStart: Instant): String = {
+    val z = hourStart.atZone(ZoneOffset.UTC)
+    f"$root/futures/um/minute/symbol=${symbol.toUpperCase}/year=${z.getYear}%04d/" +
+      f"month=${z.getMonthValue}%02d/day=${z.getDayOfMonth}%02d/hour=${z.getHour}%02d"
+  }
+
+  /** Last-wins merge with LIVE_ONLY preservation (reference
+    * `atomic.py:65-97`): new rows win on timestamp collision, but
+    * existing LIVE_ONLY values survive — coverage flags (has_ws_latency /
+    * has_depth / has_liq) are bool-OR'd, every other LIVE_ONLY column is
+    * coalesce(merged, existing). */
+  def mergePartitionFrames(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val coverage = Set("has_ws_latency", "has_depth", "has_liq")
+    val liveOnly = CanonicalSchema.liveOnly
+
+    val merged = Ops.dedupKeepLast(
+      existing.withColumn("__src", lit(0)).unionByName(fresh.withColumn("__src", lit(1))),
+      Seq("timestamp"), Seq(col("__src"))).drop("__src")
+
+    val existingLive = existing.select(
+      (col("timestamp") +: liveOnly.map(c => col(c).as(s"${c}__existing"))): _*)
+
+    val joined = merged.join(existingLive, Seq("timestamp"), "left")
+    val preserved = liveOnly.foldLeft(joined) { (df, c) =>
+      val ex = col(s"${c}__existing")
+      val expr =
+        if (coverage.contains(c))
+          coalesce(col(c), lit(false)) || coalesce(ex, lit(false))
+        else coalesce(col(c), ex)
+      df.withColumn(c, expr)
+    }
+    preserved.select(CanonicalSchema.columnNames.map(col): _*)
+  }
+
+  /** Write (merge if present) one symbol-hour partition. Atomicity =
+    * write to `.tmp/<uuid>` then rename over the final directory — the
+    * same tmp+replace choreography as `atomic.py:38-44`. */
+  def writeHourPartition(symbol: String, hourStart: Instant, frame: DataFrame): String = {
+    val spark = frame.sparkSession
+    val finalDir = partitionDir(symbol, hourStart)
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    val effective =
+      if (fs.exists(new HPath(finalDir)) && fs.listStatus(new HPath(finalDir)).nonEmpty)
+        mergePartitionFrames(spark.read.parquet(finalDir), frame)
+      else frame
+
+    val dq = DQValidator.validate(effective)
+
+    val tmpDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    effective.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmpDir)
+    // atomic publish: remove old dir, rename tmp into place
+    val finalPath = new HPath(finalDir)
+    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    fs.mkdirs(finalPath.getParent)
+    if (!fs.rename(new HPath(tmpDir), finalPath))
+      throw new RuntimeException(s"atomic rename failed for $finalDir")
+
+    ledger.upsert(PartitionLedgerEntry(
+      symbol = symbol.toUpperCase,
+      day = hourStart.atZone(ZoneOffset.UTC).toLocalDate.toString,
+      hour = hourStart.atZone(ZoneOffset.UTC).getHour,
+      path = finalDir,
+      rowCount = dq.rowCount,
+      minTs = dq.minTs,
+      maxTs = dq.maxTs,
+      schemaHash = CanonicalSchema.schemaHash,
+      status = "COMMITTED",
+      committedAtUtc = Instant.now.toString))
+    finalDir
+  }
+
+  /** Bulk path: write a multi-hour canonical frame in one job. Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` so only touched
+    * partitions are replaced. */
+  def writePartitionedBulk(frame: DataFrame, symbol: String): Unit = {
+    frame.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frame
+      .withColumn("symbol", lit(symbol.toUpperCase))
+      .withColumn("year", date_format(col("timestamp"), "yyyy"))
+      .withColumn("month", date_format(col("timestamp"), "MM"))
+      .withColumn("day", date_format(col("timestamp"), "dd"))
+      .withColumn("hour", date_format(col("timestamp"), "HH"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("symbol", "year", "month", "day", "hour")
+      .option("compression", "zstd")
+      .parquet(s"$root/futures/um/minute")
+  }
+}
+
+/** HTF bucket writer (reference `aggregator/target_writer.py:14-69`):
+  * layout `timeframe=T/symbol=S/year=/month=/day=/`, merge-dedup by
+  * bucket_start keep-last. */
+class HtfLakeWriter(root: String) {
+
+  def partitionDir(timeframe: String, symbol: String, day: java.time.LocalDate): String =
+    f"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}/year=${day.getYear}%04d/" +
+      f"month=${day.getMonthValue}%02d/day=${day.getDayOfMonth}%02d"
+
+  def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
+                   day: java.time.LocalDate, buckets: DataFrame): String = {
+    val dir = partitionDir(timeframe, symbol, day)
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val effective =
+      if (fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty) {
+        val existing = spark.read.parquet(dir)
+        Ops.dedupKeepLast(
+          existing.withColumn("__src", lit(0))
+            .unionByName(buckets.withColumn("__src", lit(1)), allowMissingColumns = true),
+          Seq("bucket_start"), Seq(col("__src"))).drop("__src")
+      } else buckets
+    val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    effective.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(tmp)
+    val finalPath = new HPath(dir)
+    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    fs.mkdirs(finalPath.getParent)
+    if (!fs.rename(new HPath(tmp), finalPath))
+      throw new RuntimeException(s"atomic rename failed for $dir")
+    dir
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** Watermark + partition-ledger state (reference `state/store.py:46-151`
+  * keeps these in SQLite; a Spark-native lake keeps them as small JSON
+  * checkpoint files — atomic tmp+rename writes, no external DB. At
+  * cluster scale these live on the shared FS next to the lake and are
+  * only touched by the (single) coordinator, so a file is the right
+  * durability primitive; the data plane never reads them per-task. */
+final case class PartitionLedgerEntry(
+    symbol: String, day: String, hour: Int, path: String, rowCount: Long,
+    minTs: String, maxTs: String, schemaHash: String, status: String,
+    committedAtUtc: String)
+
+class PartitionLedger(dir: String) {
+  private val file = Paths.get(dir, "partition_ledger.jsonl")
+  Files.createDirectories(Paths.get(dir))
+
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def toJson(e: PartitionLedgerEntry): String =
+    s"""{"symbol":"${esc(e.symbol)}","day":"${e.day}","hour":${e.hour},""" +
+      s""""path":"${esc(e.path)}","row_count":${e.rowCount},"min_ts":"${e.minTs}",""" +
+      s""""max_ts":"${e.maxTs}","schema_hash":"${e.schemaHash}",""" +
+      s""""status":"${e.status}","committed_at_utc":"${e.committedAtUtc}"}"""
+
+  private def field(json: String, key: String): String = {
+    val m = ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(json)
+      .orElse(("\"" + key + "\":([0-9]+)").r.findFirstMatchIn(json))
+    m.map(_.group(1)).getOrElse("")
+  }
+
+  private def fromJson(json: String): PartitionLedgerEntry =
+    PartitionLedgerEntry(field(json, "symbol"), field(json, "day"),
+      field(json, "hour").toInt, field(json, "path"),
+      field(json, "row_count").toLong, field(json, "min_ts"),
+      field(json, "max_ts"), field(json, "schema_hash"),
+      field(json, "status"), field(json, "committed_at_utc"))
+
+  def all(): Seq[PartitionLedgerEntry] =
+    if (!Files.exists(file)) Seq.empty
+    else Files.readAllLines(file, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(fromJson)
+      // last-wins upsert semantics per (symbol, day, hour)
+      .groupBy(e => (e.symbol, e.day, e.hour)).values.map(_.last).toSeq
+
+  def upsert(entry: PartitionLedgerEntry): Unit = synchronized {
+    // append-only log; readers dedup last-wins
+    Files.writeString(file, toJson(entry) + "\n",
+      StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Latest committed partition by (day desc, hour desc) — reference
+    * `state/store.py:138-151`. */
+  def latestPartition(symbol: String): Option[PartitionLedgerEntry] =
+    all().filter(e => e.symbol == symbol.toUpperCase && e.status == "COMMITTED")
+      .sortBy(e => (e.day, e.hour)).lastOption
+}
+
+/** Per-symbol watermark: last fully-ingested minute (reference
+  * `state/store.py:46-75`). Atomic replace on every update. */
+class WatermarkStore(dir: String) {
+  private val file = Paths.get(dir, "watermarks.json")
+  Files.createDirectories(Paths.get(dir))
+
+  def read(): Map[String, String] =
+    if (!Files.exists(file)) Map.empty
+    else {
+      val txt = Files.readString(file, StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+
+  def get(symbol: String): Option[java.time.Instant] =
+    read().get(symbol.toUpperCase).map(java.time.Instant.parse)
+
+  def set(symbol: String, lastCompleteMinute: java.time.Instant): Unit = synchronized {
+    val updated = read() + (symbol.toUpperCase -> lastCompleteMinute.toString)
+    val json = updated.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val tmp = Paths.get(dir, s".watermarks.${java.util.UUID.randomUUID()}.tmp")
+    Files.writeString(tmp, json, StandardCharsets.UTF_8)
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

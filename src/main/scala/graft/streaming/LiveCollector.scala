@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live-collector streaming operators (SURVEY §2.9): minute-keyed
+  * accumulation of liquidation and latency features (ST1/A11/A12) as
+  * both a batch replay (`mapGroups` over an events table — the
+  * historical path, reference `websocket.py:959-1127`) and a Structured
+  * Streaming job (`flatMapGroupsWithState` keyed by (symbol, minute)
+  * with event-time timeout — the live path, reference
+  * `websocket.py:1273-1304,1488-1711`).
+  *
+  * All math lives in [[MinuteAccumulator]] so batch and streaming paths
+  * share one implementation and cannot drift.
+  */
+object LiveCollector {
+
+  /** forceOrder liquidation event (reference `websocket.py:208-217`). */
+  final case class LiquidationEvent(
+      symbol: String, eventTime: Long, side: String, price: Double,
+      quantity: Double, arrivalTime: Option[Long] = None,
+      origQuantity: Option[Double] = None, executedQuantity: Option[Double] = None)
+
+  /** WS latency sample (engine = arrival-event, network = arrival-transact;
+    * reference `websocket.py:1521-1528`). */
+  final case class LatencySample(
+      symbol: String, eventTime: Long, transactTime: Long, arrivalTime: Long)
+
+  /** Per-(symbol, minute) liquidation features (A11). */
+  final case class LiqMinuteFeatures(
+      symbol: String, timestampMs: Long, hasLiq: Boolean,
+      liqLongVolUsdt: Option[Double], liqShortVolUsdt: Option[Double],
+      liqLongCount: Option[Long], liqShortCount: Option[Long],
+      liqAvgFillPrice: Option[Double], liqUnfilledRatio: Option[Double],
+      liqUnfilledSupported: Option[Boolean])
+
+  /** Per-(symbol, minute) latency features (A12). */
+  final case class LatencyMinuteFeatures(
+      symbol: String, timestampMs: Long, hasWsLatency: Boolean,
+      latencyEngine: Option[Long], latencyNetwork: Option[Long],
+      wsLatencyBad: Option[Boolean], eventTime: Option[Long],
+      transactTime: Option[Long], arrivalTime: Option[Long])
+
+  val LatencyBadThresholdMs = 500L
+
+  def floorToMinuteMs(t: Long): Long = t - (t % 60000L)
+
+  /** Nearest-rank p95 (reference `_p95_int`, `websocket.py:100-105`):
+    * rank = max(1, ceil(0.95 n)), 1-indexed. */
+  def p95Int(values: Seq[Long]): Option[Long] =
+    if (values.isEmpty) None
+    else {
+      val ordered = values.sorted
+      val rank = math.max(1, math.ceil(0.95 * ordered.size).toInt)
+      Some(ordered(rank - 1))
+    }
+
+  /** Mutable per-minute accumulator — the shared state-transition core
+    * (reference `_MinuteAccumulator`, `websocket.py:1273-1304`). */
+  final class MinuteAccumulator(unfilledSupported: Boolean) extends Serializable {
+    var liqLongVol = 0.0
+    var liqShortVol = 0.0
+    var liqLongCount = 0L
+    var liqShortCount = 0L
+    var liqQtyTotal = 0.0
+    var liqWeightedPriceSum = 0.0
+    var liqEventCount = 0L
+    var liqOrigQtyTotal = 0.0
+    var liqExecutedQtyTotal = 0.0
+    var liqUnfilledSupported: Boolean = unfilledSupported
+
+    var latencyEngine = Vector[Long]()
+    var latencyNetwork = Vector[Long]()
+    var latencyEventCount = 0L
+    var wsLatencyBad = false
+    var maxEventTime = Long.MinValue
+    var maxTransactTime = Long.MinValue
+    var maxArrivalTime = Long.MinValue
+
+    def addLiquidation(e: LiquidationEvent, globallySupported: Boolean): Unit = {
+      val notional = e.price * e.quantity
+      e.side.toUpperCase match {
+        case "SELL" => liqLongVol += notional; liqLongCount += 1
+        case "BUY" => liqShortVol += notional; liqShortCount += 1
+        case _ =>
+      }
+      liqQtyTotal += e.quantity
+      liqWeightedPriceSum += e.price * e.quantity
+      liqEventCount += 1
+      if (globallySupported && e.origQuantity.isDefined &&
+          e.executedQuantity.isDefined && liqUnfilledSupported) {
+        val orig = math.max(e.origQuantity.get, 0.0)
+        val exec = math.min(math.max(e.executedQuantity.get, 0.0), orig)
+        liqOrigQtyTotal += orig
+        liqExecutedQtyTotal += exec
+      } else liqUnfilledSupported = false
+    }
+
+    def addLatency(s: LatencySample): Unit = {
+      val engine = s.arrivalTime - s.eventTime
+      val network = s.arrivalTime - s.transactTime
+      latencyEngine :+= engine
+      latencyNetwork :+= network
+      latencyEventCount += 1
+      if (engine > LatencyBadThresholdMs || network > LatencyBadThresholdMs)
+        wsLatencyBad = true
+      maxEventTime = math.max(maxEventTime, s.eventTime)
+      maxTransactTime = math.max(maxTransactTime, s.transactTime)
+      maxArrivalTime = math.max(maxArrivalTime, s.arrivalTime)
+    }
+
+    def liqFeatures(symbol: String, minuteMs: Long, globallySupported: Boolean): LiqMinuteFeatures = {
+      val hasLiq = liqEventCount > 0
+      if (!hasLiq)
+        LiqMinuteFeatures(symbol, minuteMs, hasLiq = false,
+          None, None, None, None, None, None, None)
+      else {
+        val supported = globallySupported && liqUnfilledSupported
+        val ratio =
+          if (supported && liqOrigQtyTotal > 0)
+            Some(math.max(0.0, (liqOrigQtyTotal - liqExecutedQtyTotal) / liqOrigQtyTotal))
+          else None
+        LiqMinuteFeatures(symbol, minuteMs, hasLiq = true,
+          Some(liqLongVol), Some(liqShortVol), Some(liqLongCount), Some(liqShortCount),
+          if (liqQtyTotal > 0) Some(liqWeightedPriceSum / liqQtyTotal) else None,
+          ratio, Some(supported))
+      }
+    }
+
+    def latencyFeatures(symbol: String, minuteMs: Long): LatencyMinuteFeatures = {
+      val has = latencyEventCount > 0
+      if (!has)
+        LatencyMinuteFeatures(symbol, minuteMs, hasWsLatency = false,
+          None, None, None, None, None, None)
+      else
+        LatencyMinuteFeatures(symbol, minuteMs, hasWsLatency = true,
+          p95Int(latencyEngine), p95Int(latencyNetwork), Some(wsLatencyBad),
+          Some(maxEventTime), Some(maxTransactTime), Some(maxArrivalTime))
+    }
+  }
+
+  // ------------------------------------------------------------- batch path
+
+  /** Batch replay of liquidation events → per-minute features (the
+    * store-recovery path, reference `websocket.py:1037-1099`). */
+  def liquidationMinuteFeaturesBatch(events: Dataset[LiquidationEvent],
+                                     unfilledSupported: Boolean = true): Dataset[LiqMinuteFeatures] = {
+    implicit val enc = Encoders.product[LiqMinuteFeatures]
+    events.groupByKey(e => (e.symbol, floorToMinuteMs(e.eventTime)))(
+      Encoders.product[(String, Long)])
+      .mapGroups { (key: (String, Long), it: Iterator[LiquidationEvent]) =>
+        val acc = new MinuteAccumulator(unfilledSupported)
+        // deterministic event order within the minute
+        it.toSeq.sortBy(e => (e.eventTime, e.price, e.quantity))
+          .foreach(acc.addLiquidation(_, unfilledSupported))
+        acc.liqFeatures(key._1, key._2, unfilledSupported)
+      }
+  }
+
+  /** Batch replay of latency samples → per-minute features. */
+  def latencyMinuteFeaturesBatch(samples: Dataset[LatencySample]): Dataset[LatencyMinuteFeatures] = {
+    implicit val enc = Encoders.product[LatencyMinuteFeatures]
+    samples.groupByKey(s => (s.symbol, floorToMinuteMs(s.eventTime)))(
+      Encoders.product[(String, Long)])
+      .mapGroups { (key: (String, Long), it: Iterator[LatencySample]) =>
+        val acc = new MinuteAccumulator(true)
+        it.toSeq.sortBy(s => (s.eventTime, s.arrivalTime)).foreach(acc.addLatency)
+        acc.latencyFeatures(key._1, key._2)
+      }
+  }
+
+  // --------------------------------------------------------- streaming path
+
+  /** Serializable accumulator state for streaming groups. */
+  final case class LiqState(
+      longVol: Double, shortVol: Double, longCount: Long, shortCount: Long,
+      qtyTotal: Double, weightedPriceSum: Double, eventCount: Long,
+      origQtyTotal: Double, executedQtyTotal: Double, unfilledSupported: Boolean)
+
+  /** Structured Streaming liquidation accumulation (ST1): keyed by
+    * (symbol, minute); emits an updated feature row per micro-batch.
+    * Run with OutputMode.Update.
+    *
+    * `cleanupTimeout = true` evicts group state 3 minutes after the last
+    * event (the reference's safety lag, `core/config.py:19`) via
+    * ProcessingTimeTimeout. Note: a processing-time timeout makes the
+    * stateful operator request a micro-batch on every trigger even with
+    * no data (timeout sweep) — correct on a cluster, but pass `false`
+    * where continuous empty batches are undesirable (tests, ad hoc). */
+  def liquidationMinuteFeaturesStream(events: Dataset[LiquidationEvent],
+                                      unfilledSupported: Boolean = true,
+                                      cleanupTimeout: Boolean = false): Dataset[LiqMinuteFeatures] = {
+    implicit val outEnc = Encoders.product[LiqMinuteFeatures]
+    implicit val stateEnc = Encoders.product[LiqState]
+
+    def update(key: (String, Long), rows: Iterator[LiquidationEvent],
+               state: GroupState[LiqState]): Iterator[LiqMinuteFeatures] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val acc = new MinuteAccumulator(unfilledSupported)
+      state.getOption.foreach { s =>
+        acc.liqLongVol = s.longVol; acc.liqShortVol = s.shortVol
+        acc.liqLongCount = s.longCount; acc.liqShortCount = s.shortCount
+        acc.liqQtyTotal = s.qtyTotal; acc.liqWeightedPriceSum = s.weightedPriceSum
+        acc.liqEventCount = s.eventCount; acc.liqOrigQtyTotal = s.origQtyTotal
+        acc.liqExecutedQtyTotal = s.executedQtyTotal
+        acc.liqUnfilledSupported = s.unfilledSupported
+      }
+      rows.toSeq.sortBy(e => (e.eventTime, e.price, e.quantity))
+        .foreach(acc.addLiquidation(_, unfilledSupported))
+      state.update(LiqState(acc.liqLongVol, acc.liqShortVol, acc.liqLongCount,
+        acc.liqShortCount, acc.liqQtyTotal, acc.liqWeightedPriceSum,
+        acc.liqEventCount, acc.liqOrigQtyTotal, acc.liqExecutedQtyTotal,
+        acc.liqUnfilledSupported))
+      if (cleanupTimeout) state.setTimeoutDuration("3 minutes")
+      Iterator.single(acc.liqFeatures(key._1, key._2, unfilledSupported))
+    }
+
+    val timeout =
+      if (cleanupTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(e => (e.symbol, floorToMinuteMs(e.eventTime)))(
+      Encoders.product[(String, Long)])
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(update)
+  }
+
+  /** Wire a liquidation event stream to a parquet minute-features sink
+    * (S15). Returns the started query's checkpointed writer setup. */
+  def startLiqFeatureSink(spark: SparkSession, events: Dataset[LiquidationEvent],
+                          outDir: String, checkpointDir: String) =
+    liquidationMinuteFeaturesStream(events)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("liq_features")
+      .option("checkpointLocation", checkpointDir)
+}

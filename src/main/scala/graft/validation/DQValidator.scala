@@ -1,0 +1,80 @@
+package graft.validation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.CanonicalSchema
+
+final class DataQualityException(msg: String) extends RuntimeException(msg)
+
+final case class DQResult(rowCount: Long, minTs: String, maxTs: String)
+
+/** Pre-write data-quality gate (reference `validation/dq.py:22-63`):
+  * canonical columns present, unique timestamps, no HARD_REQUIRED nulls.
+  * All three checks fold into ONE aggregation pass. */
+object DQValidator {
+
+  def validate(frame: DataFrame): DQResult = {
+    val missing = CanonicalSchema.columnNames.toSet -- frame.columns.toSet
+    if (missing.nonEmpty)
+      throw new DataQualityException(
+        s"Missing canonical columns: ${missing.toSeq.sorted.mkString(", ")}")
+
+    val nullCounts = CanonicalSchema.hardRequired.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val aggs = Seq(
+      count(lit(1)).as("__rows"),
+      countDistinct(col("timestamp")).as("__distinct_ts"),
+      min(col("timestamp")).cast("string").as("__min_ts"),
+      max(col("timestamp")).cast("string").as("__max_ts")) ++ nullCounts
+    val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
+
+    val rows = r.getLong(0)
+    val distinctTs = r.getLong(1)
+    if (distinctTs < rows)
+      throw new DataQualityException(
+        s"Found ${rows - distinctTs} duplicated timestamp buckets")
+
+    val violations = CanonicalSchema.hardRequired.zipWithIndex.collect {
+      case (c, i) if r.getLong(4 + i) > 0 => s"$c=${r.getLong(4 + i)}"
+    }
+    if (violations.nonEmpty)
+      throw new DataQualityException(
+        s"HARD_REQUIRED null violations: ${violations.mkString(", ")}")
+
+    DQResult(rows, Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""))
+  }
+}
+
+/** Partition audit (reference `validation/partition_audit.py:18-95`):
+  * row count, timestamp uniqueness, dense-minute coverage vs the
+  * expected spine, HARD_REQUIRED null accounting — as a report, not a
+  * gate. */
+object PartitionAudit {
+
+  final case class AuditReport(rowCount: Long, distinctTimestamps: Long,
+                               expectedMinutes: Long, missingMinutes: Long,
+                               duplicateTimestamps: Long,
+                               hardRequiredNulls: Map[String, Long]) {
+    def ok: Boolean =
+      missingMinutes == 0 && duplicateTimestamps == 0 && hardRequiredNulls.isEmpty
+  }
+
+  def audit(frame: DataFrame, start: java.time.Instant, end: java.time.Instant): AuditReport = {
+    val expected = (end.toEpochMilli - start.toEpochMilli) / 60000L + 1
+    val nullCounts = CanonicalSchema.hardRequired.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val aggs = Seq(count(lit(1)).as("n"), countDistinct(col("timestamp")).as("d")) ++ nullCounts
+    val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
+    val nulls = CanonicalSchema.hardRequired.zipWithIndex.collect {
+      case (c, i) if r.getLong(2 + i) > 0 => c -> r.getLong(2 + i)
+    }.toMap
+    AuditReport(
+      rowCount = r.getLong(0),
+      distinctTimestamps = r.getLong(1),
+      expectedMinutes = expected,
+      missingMinutes = expected - r.getLong(1),
+      duplicateTimestamps = r.getLong(0) - r.getLong(1),
+      hardRequiredNulls = nulls)
+  }
+}

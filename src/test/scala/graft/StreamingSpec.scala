@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.{DepthDiffEvent, DepthOrderBook, DepthSyncError, LiveCollector}
+import graft.streaming.LiveCollector.{LatencySample, LiquidationEvent}
+
+/** Golden semantics from reference `tests/test_live_collector.py`. */
+class StreamingSpec extends SparkSpec {
+
+  private def diff(first: Long, last: Long, bid: (Double, Double),
+                   ask: (Double, Double), pu: Option[Long] = None) =
+    DepthDiffEvent("BTCUSDT", 0L, first, last, Seq(bid), Seq(ask), pu)
+
+  test("depth sync requires the first event to bridge the snapshot (test_live_collector.py:23-41)") {
+    val book = new DepthOrderBook
+    book.bufferEvent(diff(120, 125, (99.0, 10.0), (101.0, 10.0)))
+    assertThrows[DepthSyncError](
+      book.syncFromSnapshot(100, Seq((99.0, 10.0)), Seq((101.0, 10.0))))
+    assert(book.degraded)
+  }
+
+  test("snapshot + bridging diffs sync the book; impact projection fillable (test_live_collector.py:45-94)") {
+    val book = new DepthOrderBook
+    // buffered pre-snapshot diffs
+    book.applyEvent(diff(101, 105, (99.0, 1000.0), (101.0, 1000.0)))
+    book.applyEvent(diff(106, 110, (99.5, 1100.0), (101.5, 1100.0)))
+    assert(!book.isSynchronized)
+    // snapshot at lastUpdateId=102 bridges via the first buffered diff...
+    book.syncFromSnapshot(102,
+      Seq((99.0, 2000.0), (98.5, 2000.0)),
+      Seq((100.5, 2000.0), (101.0, 2000.0), (101.5, 2000.0)))
+    assert(book.isSynchronized && !book.degraded)
+    book.applyEvent(diff(111, 115, (99.75, 1200.0), (100.75, 2200.0)))
+    assert(book.lastUpdateId.contains(115L))
+    val (impact, fillable) = book.computeBuyPriceImpact(100000.0)
+    assert(fillable && impact.isDefined && impact.get > 0)
+    val (spreadPct, avgBid, avgAsk) = book.computeHealthMetrics()
+    assert(spreadPct.isDefined && avgBid.isDefined && avgAsk.isDefined)
+  }
+
+  test("continuity break on pu mismatch degrades the book (websocket.py:305-311)") {
+    val book = new DepthOrderBook
+    book.syncFromSnapshot(100, Seq((99.0, 10.0)), Seq((101.0, 10.0)))
+    assertThrows[DepthSyncError](
+      book.applyEvent(diff(150, 160, (99.0, 5.0), (101.0, 5.0), pu = Some(140))))
+    assert(book.degraded && !book.isSynchronized)
+  }
+
+  test("best_bid >= best_ask breaks the invariant (websocket.py:345-355)") {
+    val book = new DepthOrderBook
+    assertThrows[DepthSyncError](
+      book.syncFromSnapshot(100, Seq((102.0, 10.0)), Seq((101.0, 10.0))))
+  }
+
+  test("liquidation minute accumulation: side split, weighted fill, unfilled ratio (test_live_collector.py:120-220)") {
+    import spark.implicits._
+    val minute = ms("2026-01-15T10:00:00Z")
+    val events = Seq(
+      // SELL = long liquidation
+      LiquidationEvent("BTCUSDT", minute + 1000, "SELL", 100.0, 2.0,
+        origQuantity = Some(3.0), executedQuantity = Some(2.0)),
+      // BUY = short liquidation
+      LiquidationEvent("BTCUSDT", minute + 2000, "BUY", 101.0, 1.0,
+        origQuantity = Some(1.0), executedQuantity = Some(1.0))
+    ).toDS()
+    val out = LiveCollector.liquidationMinuteFeaturesBatch(events).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.hasLiq && f.timestampMs == minute)
+    assert(f.liqLongVolUsdt.contains(200.0))   // SELL notional
+    assert(f.liqShortVolUsdt.contains(101.0))  // BUY notional
+    assert(f.liqLongCount.contains(1L) && f.liqShortCount.contains(1L))
+    // qty-weighted fill price: (100*2 + 101*1) / 3
+    assert(math.abs(f.liqAvgFillPrice.get - 301.0 / 3.0) < 1e-12)
+    // unfilled: orig 4, executed 3 → 0.25
+    assert(math.abs(f.liqUnfilledRatio.get - 0.25) < 1e-12)
+    assert(f.liqUnfilledSupported.contains(true))
+  }
+
+  test("unfilled support demotes when quantities are missing (websocket.py:1614-1623)") {
+    import spark.implicits._
+    val minute = ms("2026-01-15T10:00:00Z")
+    val events = Seq(
+      LiquidationEvent("BTCUSDT", minute + 1000, "SELL", 100.0, 2.0,
+        origQuantity = Some(3.0), executedQuantity = Some(2.0)),
+      LiquidationEvent("BTCUSDT", minute + 2000, "BUY", 101.0, 1.0) // no orig/executed
+    ).toDS()
+    val f = LiveCollector.liquidationMinuteFeaturesBatch(events).collect().head
+    assert(f.liqUnfilledSupported.contains(false))
+    assert(f.liqUnfilledRatio.isEmpty)
+  }
+
+  test("latency p95 is nearest-rank; bad flag on any sample > 500ms (websocket.py:100-105,1521-1528)") {
+    import spark.implicits._
+    val minute = ms("2026-01-15T10:00:00Z")
+    // 20 samples: engine latencies 10..200 (i*10), one spike 600
+    val samples = (1 to 20).map { i =>
+      val et = minute + i * 100L
+      LatencySample("BTCUSDT", et, et - 5, et + (if (i == 20) 600L else i * 10L))
+    }.toDS()
+    val f = LiveCollector.latencyMinuteFeaturesBatch(samples).collect().head
+    assert(f.hasWsLatency)
+    // nearest-rank p95 of 20 samples = 19th smallest: engine values are
+    // 10..190 + 600 → sorted 19th = 190
+    assert(f.latencyEngine.contains(190L))
+    assert(f.wsLatencyBad.contains(true))
+    assert(f.eventTime.contains(minute + 2000L))
+  }
+
+  test("streaming liquidation accumulation matches batch (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val minute = ms("2026-01-15T10:00:00Z")
+    val events = Seq(
+      LiquidationEvent("BTCUSDT", minute + 1000, "SELL", 100.0, 2.0,
+        origQuantity = Some(3.0), executedQuantity = Some(2.0)),
+      LiquidationEvent("BTCUSDT", minute + 2000, "BUY", 101.0, 1.0,
+        origQuantity = Some(1.0), executedQuantity = Some(1.0)))
+
+    // one micro-batch: this environment's local-FS checkpoint renames
+    // fork a shell per file op, so multi-batch state round-trips are
+    // prohibitively slow here; cross-batch math is covered by the batch
+    // path (same MinuteAccumulator).
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-ckpt").toString
+    val stream = MemoryStream[LiquidationEvent]
+    stream.addData(events: _*)
+    val query = LiveCollector.liquidationMinuteFeaturesStream(stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .option("checkpointLocation", ckpt)
+      .queryName("liq_stream_test").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM liq_stream_test ORDER BY timestampMs DESC").collect()
+      assert(rows.nonEmpty)
+      val last = rows.head
+      val idx = (c: String) => rows.head.schema.fieldIndex(c)
+      assert(last.getDouble(idx("liqLongVolUsdt")) == 200.0)
+      assert(last.getDouble(idx("liqShortVolUsdt")) == 101.0)
+      assert(math.abs(last.getDouble(idx("liqUnfilledRatio")) - 0.25) < 1e-12)
+    } finally query.stop()
+  }
+}
