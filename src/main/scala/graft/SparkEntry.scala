@@ -444,29 +444,38 @@ object SparkEntry {
     }),
 
     // DEDUP: n-gram Jaccard near-dup pairs within each source bucket.
-    // Self-join is bucketed by `source` so candidate pairs stay bounded
-    // (the LSH variant below is the unbucketed scale path).
+    // Shingles are 60-bit HASHES (one md5 each), so the pairwise set ops
+    // are long-array intersections — an order of magnitude cheaper than
+    // string sets at 100 TB. Self-join is bucketed by `source` so
+    // candidate pairs stay bounded (LSH below is the unbucketed path).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("toks", TextFns.tokens(col("text")))
         .select(col("doc_id"), col("source"),
-                TextFns.shinglesFromTokens("toks", 3).as("sh"))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+                TextFns.shingleHashesFromTokens("toks", 3).as("sh"))
+        .withColumn("sz", size(col("sh")))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("sz").as("sz_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("sz").as("sz_b"))
+      // J = i / (|A| + |B| - i): one array_intersect per pair, no union
+      val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       a.join(b, Seq("source"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6))
+        .withColumn("jaccard",
+          round(i / (col("sz_a") + col("sz_b") - i), 6))
         .where(col("jaccard") >= 0.06)
         .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
     }),
 
     // DEDUP: MinHash signatures + LSH band buckets (16 perms, 8 bands ×
     // 2 rows) — the shingle→minhash→band pipeline; band buckets are the
-    // LSH join keys at scale.
+    // LSH join keys at scale. Permutations are arithmetic universal
+    // hashes over ONE md5 per shingle (not one md5 per perm×shingle).
     "dedup_minhash_bands" -> ((s, dir) => {
       val withSig = t(s, dir, "documents")
         .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("sh", TextFns.shinglesFromTokens("toks", 3))
+        .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
         .withColumn("sig", TextFns.minhashSignature("sh", 16))
       val bands = (0 until 8).map { bnd =>
         md5(concat_ws("|",
@@ -550,6 +559,40 @@ object SparkEntry {
         col("trade_count"),
         round(col("funding_rate"), 6).as("funding_rate"),
         round(col("cvd_btc"), 4).as("cvd_btc"))
+    }),
+
+    // ANN scale path: random-hyperplane LSH bucketing — md5-derived
+    // deterministic planes (constant-folded by Catalyst), sign-bit
+    // bucket id per vector; bucket-equality joins replace the O(n²)
+    // brute-force pass at 100 TB.
+    "ann_lsh_bucket" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8).as("bucket"))
+    }),
+
+    // W8: TradingView EMA (SMA seed + recursive blend) over the daily
+    // revenue series via a Catalyst higher-order fold — no UDAF.
+    "ema_daily_revenue" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      graft.operators.Indicators.withEma(daily, "rev", 10, orderCol = "day")
+        .select(col("day"), round(col("rev"), 2).as("rev"),
+                round(col("ema"), 4).as("ema"))
+    }),
+
+    // Multimodal: opaque binary column + deterministic metadata
+    // derivation (the expression-level half of the pipeline; the
+    // mapPartitions decode stub is exercised in MultimodalSpec).
+    "mm_binary_meta" -> ((s, dir) => {
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text").cast("binary")).as("n_bytes"),
+          (lit(64L) + h % 1857L).as("width"),
+          (lit(64L) + (h / 2048L).cast("long") % 1081L).as("height"))
+        .withColumn("n_pixels", col("width") * col("height"))
     }),
 
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
@@ -854,19 +897,22 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH d AS (
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |d AS (
         |  SELECT doc_id, source,
         |         list_distinct(list_transform(
-        |           generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
-        |           i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-        |                string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
-        |                string_split_regex(trim(text), '\s+')[i+2])) AS sh
-        |  FROM documents)
-        |SELECT * FROM (
+        |           generate_series(1, greatest(len(tk) - 2, 0)),
+        |           i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS sh
+        |  FROM w),
+        |p AS (
         |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
-        |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+        |         len(a.sh) + len(b.sh) AS s
         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT source, id_a, id_b, round(i / (s - i), 6) AS jaccard FROM p)
         |WHERE jaccard >= 0.06""".stripMargin,
 
     "dedup_simhash" -> {
@@ -884,17 +930,17 @@ object SparkEntry {
     "dedup_minhash_bands" -> {
       val shingles =
         """list_distinct(list_transform(
-          |  generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
-          |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
-          |       string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
-          |       string_split_regex(trim(text), '\s+')[i+2]))""".stripMargin
+          |  generate_series(1, greatest(len(tk) - 2, 0)),
+          |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
       val mins = (0 until 16).map { p =>
-        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$p' || ':' || s), 1, 15))::BIGINT)) AS m$p"
+        val (a, b) = TextFns.minhashPerm(p)
+        s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime})) AS m$p"
       }.mkString(", ")
       val bands = (0 until 8).map { b =>
         s"md5(concat_ws('|', CAST(m${b * 2} AS VARCHAR), CAST(m${b * 2 + 1} AS VARCHAR))) AS band$b"
       }.mkString(", ")
-      s"WITH d AS (SELECT doc_id, $shingles AS sh FROM documents), " +
+      s"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+        s"d AS (SELECT doc_id, $shingles AS sh FROM w), " +
         s"sig AS (SELECT doc_id, $mins FROM d) " +
         s"SELECT doc_id, $bands FROM sig"
     },
@@ -989,6 +1035,47 @@ object SparkEntry {
         |       round(sum(net) OVER (ORDER BY bs
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cvd_btc
         |FROM tl""".stripMargin,
+
+    "ann_lsh_bucket" -> {
+      val planes = (0 until 8).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"CAST(embedding[d] AS DOUBLE) * " +
+          s"((('0x' || substr(md5('7:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $planes AS bucket FROM embeddings"
+    },
+
+    "ema_daily_revenue" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT row_number() OVER (ORDER BY day) AS rn, day, rev FROM daily),
+        |seed AS (
+        |  SELECT list_sum(list_slice(list(rev ORDER BY day), 1, 10)) / 10.0 AS e
+        |  FROM daily),
+        |ema AS (
+        |  SELECT rn, day, rev,
+        |         CASE WHEN rn = 10 THEN (SELECT e FROM seed) END AS e
+        |  FROM idx WHERE rn <= 10
+        |  UNION ALL
+        |  SELECT i.rn, i.day, i.rev,
+        |         (2.0 / 11.0) * i.rev + (1.0 - 2.0 / 11.0) * ema.e
+        |  FROM idx i JOIN ema ON i.rn = ema.rn + 1 AND ema.rn >= 10)
+        |SELECT day, round(rev, 2) AS rev, round(e, 4) AS ema
+        |FROM ema""".stripMargin,
+
+    "mm_binary_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |         ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |       64 + hv % 1857 AS width,
+        |       64 + (hv // 2048) % 1081 AS height,
+        |       (64 + hv % 1857) * (64 + (hv // 2048) % 1081) AS n_pixels
+        |FROM h""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH scored AS (

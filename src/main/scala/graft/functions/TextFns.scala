@@ -65,13 +65,35 @@ object TextFns {
     expr(caseExpr)
   }
 
-  /** MinHash signature: array of `numPerm` 60-bit minima over a shingle
-    * array column (referenced by name). One transform per permutation —
-    * each is a single pass over the (already materialized) shingles. */
-  def minhashSignature(shingleCol: String, numPerm: Int): Column = {
+  /** Distinct 60-bit hashes of word n-gram shingles — the cheap set
+    * representation for Jaccard/minhash at scale: one md5 per shingle,
+    * long-array set ops instead of string-array set ops. Jaccard over
+    * the hashed sets equals Jaccard over the string sets (60-bit
+    * collisions are negligible), and both engines agree on the hash. */
+  def shingleHashesFromTokens(tokCol: String, n: Int): Column = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$tokCol[i]" else s"$tokCol[i+$j]").mkString(", ")
+    expr(
+      s"case when size($tokCol) >= $n then " +
+        s"array_distinct(transform(sequence(0, size($tokCol) - $n), " +
+        s"i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint))) " +
+        s"else cast(array() as array<bigint>) end")
+  }
+
+  /** Universal-hash MinHash permutation constants: (a, b) pairs small
+    * enough that a*h32 + b stays under 2^62 (no int64 overflow in either
+    * engine). Shared by the Spark expression and the SQL oracle. */
+  def minhashPerm(i: Int): (Long, Long) = (40503L * (i + 1) + 12345L, 9176L * (i + 1) + 1L)
+  val MinhashPrime = 4294967291L // largest 32-bit prime
+
+  /** MinHash signature from PRE-HASHED shingles: permutation i is the
+    * arithmetic universal hash (a_i * (h mod 2^32) + b_i) mod p — ONE
+    * md5 per shingle total, instead of one per (shingle, permutation).
+    * Exact in both engines (all intermediates < 2^62). */
+  def minhashSignature(hashCol: String, numPerm: Int): Column = {
     val mins = (0 until numPerm).map { p =>
-      s"array_min(transform($shingleCol, s -> " +
-        s"cast(conv(substr(md5(concat('$p', ':', s)), 1, 15), 16, 10) as bigint)))"
+      val (a, b) = minhashPerm(p)
+      s"array_min(transform($hashCol, h -> ($a * (h % 4294967296) + $b) % $MinhashPrime))"
     }
     expr(mins.mkString("array(", ", ", ")"))
   }
