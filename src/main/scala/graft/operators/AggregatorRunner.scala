@@ -1,0 +1,205 @@
+package graft.operators
+
+import java.time.temporal.ChronoUnit
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+import graft.schema.TimeframeSpec
+import graft.sources.{HtfLakeWriter, MinuteLakeReader}
+
+/** Aggregator lifecycle — the backfill / incremental daemons' logic
+  * (reference `aggregator/backfill.py:41-121`, `incremental.py:43-104`,
+  * `validator.py:17-72`, `main.py:102-137`): idempotent, watermarked,
+  * late-arrival-repairing HTF materialization over the minute lake.
+  *
+  * All bucket detection runs as Spark plans (anti join + completeness
+  * agg); only the coalesced repair-window list is collected — windows
+  * are small by construction (they shrink to the missing set).
+  */
+object AggregatorRunner {
+
+  final case class BackfillResult(bucketsScanned: Long, bucketsWritten: Long,
+                                  incompleteSkipped: Long, repaired: Long)
+
+  final case class IncrementalResult(bucketsScanned: Long, bucketsWritten: Long,
+                                     incompleteSkipped: Long, repaired: Long,
+                                     lagMinutes: Option[Long])
+
+  final case class Window(start: Instant, end: Instant)
+
+  /** Per-(symbol, timeframe) aggregator checkpoint (reference
+    * `aggregator/state_store.py:35-105`). */
+  final class AggregatorStateStore(dir: String) {
+    private val wm = new graft.sources.WatermarkStore(dir)
+    def get(symbol: String, timeframe: String): Option[Instant] =
+      wm.get(s"$symbol|$timeframe")
+    def set(symbol: String, timeframe: String, lastCompleted: Instant): Unit =
+      wm.set(s"$symbol|$timeframe", lastCompleted)
+  }
+
+  /** HTF lake index scan: (bucket_start, bucket_complete) only —
+    * columnar parquet makes this a 2-column metadata-light scan. */
+  def scanExistingIndex(spark: SparkSession, htfRoot: String,
+                        timeframe: String, symbol: String): DataFrame = {
+    val dir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
+    val fs = FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(dir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket_start",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("bucket_complete",
+            org.apache.spark.sql.types.BooleanType))))
+    else spark.read.parquet(dir).select("bucket_start", "bucket_complete")
+  }
+
+  /** Complete buckets available in the source minus complete buckets
+    * already written (reference `validator.py:17-52`). */
+  def detectMissingBuckets(minuteTimestamps: DataFrame, existingIndex: DataFrame,
+                           spec: TimeframeSpec): DataFrame = {
+    val available = minuteTimestamps
+      .withColumn("bucket_start", spec.bucketStart(col("timestamp")))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("observed"))
+      .where(col("observed") === spec.expectedMinutes(col("bucket_start")))
+      .select("bucket_start")
+    Ops.antiByKeys(available,
+      existingIndex.where(col("bucket_complete")), Seq("bucket_start"))
+      .orderBy("bucket_start")
+  }
+
+  /** Coalesce consecutive missing buckets into contiguous repair windows
+    * (gaps-and-islands — reference `validator.py:55-72`); the missing
+    * set is collected (small by construction) and folded driver-side. */
+  def coalesceBucketWindows(bucketStarts: Seq[Instant], spec: TimeframeSpec): Seq[Window] =
+    bucketStarts.sorted(Ordering.by[Instant, Long](_.toEpochMilli))
+      .foldLeft(Vector.empty[Window]) { (acc, b) =>
+        acc.lastOption match {
+          case Some(w) if spec.addBuckets(w.end) == b =>
+            acc.init :+ w.copy(end = b)
+          case _ => acc :+ Window(b, b)
+        }
+      }
+
+  /** Startup backfill for one (symbol, timeframe) (reference
+    * `backfill.py:41-102`). */
+  def runBackfill(spark: SparkSession, reader: MinuteLakeReader,
+                  writer: HtfLakeWriter, state: AggregatorStateStore,
+                  htfRoot: String, symbol: String, spec: TimeframeSpec,
+                  allowIncomplete: Boolean = false): BackfillResult = {
+    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+    val missing = detectMissingBuckets(
+      reader.scanAvailableMinutes(spark, symbol), existing, spec)
+      .collect().map(_.getTimestamp(0).toInstant).toSeq
+
+    if (missing.isEmpty) return BackfillResult(0, 0, 0, 0)
+
+    val existingComplete = existing.where(col("bucket_complete"))
+      .select("bucket_start").collect().map(_.getTimestamp(0).toInstant).toSet
+
+    var written = 0L
+    var skipped = 0L
+    var repaired = 0L
+    for (w <- coalesceBucketWindows(missing, spec)) {
+      val endExclusive = spec.addBuckets(w.end)
+      val source = reader.readWindow(spark, symbol, w.start,
+        endExclusive.minus(1, ChronoUnit.MINUTES))
+      val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol)
+      val kept =
+        if (allowIncomplete) aggregated
+        else aggregated.where(col("bucket_complete"))
+      val keptStarts = kept.select("bucket_start").collect()
+        .map(_.getTimestamp(0).toInstant)
+      skipped += (aggregated.count() - keptStarts.length)
+      if (keptStarts.nonEmpty) {
+        repaired += keptStarts.count(existingComplete.contains)
+        written += writeBucketsByDay(spark, writer, spec.name, symbol, kept)
+      }
+    }
+    missing.lastOption.foreach(state.set(symbol, spec.name, _))
+    BackfillResult(missing.size, written, skipped, repaired)
+  }
+
+  /** Continuous incremental run: recompute from
+    * min(next-after-last-completed, now - repair_lookback) so late
+    * minutes repair recent buckets idempotently (reference
+    * `incremental.py:43-104`; lookback default 120 min,
+    * `aggregator/config.py:19`). */
+  def runIncremental(spark: SparkSession, reader: MinuteLakeReader,
+                     writer: HtfLakeWriter, state: AggregatorStateStore,
+                     htfRoot: String, symbol: String, spec: TimeframeSpec,
+                     allowIncomplete: Boolean = false,
+                     repairLookbackMinutes: Long = 120): IncrementalResult = {
+    val latestMinuteOpt = reader.latestMinute(spark, symbol)
+    if (latestMinuteOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
+    val latestMinute = latestMinuteOpt.get
+
+    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+    val repairStart = spec.floorInstant(
+      latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
+    val start = state.get(symbol, spec.name) match {
+      case Some(lastCompleted) =>
+        val next = spec.addBuckets(lastCompleted)
+        if (next.isBefore(repairStart)) next else repairStart
+      case None => repairStart
+    }
+
+    val source = reader.readWindow(spark, symbol, start, latestMinute)
+    val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol)
+    val scanned = aggregated.count()
+    val kept =
+      if (allowIncomplete) aggregated else aggregated.where(col("bucket_complete"))
+    val keptStarts = kept.select("bucket_start").collect()
+      .map(_.getTimestamp(0).toInstant)
+    val skipped = scanned - keptStarts.length
+
+    var written = 0L
+    var repaired = 0L
+    if (keptStarts.nonEmpty) {
+      val existingComplete = existing.where(col("bucket_complete"))
+        .select("bucket_start").collect().map(_.getTimestamp(0).toInstant).toSet
+      repaired = keptStarts.count(existingComplete.contains).toLong
+      written = writeBucketsByDay(spark, writer, spec.name, symbol, kept)
+    }
+
+    val lastCompleted = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+      .where(col("bucket_complete"))
+      .agg(max(col("bucket_start"))).collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0))).map(_.toInstant)
+    lastCompleted.foreach(state.set(symbol, spec.name, _))
+
+    val lag = lastCompleted.map { lc =>
+      val lagMs = latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L
+      math.max(lagMs / 60000L, 0L)
+    }
+    IncrementalResult(scanned, written, skipped, repaired, lag)
+  }
+
+  /** Group aggregated buckets by UTC day and write each day partition
+    * through the merge-dedup writer (reference `target_writer.py:14-38`). */
+  private def writeBucketsByDay(spark: SparkSession, writer: HtfLakeWriter,
+                                timeframe: String, symbol: String,
+                                buckets: DataFrame): Long = {
+    val days = buckets
+      .select(to_date(col("bucket_start")).as("d"))
+      .distinct().collect().map(_.getDate(0).toLocalDate)
+    var written = 0L
+    for (day <- days) {
+      val dayBuckets = buckets.where(to_date(col("bucket_start")) === java.sql.Date.valueOf(day))
+      written += dayBuckets.count()
+      writer.writeBuckets(spark, timeframe, symbol, day, dayBuckets)
+    }
+    written
+  }
+
+  /** Partition-change detection (reference `aggregator/main.py:102-137`):
+    * diff of partition-directory snapshots; any change re-triggers
+    * backfill. */
+  def partitionChange(previous: Set[String], current: Set[String]): Boolean =
+    previous != current
+}

@@ -41,6 +41,26 @@ object LakeDemo {
     println("LEDGER=" + new PartitionLedger(s"$dir/_state")
       .latestPartition("BTCUSDT").map(e => s"${e.path} rows=${e.rowCount}"))
     back.select("timestamp", "open").explain("formatted")
+
+    // end-to-end lifecycle: 10 minutes → HTF backfill → API candle bars
+    val tenMinutes = MinuteBuilder.finalizeSchema(
+      (0 until 10).map { i =>
+        (java.sql.Timestamp.from(h.plusSeconds(60L * i)),
+          100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1.0, 100000.0, 10L,
+          100.0, 100.5, 100.0, 100.4)
+      }.toDF("timestamp", "open", "high", "low", "close", "volume_btc",
+        "volume_usdt", "trade_count", "mark_price_open", "mark_price_close",
+        "index_price_open", "index_price_close"))
+    writer.writeHourPartition("BTCUSDT", h, tenMinutes)
+    val htfWriter = new graft.sources.HtfLakeWriter(s"$dir/htf")
+    val state = new graft.operators.AggregatorRunner.AggregatorStateStore(s"$dir/_aggstate")
+    val bf = graft.operators.AggregatorRunner.runBackfill(spark, reader, htfWriter,
+      state, s"$dir/htf", "BTCUSDT", graft.schema.Timeframes.parse("5m"))
+    println(s"BACKFILL scanned=${bf.bucketsScanned} written=${bf.bucketsWritten}")
+    val bars = graft.service.QueryService.candleBars(spark, reader, "BTCUSDT",
+      "5m", h, h.plusSeconds(9 * 60))
+    println("BARS=" + bars.select("timestamp", "open", "close", "cvd_btc")
+      .collect().map(_.toString).mkString(" | "))
     spark.stop()
   }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AggregatorRunner, MinuteBuilder}
+import graft.operators.AggregatorRunner.AggregatorStateStore
+import graft.schema.Timeframes
+import graft.sources.{HtfLakeWriter, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+
+/** Lifecycle semantics from reference `tests/test_aggregator.py:130-258`. */
+class AggregatorRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonicalMinutes(startIso: String, n: Int, baseOpen: Double = 100.0) = {
+    val start = instant(startIso)
+    val rows = (0 until n).map { i =>
+      (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+        baseOpen + i, baseOpen + i + 1.0, baseOpen + i - 1.0, baseOpen + i + 0.5,
+        1.0, 100000.0)
+    }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+    MinuteBuilder.finalizeSchema(rows
+      .withColumn("trade_count", lit(10L))
+      .withColumn("mark_price_open", lit(100.0))
+      .withColumn("mark_price_close", lit(100.5))
+      .withColumn("index_price_open", lit(100.0))
+      .withColumn("index_price_close", lit(100.4)))
+  }
+
+  private def newEnv() = {
+    val dir = Files.createTempDirectory("graft-agg").toString
+    val minuteWriter = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"))
+    val reader = new MinuteLakeReader(dir)
+    val htfWriter = new HtfLakeWriter(s"$dir/htf")
+    val state = new AggregatorStateStore(s"$dir/_aggstate")
+    (dir, minuteWriter, reader, htfWriter, state)
+  }
+
+  test("backfill writes only complete buckets; incomplete skipped (test_aggregator.py:130,352)") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    // 14 minutes: two complete 5m buckets + 4 dangling
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 14))
+    val res = AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    assert(res.bucketsScanned == 2 && res.bucketsWritten == 2)
+    val idx = AggregatorRunner.scanExistingIndex(spark, s"$dir/htf", "5m", "BTCUSDT")
+      .orderBy("bucket_start").collect()
+    assert(idx.map(_.getTimestamp(0).toInstant).toSeq ==
+      Seq(instant("2026-01-01T00:00:00Z"), instant("2026-01-01T00:05:00Z")))
+    assert(idx.forall(_.getBoolean(1)))
+    // second run is a no-op (idempotent)
+    val res2 = AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    assert(res2.bucketsScanned == 0 && res2.bucketsWritten == 0)
+  }
+
+  test("incremental completes new buckets as minutes arrive (test_aggregator.py:154)") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 5))
+    AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    // five more minutes arrive → next bucket completes
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10))
+    val inc = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    assert(inc.bucketsWritten >= 1)
+    val idx = AggregatorRunner.scanExistingIndex(spark, s"$dir/htf", "5m", "BTCUSDT")
+    assert(idx.count() == 2)
+    assert(inc.lagMinutes.contains(0L))
+  }
+
+  test("late-arrival repair rewrites a recent bucket idempotently (test_aggregator.py:178,211)") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10))
+    AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    val before = spark.read.parquet(s"$dir/htf/timeframe=5m/symbol=BTCUSDT")
+      .where(col("bucket_start") === ts("2026-01-01T00:00:00Z"))
+      .select("close").head.getDouble(0)
+    // a late correction rewrites minute 00:04 with different prices
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:04:00Z", 1, baseOpen = 500.0))
+    val inc = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    assert(inc.repaired >= 1)
+    val after = spark.read.parquet(s"$dir/htf/timeframe=5m/symbol=BTCUSDT")
+      .where(col("bucket_start") === ts("2026-01-01T00:00:00Z"))
+    assert(after.count() == 1) // idempotent rewrite, no duplicate bucket rows
+    assert(after.select("close").head.getDouble(0) == 500.5 && before == 104.5)
+  }
+
+  test("coalesceBucketWindows groups contiguous runs (validator.py:55-72)") {
+    val spec = Timeframes.parse("5m")
+    val buckets = Seq("00:00", "00:05", "00:10", "00:25", "00:30", "01:00")
+      .map(m => instant(s"2026-01-01T$m:00Z"))
+    val windows = AggregatorRunner.coalesceBucketWindows(buckets, spec)
+    assert(windows.map(w => (w.start, w.end)) == Seq(
+      (instant("2026-01-01T00:00:00Z"), instant("2026-01-01T00:10:00Z")),
+      (instant("2026-01-01T00:25:00Z"), instant("2026-01-01T00:30:00Z")),
+      (instant("2026-01-01T01:00:00Z"), instant("2026-01-01T01:00:00Z"))))
+  }
+
+  test("partition-change detection via directory snapshot diff (main.py:102-137)") {
+    assert(AggregatorRunner.partitionChange(Set("a"), Set("a", "b")))
+    assert(!AggregatorRunner.partitionChange(Set("a"), Set("a")))
+  }
+}

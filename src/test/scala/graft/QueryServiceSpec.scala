@@ -1,0 +1,92 @@
+package graft
+
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.service.{QueryService, ResultCache}
+
+class QueryServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("result cache: exact hit, TTL expiry, LRU eviction (service.py:192-550)") {
+    var clock = Instant.parse("2026-01-15T10:00:00Z")
+    val cache = new ResultCache[String, Int](maxEntries = 2,
+      stableTtlSeconds = 100, recentTtlSeconds = 5, now = () => clock)
+    val computes = new AtomicInteger(0)
+
+    def get(k: String, stable: Boolean): Int =
+      cache.getOrCompute(k, stable) { computes.incrementAndGet(); k.length }
+
+    assert(get("a", stable = true) == 1 && computes.get == 1)
+    assert(get("a", stable = true) == 1 && computes.get == 1) // exact hit
+    assert(cache.lastHitType == cache.ExactHit)
+
+    // recent TTL expires after 5s
+    assert(get("bb", stable = false) == 2 && computes.get == 2)
+    clock = clock.plusSeconds(6)
+    assert(get("bb", stable = false) == 2 && computes.get == 3) // expired → recompute
+    // stable entry still fresh at +6s
+    assert(get("a", stable = true) == 1 && computes.get == 3)
+
+    // LRU cap of 2: inserting a third evicts the oldest
+    get("ccc", stable = true)
+    assert(cache.size == 2)
+  }
+
+  test("result cache: superset hit slices a covering entry") {
+    val cache = new ResultCache[(Int, Int), Seq[Int]]()
+    def covers(k2: (Int, Int), k1: (Int, Int)): Boolean =
+      k2._1 <= k1._1 && k1._2 <= k2._2
+    def slice(k: (Int, Int), v: Seq[Int]): Seq[Int] = v.filter(x => x >= k._1 && x <= k._2)
+
+    cache.getOrCompute((0, 10), stable = true)(0 to 10)
+    val got = cache.getOrCompute((2, 5), stable = true, covers, slice)(
+      fail("must not compute — superset hit expected"))
+    assert(got == Seq(2, 3, 4, 5))
+    assert(cache.lastHitType == cache.SupersetHit)
+  }
+
+  test("serializeFrame: aliases, internal scrub, ISO-8601 ms timestamps (utils.py:73-110)") {
+    val df = Seq((ts("2026-01-15T10:00:00Z"), 100.5, 0.01, 7.0))
+      .toDF("timestamp", "vwap_1m", "realized_vol_1m", "_internal")
+    val out = QueryService.serializeFrame(df)
+    assert(out.columns.toSet == Set("timestamp", "vwap_bar", "realized_vol_bar"))
+    assert(out.select("timestamp").head.getString(0) == "2026-01-15T10:00:00.000Z")
+
+    val compat = QueryService.serializeFrame(
+      Seq((ts("2026-01-15T10:00:00Z"), 100.5)).toDF("timestamp", "vwap_1m"),
+      includeDeprecatedFields = true)
+    assert(compat.columns.toSet == Set("timestamp", "vwap_1m", "vwap_bar"))
+  }
+
+  test("canonical window load reports coverage (service.py:1036-1117)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qs").toString
+    val writer = new graft.sources.MinuteLakeWriter(dir,
+      new graft.sources.PartitionLedger(s"$dir/_state"))
+    val reader = new graft.sources.MinuteLakeReader(dir)
+    val start = instant("2026-01-15T10:00:00Z")
+    val rows = (0 until 5).map { i =>
+      (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+        100.0, 101.0, 99.0, 100.5, 1.0, 100000.0)
+    }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+    writer.writeHourPartition("BTCUSDT", start,
+      graft.operators.MinuteBuilder.finalizeSchema(rows
+        .withColumn("trade_count", lit(10L))
+        .withColumn("mark_price_open", lit(100.0))
+        .withColumn("mark_price_close", lit(100.5))
+        .withColumn("index_price_open", lit(100.0))
+        .withColumn("index_price_close", lit(100.4))))
+    val (_, cov) = QueryService.loadCanonicalWindow(spark, reader, "BTCUSDT",
+      start, start.plusSeconds(9 * 60))
+    assert(cov.expectedMinutes == 10 && cov.observedMinutes == 5 && !cov.complete)
+
+    // end-to-end: candleBars over the 5 stored minutes at 5m
+    val bars = QueryService.candleBars(spark, reader, "BTCUSDT", "5m",
+      start, start.plusSeconds(4 * 60))
+    assert(bars.count() == 1)
+    assert(bars.select("timestamp").head.getString(0) == "2026-01-15T10:00:00.000Z")
+    assert(bars.columns.contains("cvd_btc") && bars.columns.contains("vwap_bar"))
+  }
+}
