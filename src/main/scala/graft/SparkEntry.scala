@@ -79,7 +79,9 @@ object SparkEntry {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division — `/` on longs is DOUBLE division in Spark and
+      // would round epoch-ns (≈1.7e18 > 2^53) by hundreds of ns
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
@@ -369,6 +371,17 @@ object SparkEntry {
              max(col("n")).as("max_session_events"))
     }),
 
+    // S14: IDE query-surface starter query — latest 200 events by time
+    // desc (planned as TakeOrderedAndProject, no full sort), re-emitted
+    // ascending (cli/app.py:105-154).
+    "s14_top200_recent" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+                round(col("value"), 4).as("value"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(200)
+    }),
+
     // O2: top-k with deterministic tie-break (aggregation.py:171 tail).
     "o2_topk_users" -> ((s, dir) => {
       t(s, dir, "events")
@@ -569,6 +582,37 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8).as("bucket"))
+    }),
+
+    // ANN scale path #2: IVF-style probing — per-label centroids
+    // (element-wise mean via posexplode + two-level agg), each query
+    // probes its nearest centroid by cosine and ranks only that
+    // cluster's members: the candidate set shrinks from N to N/k.
+    "ann_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(avg(col("v").cast("double")).as("cv"))
+      val centroids = dims.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)").as("cvec"))
+        .select(col("label").as("c_label"), col("cvec"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // probe: nearest centroid per query (broadcast 10 centroids)
+      val probed = q.join(broadcast(centroids))
+        .withColumn("ccos", VectorFns.cosine("q_emb", "cvec"))
+      val wP = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_label").asc)
+      val assigned = probed.withColumn("r", row_number().over(wP)).where(col("r") === 1)
+        .select(col("q_id"), col("q_emb"), col("c_label").as("probe_label"))
+      // rank within the probed cluster only
+      val cand = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"))
+      val scored = assigned.join(cand,
+          col("probe_label") === col("n_label") && col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFns.cosine("q_emb", "n_emb"))
+      val wN = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      scored.withColumn("rank", row_number().over(wN)).where(col("rank") <= 3)
+        .select(col("q_id"), col("probe_label"), col("n_id"),
+          round(col("cos"), 4).as("cos"), col("rank"))
     }),
 
     // W8: TradingView EMA (SMA seed + recursive blend) over the daily
@@ -830,6 +874,10 @@ object SparkEntry {
         |       max(n) AS max_session_events
         |FROM per_sess GROUP BY user_id""".stripMargin,
 
+    "s14_top200_recent" ->
+      """SELECT event_id, ts, event_type, round(value, 4) AS value
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 200""".stripMargin,
+
     "o2_topk_users" ->
       """SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
         |FROM events GROUP BY user_id
@@ -1045,6 +1093,38 @@ object SparkEntry {
       }.mkString(" + ")
       s"SELECT vec_id, $planes AS bucket FROM embeddings"
     },
+
+    "ann_ivf_probe" ->
+      """WITH dims AS (
+        |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS cv
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+        |  GROUP BY label, d),
+        |cent AS (SELECT label AS c_label, list(cv ORDER BY d) AS cvec FROM dims GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |probed AS (
+        |  SELECT q_id, q_emb, c_label,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           d -> CAST(q_emb[d] AS DOUBLE) * cvec[d])) /
+        |         (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(cvec, x -> x * x)))) AS ccos
+        |  FROM q CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT q_id, q_emb, c_label AS probe_label FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY ccos DESC, c_label ASC) AS r
+        |    FROM probed) WHERE r = 1),
+        |scored AS (
+        |  SELECT a.q_id, a.probe_label, e.vec_id AS n_id,
+        |         list_sum(list_transform(list_zip(a.q_emb, e.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(a.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM assigned a JOIN embeddings e
+        |    ON e.label = a.probe_label AND e.vec_id <> a.q_id)
+        |SELECT q_id, probe_label, n_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "ema_daily_revenue" ->
       """WITH RECURSIVE daily AS (

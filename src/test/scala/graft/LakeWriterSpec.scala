@@ -117,6 +117,19 @@ class LakeWriterSpec extends SparkSpec {
     assert(wm.get("ETHUSDT").contains(instant("2026-01-15T11:00:00Z")))
   }
 
+  test("retention drops day partitions older than cutoff (websocket.py:798-899)") {
+    val dir = Files.createTempDirectory("graft-ret").toString
+    for (d <- Seq("2026-01-10", "2026-01-14", "2026-01-15")) {
+      Seq((1L, d)).toDF("event_id", "d")
+        .write.mode("overwrite").parquet(s"$dir/day=$d")
+    }
+    val dropped = graft.sources.Retention.dropDayPartitionsBefore(
+      spark, dir, "day", instant("2026-01-14T06:00:00Z"))
+    assert(dropped == Seq("2026-01-10"))
+    assert(new java.io.File(s"$dir/day=2026-01-14").exists())
+    assert(!new java.io.File(s"$dir/day=2026-01-10").exists())
+  }
+
   test("partition directory discovery for change detection (source_reader.py:61-69)") {
     val (writer, reader, _) = newLake()
     writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
