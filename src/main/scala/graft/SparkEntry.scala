@@ -498,6 +498,33 @@ object SparkEntry {
       withSig.select(col("doc_id") +: bands: _*)
     }),
 
+    // DEDUP: LSH candidate pairs — docs sharing ≥1 band bucket, with the
+    // signature-agreement Jaccard estimate. This is the join that
+    // replaces the O(n²) pass at scale: candidates ≪ all pairs.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val withSig = t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
+        .withColumn("sig", TextFns.minhashSignature("sh", 16))
+      val bandExprs = (0 until 8).map { b =>
+        md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+          col("sig").getItem(b * 2 + 1).cast("string")))
+      }
+      val bands = withSig
+        .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
+      val a = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+      val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared_bands"),
+             first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+        .withColumn("est_jaccard", round(
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1 else 0 end), 0, (a, x) -> a + x)")
+            .cast("double") / 16.0, 6))
+        .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -962,6 +989,31 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT source, id_a, id_b, round(i / (s - i), 6) AS jaccard FROM p)
         |WHERE jaccard >= 0.06""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val shingles =
+        """list_distinct(list_transform(
+          |  generate_series(1, greatest(len(tk) - 2, 0)),
+          |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
+      val mins = (0 until 16).map { p =>
+        val (a, b) = TextFns.minhashPerm(p)
+        s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime}))"
+      }
+      val minCols = mins.zipWithIndex.map { case (m, i) => s"$m AS m$i" }.mkString(", ")
+      val bandList = (0 until 8).map { b =>
+        s"md5(concat_ws('|', CAST(m${b * 2} AS VARCHAR), CAST(m${b * 2 + 1} AS VARCHAR)))"
+      }.mkString("[", ", ", "]")
+      val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+        s"d AS (SELECT doc_id, $shingles AS sh FROM w), " +
+        s"sig AS (SELECT doc_id, $minCols FROM d), " +
+        s"bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig), " +
+        s"pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared_bands " +
+        s"  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        s"SELECT p.id_a, p.id_b, p.n_shared_bands, " +
+        s"  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard " +
+        s"FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b"
+    },
 
     "dedup_simhash" -> {
       val bits = (0 until 32).map { b =>

@@ -4,6 +4,18 @@ import scala.collection.mutable
 
 final class DepthSyncError(msg: String) extends RuntimeException(msg)
 
+object DepthOrderBook {
+  /** Serializable book state for streaming GroupState (deltas stored as
+    * 2-element arrays — tuple-in-seq encodes as struct arrays). */
+  final case class BufferedDiff(eventTime: Long, firstUpdateId: Long,
+                                finalUpdateId: Long, bidDeltas: Seq[Seq[Double]],
+                                askDeltas: Seq[Seq[Double]],
+                                previousFinalUpdateId: Option[Long])
+  final case class BookState(bids: Map[Double, Double], asks: Map[Double, Double],
+                             lastUpdateId: Option[Long], synced: Boolean,
+                             degraded: Boolean, buffer: Seq[BufferedDiff])
+}
+
 /** L2 depth diff event (reference `sources/websocket.py:197-206`).
   * Deltas are (price, qty); qty <= 0 removes the level. */
 final case class DepthDiffEvent(
@@ -102,6 +114,27 @@ final class DepthOrderBook {
 
   def bestBid: Option[Double] = if (bids.isEmpty) None else Some(bids.keys.max)
   def bestAsk: Option[Double] = if (asks.isEmpty) None else Some(asks.keys.min)
+
+  // ---- state export/import so the book can live inside a streaming
+  // GroupState (serialized between micro-batches)
+
+  def exportState: DepthOrderBook.BookState =
+    DepthOrderBook.BookState(bids.toMap, asks.toMap, lastUpdateIdOpt,
+      synchronizedFlag, degradedFlag,
+      buffer.map(e => DepthOrderBook.BufferedDiff(e.eventTime, e.firstUpdateId,
+        e.finalUpdateId, e.bidDeltas.map(d => Seq(d._1, d._2)),
+        e.askDeltas.map(d => Seq(d._1, d._2)), e.previousFinalUpdateId)))
+
+  def importState(symbol: String, s: DepthOrderBook.BookState): Unit = {
+    bids.clear(); bids ++= s.bids
+    asks.clear(); asks ++= s.asks
+    lastUpdateIdOpt = s.lastUpdateId
+    synchronizedFlag = s.synced
+    degradedFlag = s.degraded
+    buffer = s.buffer.map(b => DepthDiffEvent(symbol, b.eventTime, b.firstUpdateId,
+      b.finalUpdateId, b.bidDeltas.map(d => (d(0), d(1))),
+      b.askDeltas.map(d => (d(0), d(1))), b.previousFinalUpdateId)).toVector
+  }
 
   /** Walk asks to fill `notionalUsdt`: (avg_exec - mid) / mid, plus a
     * fillable flag (ST3, reference `websocket.py:357-389`). */

@@ -66,6 +66,32 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 1L))
   }
 
+  test("AlignSeries modes: exact, max-age, bar-close alignment (alignment.py:37-110)") {
+    import graft.ops.AlignSeries
+    import graft.ops.AlignSeries.Mode
+    val bars = Seq(ts("2026-01-01T00:00:00Z"), ts("2026-01-01T00:05:00Z"),
+      ts("2026-01-01T00:10:00Z")).map(Tuple1(_)).toDF("bar_ts")
+    val series = Seq((ts("2026-01-01T00:02:00Z"), 1.0),
+      (ts("2026-01-01T00:06:00Z"), 2.0)).toDF("sts", "v")
+
+    // exact: series floored to 5m buckets, equi join
+    val exact = AlignSeries.align(bars, series, "bar_ts", "sts", Seq("v"),
+      Mode.Exact, barMs = 300000L).orderBy("bar_ts").collect()
+    assert(exact.map(r => Option(r.get(1))).toSeq == Seq(Some(1.0), Some(2.0), None))
+
+    // max-age 3 minutes: 00:05 sees 00:02 (3 min old, kept); 00:10 sees
+    // 00:06 (4 min old, nulled)
+    val aged = AlignSeries.align(bars, series, "bar_ts", "sts", Seq("v"),
+      Mode.FfillWithMaxAge(3L * 60 * 1000)).orderBy("bar_ts").collect()
+    assert(aged.map(r => Option(r.get(1))).toSeq == Seq(None, Some(1.0), None))
+
+    // unbounded as-of at bar close: 00:00 bar aligns at 00:05 → sees 1.0
+    val atClose = AlignSeries.align(bars, series, "bar_ts", "sts", Seq("v"),
+      Mode.AsofBackward, alignAtBarClose = true, barMs = 300000L)
+      .orderBy("bar_ts").collect()
+    assert(atClose.map(r => Option(r.get(1))).toSeq == Seq(Some(1.0), Some(2.0), Some(2.0)))
+  }
+
   test("weightedAvgFallback uses weights when present, mean otherwise") {
     val df = Seq((1.0, 100.0), (3.0, 300.0)).toDF("v", "w")
     val got = df.agg(Ops.weightedAvgFallback(col("v"), col("w"))).head.getDouble(0)

@@ -108,6 +108,41 @@ class StreamingSpec extends SparkSpec {
     assert(f.eventTime.contains(minute + 2000L))
   }
 
+  test("depth pipeline: snapshot+diffs → per-minute features with impact (test_live_collector.py:45-94)") {
+    import spark.implicits._
+    import graft.streaming.DepthFeatures
+    import graft.streaming.DepthFeatures.DepthMsg
+    val minute = ms("2026-01-15T10:00:00Z")
+    val msgs = Seq(
+      DepthMsg.diff(diff(101, 105, (99.0, 1000.0), (101.0, 1000.0)).copy(eventTime = minute)),
+      DepthMsg.diff(diff(106, 110, (99.5, 1100.0), (101.5, 1100.0)).copy(eventTime = minute + 500)),
+      DepthMsg.snapshot("BTCUSDT", minute + 600, 102,
+        Seq((99.0, 2000.0), (98.5, 2000.0)),
+        Seq((100.5, 2000.0), (101.0, 2000.0), (101.5, 2000.0))),
+      DepthMsg.diff(diff(111, 115, (99.75, 1200.0), (100.75, 2200.0)).copy(eventTime = minute + 900))
+    ).toDS()
+    val out = DepthFeatures.depthFeaturesBatch(msgs).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.hasDepth && f.timestampMs == minute)
+    assert(f.updateIdStart.contains(101L) && f.updateIdEnd.contains(115L))
+    assert(f.impactFillable.contains(true) && f.priceImpact100k.exists(_ > 0))
+    assert(!f.depthDegraded)
+  }
+
+  test("depth pipeline: unsynced diffs still report has_depth but degraded (test_live_collector.py:97-118)") {
+    import spark.implicits._
+    import graft.streaming.DepthFeatures
+    import graft.streaming.DepthFeatures.DepthMsg
+    val minute = ms("2026-01-15T10:00:00Z")
+    val msgs = Seq(DepthMsg.diff(
+      diff(101, 105, (99.0, 1000.0), (101.0, 1000.0)).copy(eventTime = minute))).toDS()
+    val f = DepthFeatures.depthFeaturesBatch(msgs).collect().head
+    assert(f.hasDepth && f.depthDegraded)
+    assert(f.updateIdStart.contains(101L) && f.updateIdEnd.contains(105L))
+    assert(f.priceImpact100k.isEmpty)
+  }
+
   test("streaming liquidation accumulation matches batch (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
