@@ -120,6 +120,57 @@ object QueryService {
     serializeFrame(QueryAggregator.addDeltaFields(agg))
   }
 
+  /** Indicator payload (reference `live_indicators/service.py:32-238`):
+    * TradingView EMA over the trailing bars of one timeframe plus
+    * traditional pivots from the PREVIOUS completed period of another.
+    * Both computations share one canonical window load. */
+  final case class IndicatorPayload(emaTf: String, emaLength: Int,
+                                    ema: Option[Double], emaBarTs: Option[String],
+                                    pivotTf: String,
+                                    pivots: Map[String, Double])
+
+  def indicatorPayload(spark: SparkSession, reader: MinuteLakeReader,
+                       symbol: String, emaTf: String, emaLength: Int,
+                       pivotTf: String, endTime: Instant): IndicatorPayload = {
+    require(emaLength >= 1, "ema_length must be at least 1")
+    val emaSpec = Timeframes.parse(emaTf)
+    val pivotSpec = Timeframes.parse(pivotTf)
+    // warm-up window: 3x length bars (EMA converges), at least length+5
+    val emaBars = math.max(emaLength * 3, emaLength + 5)
+    val emaStart = emaSpec.addBuckets(endTime, -emaBars)
+    val pivotStart = pivotSpec.addBuckets(endTime, -1)
+    val start = if (emaStart.isBefore(pivotStart)) emaStart else pivotStart
+
+    val (window, _) = loadCanonicalWindow(spark, reader, symbol, start, endTime)
+
+    val emaAgg = QueryAggregator.aggregateCanonicalFrame(window, emaSpec, emaBars)
+    val withEma = graft.operators.Indicators.withEma(emaAgg, "close", emaLength)
+      .orderBy(col("timestamp").desc).limit(1)
+      .select(col("timestamp"), col("ema")).collect().headOption
+    val emaVal = withEma.flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val emaTs = withEma.map(r => r.getTimestamp(0).toInstant.toString)
+
+    // previous completed pivot period: [start-1 bucket, current bucket)
+    val prevStart = pivotSpec.addBuckets(endTime, -1)
+    val prevEnd = pivotSpec.floorInstant(endTime)
+    val prev = window
+      .where(col("timestamp") >= java.sql.Timestamp.from(prevStart) &&
+        col("timestamp") < java.sql.Timestamp.from(prevEnd))
+      .agg(max(col("high")).as("h"), min(col("low")).as("l"),
+        graft.ops.Ops.lastByOrd(col("close"), col("timestamp")).as("c"))
+      .collect().headOption
+    val pivots = prev match {
+      case Some(r) if !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) =>
+        val exprs = graft.operators.Indicators.pivotPoints(lit(r.getDouble(0)),
+          lit(r.getDouble(1)), lit(r.getDouble(2)))
+        val row = spark.range(1).select(exprs.map { case (n, e) => e.as(n) }: _*)
+          .collect().head
+        exprs.map(_._1).zipWithIndex.map { case (n, i) => n -> row.getDouble(i) }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    IndicatorPayload(emaTf, emaLength, emaVal, emaTs, pivotTf, pivots)
+  }
+
   /** Serialization (reference `utils.py:73-110`): timeframe-neutral
     * aliases (vwap_1m → vwap_bar, realized_vol_1m → realized_vol_bar),
     * `_`-prefixed internal-column scrub, ISO-8601 timestamps with

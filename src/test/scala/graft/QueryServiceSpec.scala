@@ -61,6 +61,59 @@ class QueryServiceSpec extends SparkSpec {
     assert(compat.columns.toSet == Set("timestamp", "vwap_1m", "vwap_bar"))
   }
 
+  test("capability planner: native vs legacy vs unavailable (capabilities.py:48-95)") {
+    import graft.service.Capabilities
+    import graft.service.Capabilities.{CandleFetchMode, FetchPlannerConfig}
+    val native = Capabilities.planTimeframeFetch("5m")
+    assert(native.candleSource == "binance_native" && !native.fallbackUsed)
+    assert(!native.notes.exists(_.startsWith("open_interest"))) // 5m supports OI hist
+    val native3m = Capabilities.planTimeframeFetch("3m")
+    assert(native3m.notes.contains("open_interest_hist_not_supported_for_3m"))
+    val legacy = Capabilities.planTimeframeFetch("45m")
+    assert(legacy.candleSource == "legacy_1m" && legacy.fallbackUsed)
+    assert(legacy.notes.contains("native_candle_timeframe_not_supported"))
+    val unavailable = Capabilities.planTimeframeFetch("45m",
+      FetchPlannerConfig(allowLegacy1mFallback = false))
+    assert(unavailable.candleSource == "unavailable")
+    val forced = Capabilities.planTimeframeFetch("5m",
+      FetchPlannerConfig(candleFetchMode = CandleFetchMode.AggregateFrom1m))
+    assert(forced.candleSource == "legacy_1m" &&
+      forced.notes.contains("candle_fetch_mode_aggregate_from_1m"))
+  }
+
+  test("indicator payload: EMA + previous-period pivots from one window (live_indicators/service.py:32-238)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ind").toString
+    val writer = new graft.sources.MinuteLakeWriter(dir,
+      new graft.sources.PartitionLedger(s"$dir/_state"))
+    val reader = new graft.sources.MinuteLakeReader(dir)
+    val h0 = instant("2026-01-15T10:00:00Z")
+    // two hours of minutes, close ramps upward
+    for (hour <- 0 until 2) {
+      val start = h0.plusSeconds(hour * 3600L)
+      val rows = (0 until 60).map { i =>
+        val v = 100.0 + hour * 60 + i
+        (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+          v, v + 1.0, v - 1.0, v + 0.5, 1.0, 100000.0)
+      }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+      writer.writeHourPartition("BTCUSDT", start,
+        graft.operators.MinuteBuilder.finalizeSchema(rows
+          .withColumn("trade_count", lit(10L))
+          .withColumn("mark_price_open", lit(100.0))
+          .withColumn("mark_price_close", lit(100.5))
+          .withColumn("index_price_open", lit(100.0))
+          .withColumn("index_price_close", lit(100.4))))
+    }
+    val payload = graft.service.QueryService.indicatorPayload(spark, reader,
+      "BTCUSDT", emaTf = "5m", emaLength = 3, pivotTf = "1h",
+      endTime = instant("2026-01-15T12:00:00Z"))
+    assert(payload.ema.isDefined && payload.ema.get > 100.0)
+    // pivots from the 11:00-12:00 hour: high=160+59+1=... h=max high, l=min low, c=last close
+    val p = payload.pivots
+    assert(p.keySet == Set("p", "r1", "r2", "s1", "s2"))
+    val (hi, lo, cl) = (160.0 + 59 + 1.0, 160.0 - 1.0, 160.0 + 59 + 0.5)
+    assert(math.abs(p("p") - (hi + lo + cl) / 3.0) < 1e-9)
+  }
+
   test("canonical window load reports coverage (service.py:1036-1117)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qs").toString
     val writer = new graft.sources.MinuteLakeWriter(dir,
