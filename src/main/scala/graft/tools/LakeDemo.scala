@@ -61,6 +61,11 @@ object LakeDemo {
       "5m", h, h.plusSeconds(9 * 60))
     println("BARS=" + bars.select("timestamp", "open", "close", "cvd_btc")
       .collect().map(_.toString).mkString(" | "))
+    val ind = graft.service.QueryService.indicatorPayload(spark, reader,
+      "BTCUSDT", emaTf = "3m", emaLength = 2, pivotTf = "5m",
+      endTime = h.plusSeconds(10 * 60))
+    println(s"INDICATORS ema=${ind.ema.map(v => f"$v%.2f")} pivots=" +
+      ind.pivots.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(","))
     spark.stop()
   }
 }
