@@ -21,19 +21,25 @@ import graft.functions.{TextFns, VectorFns}
   */
 object SparkEntry {
 
-  /** Engine-stable rounding: a raw double that differs by 1 ulp between
-    * Spark and DuckDB (summation order) can round OPPOSITE ways when the
-    * true value sits exactly on a half boundary (e.g. 29.97575 → 29.9757
-    * vs 29.9758). Rounding first at `scale+5` collapses both engines'
-    * ulp-noise onto the same double, so the final round decides
-    * identically. The oracle SQL is rewritten the same way by
-    * [[stableRoundSql]]. Shadows functions.round inside this object. */
+  /** Engine-stable rounding. Two distinct hazards:
+    *  1. a raw double that differs by 1 ulp between Spark and DuckDB
+    *     (summation order) can round opposite ways on a half boundary —
+    *     solved by an inner round at `scale+5`, which collapses both
+    *     engines' ulp-noise onto the same double;
+    *  2. the engines' ROUNDING ALGORITHMS differ on that shared double:
+    *     Spark rounds the double's shortest decimal REPRESENTATION
+    *     (BigDecimal.valueOf → "70.86925" → HALF_UP → 70.8693) while
+    *     DuckDB rounds the BINARY value (70.869249999999997 → 70.8692) —
+    *     solved by making the oracle's outer round repr-based too
+    *     (VARCHAR → DECIMAL → round), see [[stableRoundSql]].
+    * Shadows functions.round inside this object. */
   private def round(c: Column, scale: Int): Column =
     org.apache.spark.sql.functions.round(
       org.apache.spark.sql.functions.round(c, scale + 5), scale)
 
-  /** Rewrites every `round(expr, n)` in oracle SQL to
-    * `round(round(expr, n+5), n)` (balanced-paren aware). */
+  /** Rewrites every `round(expr, n)` in oracle SQL to the stable form
+    * `CAST(round(CAST(CAST(round(expr, n+5) AS VARCHAR) AS
+    * DECIMAL(38,12)), n) AS DOUBLE)` (balanced-paren aware). */
   private def stableRoundSql(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -60,7 +66,8 @@ object SparkEntry {
         }
         val e = stableRoundSql(inner.substring(0, cut))
         val n = inner.substring(cut + 1).trim.toInt
-        out.append(s"round(round($e, ${n + 5}), $n)")
+        out.append(s"CAST(round(CAST(CAST(round($e, ${n + 5}) AS VARCHAR) " +
+          s"AS DECIMAL(38,12)), $n) AS DOUBLE)")
         i = j
       } else {
         out.append(sql.charAt(i))
