@@ -56,6 +56,36 @@ object Indicators {
     bars.join(collected, Seq(orderCol), "left")
   }
 
+  /** Indicator OHLC bar aggregation (A8 — reference
+    * `live_indicators/aggregation.py:22-75`): tumbling buckets with
+    * first/last NON-NULL open/close, complete-window and all-non-null
+    * gates, and an end-exclusive bound so a partial trailing period is
+    * never emitted. */
+  def aggregateOhlcBars(frame: DataFrame, spec: graft.schema.TimeframeSpec,
+                        endTime: java.time.Instant): DataFrame = {
+    import graft.ops.Ops
+    val ts = col("timestamp")
+    val endExclusive = java.sql.Timestamp.from(
+      endTime.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        .plus(1, java.time.temporal.ChronoUnit.MINUTES))
+    frame
+      .withColumn("bucket_start", spec.bucketStart(ts))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("_minute_count"),
+        Ops.firstNonNullByOrd(col("open"), ts).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        Ops.lastNonNullByOrd(col("close"), ts).as("close"))
+      .withColumn("_period_end", spec.bucketEnd(col("bucket_start")))
+      .where(col("_period_end") <= lit(endExclusive) &&
+        col("_minute_count") === spec.expectedMinutes(col("bucket_start")) &&
+        col("open").isNotNull && col("high").isNotNull &&
+        col("low").isNotNull && col("close").isNotNull)
+      .select(col("bucket_start").as("timestamp"),
+        col("open"), col("high"), col("low"), col("close"))
+      .orderBy("timestamp")
+  }
+
   /** Traditional pivot points from the previous period's H/L/C
     * (reference `live_indicators/pivots.py:4-12`). */
   def pivotPoints(high: Column, low: Column, close: Column): Seq[(String, Column)] = {

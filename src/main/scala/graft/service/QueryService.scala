@@ -143,7 +143,10 @@ object QueryService {
 
     val (window, _) = loadCanonicalWindow(spark, reader, symbol, start, endTime)
 
-    val emaAgg = QueryAggregator.aggregateCanonicalFrame(window, emaSpec, emaBars)
+    // indicator bars use the dedicated OHLC aggregation with non-null
+    // gates and end-exclusive bound (live_indicators/aggregation.py:22-75)
+    val emaAgg = graft.operators.Indicators.aggregateOhlcBars(
+      window.select("timestamp", "open", "high", "low", "close"), emaSpec, endTime)
     val withEma = graft.operators.Indicators.withEma(emaAgg, "close", emaLength)
       .orderBy(col("timestamp").desc).limit(1)
       .select(col("timestamp"), col("ema")).collect().headOption

@@ -227,6 +227,33 @@ object LiveCollector {
       .flatMapGroupsWithState(OutputMode.Update(), timeout)(update)
   }
 
+  /** Per-(consumer, minute) heartbeat upsert (ST7 — reference
+    * `websocket.py:221-232,1325-1401`): every consumer marks itself
+    * alive per minute; DQ uses staleness to decide coverage flags.
+    * Keep-last-wins per key, like the reference's SQLite upsert. */
+  final case class ConsumerHeartbeat(consumerName: String, minuteTimestampMs: Long,
+                                     alive: Boolean, lastMessageTime: Option[Long])
+
+  final class HeartbeatTracker {
+    private val beats =
+      scala.collection.mutable.Map[(String, Long), ConsumerHeartbeat]()
+    def mark(consumer: String, minuteMs: Long, alive: Boolean = true,
+             lastMessageTime: Option[Long] = None): Unit = synchronized {
+      beats((consumer, floorToMinuteMs(minuteMs))) =
+        ConsumerHeartbeat(consumer, floorToMinuteMs(minuteMs), alive, lastMessageTime)
+    }
+    def get(consumer: String, minuteMs: Long): Option[ConsumerHeartbeat] =
+      synchronized(beats.get((consumer, floorToMinuteMs(minuteMs))))
+    def all: Seq[ConsumerHeartbeat] = synchronized(beats.values.toSeq)
+    /** Retention: drop heartbeats older than the cutoff (reference keeps
+      * 14 days — `core/config.py:27`). */
+    def evictBefore(cutoffMs: Long): Int = synchronized {
+      val stale = beats.keys.filter(_._2 < cutoffMs).toSeq
+      stale.foreach(beats.remove)
+      stale.size
+    }
+  }
+
   /** Wire a liquidation event stream to a parquet minute-features sink
     * (S15). Returns the started query's checkpointed writer setup. */
   def startLiqFeatureSink(spark: SparkSession, events: Dataset[LiquidationEvent],

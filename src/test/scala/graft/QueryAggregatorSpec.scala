@@ -63,6 +63,45 @@ class QueryAggregatorSpec extends SparkSpec {
     assert(!out(1).isNullAt(1))
   }
 
+  test("indicator OHLC bars: non-null gates + end-exclusive bound (live_indicators/aggregation.py:22-75)") {
+    val start = instant("2026-01-15T00:00:00Z")
+    val rows: Seq[(java.sql.Timestamp, Option[Double], Option[Double], Option[Double], Option[Double])] =
+      (0 until 10).map { i =>
+        if (i == 0 || i == 3)
+          (java.sql.Timestamp.from(start.plusSeconds(60L * i)), None, None, None, None)
+        else
+          (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+            Some(100.0 + i), Some(101.0 + i), Some(99.0 + i), Some(100.5 + i))
+      }
+    val df = rows.toDF("timestamp", "open", "high", "low", "close")
+    val out = graft.operators.Indicators.aggregateOhlcBars(df,
+      graft.schema.Timeframes.parse("5m"), instant("2026-01-15T00:09:00Z"))
+      .collect()
+    // both 5m windows are minute-complete; first window's open comes from
+    // the first NON-NULL minute (i=1)
+    assert(out.length == 2)
+    assert(out(0).getDouble(1) == 101.0) // open skips the null minute 0
+    assert(out(0).getDouble(4) == 104.5) // close from minute 4
+    // end bound: end_time mid-window drops the second bar
+    val bounded = graft.operators.Indicators.aggregateOhlcBars(df,
+      graft.schema.Timeframes.parse("5m"), instant("2026-01-15T00:07:00Z"))
+      .collect()
+    assert(bounded.length == 1)
+  }
+
+  test("heartbeat tracker upserts per (consumer, minute) and evicts stale (websocket.py:1325-1401)") {
+    import graft.streaming.LiveCollector.HeartbeatTracker
+    val hb = new HeartbeatTracker
+    val m = ms("2026-01-15T10:00:30Z") // mid-minute → floored
+    hb.mark("liquidation", m, alive = true, Some(m + 5))
+    hb.mark("liquidation", m, alive = true, Some(m + 9)) // upsert same key
+    assert(hb.all.size == 1)
+    assert(hb.get("liquidation", m).flatMap(_.lastMessageTime).contains(m + 9))
+    hb.mark("depth", m + 60000)
+    assert(hb.evictBefore(ms("2026-01-15T10:01:00Z")) == 1)
+    assert(hb.all.map(_.consumerName) == Seq("depth"))
+  }
+
   test("TradingView EMA uses SMA seed (test_live_indicators.py:69-72)") {
     val bars = Seq(
       (ts("2026-01-01T00:00:00Z"), 1.0), (ts("2026-01-01T00:01:00Z"), 2.0),
