@@ -80,12 +80,17 @@ final case class TimeframeSpec(name: String, fixedMinutes: Option[Long]) {
 
 object Timeframes {
 
+  // "1m" is the canonical base frame: the HTF aggregator never targets it
+  // (reference supports 3m…1M), but the API layer serves 1m bars from the
+  // canonical frame directly, so the parser must accept it.
   val supported: Map[String, TimeframeSpec] = Seq(
+    "1m" -> Some(1L),
     "3m" -> Some(3L), "5m" -> Some(5L), "10m" -> Some(10L), "15m" -> Some(15L),
     "30m" -> Some(30L), "45m" -> Some(45L), "1h" -> Some(60L), "4h" -> Some(240L),
     "8h" -> Some(480L), "1d" -> Some(1440L), "1w" -> None, "1M" -> None
   ).map { case (n, m) => n -> TimeframeSpec(n, m) }.toMap
 
+  /** HTF-aggregatable timeframes (reference `bucketing.py:16-29`). */
   val supportedNames: Seq[String] =
     Seq("3m", "5m", "10m", "15m", "30m", "45m", "1h", "4h", "8h", "1d", "1w", "1M")
 

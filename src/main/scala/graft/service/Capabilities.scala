@@ -19,9 +19,13 @@ object Capabilities {
     Set("5m", "15m", "30m", "1h", "2h", "4h", "6h", "12h", "1d")
   val BinanceLsRatioTfs: Set[String] = BinanceOiHistTfs
 
+  /** API-name → Binance interval. Keys cover BOTH vocabularies — the
+    * reference's API aliases ("1hr"/"4hr") and this engine's canonical
+    * names from `Timeframes.parse` ("1h"/"4h") — so a caller holding a
+    * canonical timeframe name is planned identically. */
   val ApiToBinanceInterval: Map[String, String] = Map(
     "1m" -> "1m", "3m" -> "3m", "5m" -> "5m", "15m" -> "15m",
-    "1hr" -> "1h", "4hr" -> "4h", "1d" -> "1d")
+    "1hr" -> "1h", "1h" -> "1h", "4hr" -> "4h", "4h" -> "4h", "1d" -> "1d")
 
   final case class FetchPlannerConfig(
       enableNativeBinanceTfCandles: Boolean = true,

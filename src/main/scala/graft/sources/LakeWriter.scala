@@ -82,12 +82,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
     val tmpDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     effective.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmpDir)
-    // atomic publish: remove old dir, rename tmp into place
-    val finalPath = new HPath(finalDir)
-    if (fs.exists(finalPath)) fs.delete(finalPath, true)
-    fs.mkdirs(finalPath.getParent)
-    if (!fs.rename(new HPath(tmpDir), finalPath))
-      throw new RuntimeException(s"atomic rename failed for $finalDir")
+    MinuteLakeWriter.publishAtomically(fs, tmpDir, finalDir)
 
     ledger.upsert(PartitionLedgerEntry(
       symbol = symbol.toUpperCase,
@@ -121,6 +116,20 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
   }
 }
 
+object MinuteLakeWriter {
+  /** Atomic publish (reference `atomic.py:38-44`): delete any previous
+    * partition directory and rename the freshly-written tmp directory
+    * into place, so concurrent readers see either the old or the new
+    * partition, never a half-written one. */
+  def publishAtomically(fs: FileSystem, tmpDir: String, finalDir: String): Unit = {
+    val finalPath = new HPath(finalDir)
+    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    fs.mkdirs(finalPath.getParent)
+    if (!fs.rename(new HPath(tmpDir), finalPath))
+      throw new RuntimeException(s"atomic rename failed for $finalDir")
+  }
+}
+
 /** HTF bucket writer (reference `aggregator/target_writer.py:14-69`):
   * layout `timeframe=T/symbol=S/year=/month=/day=/`, merge-dedup by
   * bucket_start keep-last. */
@@ -145,11 +154,7 @@ class HtfLakeWriter(root: String) {
     val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     effective.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmp)
-    val finalPath = new HPath(dir)
-    if (fs.exists(finalPath)) fs.delete(finalPath, true)
-    fs.mkdirs(finalPath.getParent)
-    if (!fs.rename(new HPath(tmp), finalPath))
-      throw new RuntimeException(s"atomic rename failed for $dir")
+    MinuteLakeWriter.publishAtomically(fs, tmp, dir)
     dir
   }
 }

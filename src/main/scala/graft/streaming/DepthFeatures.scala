@@ -44,27 +44,17 @@ object DepthFeatures {
   /** Apply one ordered message batch to a book, tolerating sync errors
     * (the reference marks the book degraded and the supervisor resyncs —
     * `websocket.py:2121-2306`); returns per-minute features observed in
-    * this batch. */
+    * this batch. Each minute's features are snapshotted from the book
+    * state AT THAT MINUTE'S LAST MESSAGE (when the stream moves past it),
+    * so a long batch replay yields evolving per-minute features rather
+    * than stamping the final book on all of history. */
   def applyBatch(book: DepthOrderBook, msgs: Seq[DepthMsg]): Seq[DepthMinuteFeatures] = {
-    val byMinute = scala.collection.mutable.LinkedHashMap[Long, (Long, Long)]()
-    for (m <- msgs.sortBy(m => (m.eventTime, m.finalUpdateId))) {
-      try {
-        if (m.isSnapshot)
-          book.syncFromSnapshot(m.lastUpdateId,
-            m.bidDeltas.map(d => (d(0), d(1))), m.askDeltas.map(d => (d(0), d(1))))
-        else
-          book.applyEvent(DepthDiffEvent(m.symbol, m.eventTime, m.firstUpdateId,
-            m.finalUpdateId, m.bidDeltas.map(d => (d(0), d(1))),
-            m.askDeltas.map(d => (d(0), d(1))), m.previousFinalUpdateId))
-      } catch { case _: DepthSyncError => /* degraded; await resync */ }
-      if (!m.isSnapshot) {
-        val minute = LiveCollector.floorToMinuteMs(m.eventTime)
-        val span = byMinute.getOrElse(minute, (m.firstUpdateId, m.finalUpdateId))
-        byMinute(minute) = (math.min(span._1, m.firstUpdateId),
-          math.max(span._2, m.finalUpdateId))
-      }
-    }
-    byMinute.toSeq.map { case (minute, (uidStart, uidEnd)) =>
+    val out = Vector.newBuilder[DepthMinuteFeatures]
+    var curMinute = Long.MinValue
+    var span: (Long, Long) = (0L, 0L)
+    val symbol = msgs.headOption.map(_.symbol).getOrElse("")
+
+    def snapshotMinute(): Unit = if (curMinute != Long.MinValue) {
       val synced = book.isSynchronized
       val (impact, fillable) =
         if (synced) book.computeBuyPriceImpact() else (None, false)
@@ -75,10 +65,35 @@ object DepthFeatures {
       val degraded = book.degraded || !synced || !fillable ||
         spreadPct.exists(_ > 0.02) ||
         avgBid.exists(_ < 1.0) || avgAsk.exists(_ < 1.0)
-      DepthMinuteFeatures(msgs.head.symbol, minute, hasDepth = true,
-        Some(uidStart), Some(uidEnd), impact, Some(fillable),
+      out += DepthMinuteFeatures(symbol, curMinute, hasDepth = true,
+        Some(span._1), Some(span._2), impact, Some(fillable),
         spreadPct, avgBid, avgAsk, degraded)
     }
+
+    for (m <- msgs.sortBy(m => (m.eventTime, m.finalUpdateId))) {
+      if (!m.isSnapshot) {
+        val minute = LiveCollector.floorToMinuteMs(m.eventTime)
+        if (minute != curMinute) {
+          snapshotMinute()
+          curMinute = minute
+          span = (m.firstUpdateId, m.finalUpdateId)
+        } else {
+          span = (math.min(span._1, m.firstUpdateId),
+            math.max(span._2, m.finalUpdateId))
+        }
+      }
+      try {
+        if (m.isSnapshot)
+          book.syncFromSnapshot(m.lastUpdateId,
+            m.bidDeltas.map(d => (d(0), d(1))), m.askDeltas.map(d => (d(0), d(1))))
+        else
+          book.applyEvent(DepthDiffEvent(m.symbol, m.eventTime, m.firstUpdateId,
+            m.finalUpdateId, m.bidDeltas.map(d => (d(0), d(1))),
+            m.askDeltas.map(d => (d(0), d(1))), m.previousFinalUpdateId))
+      } catch { case _: DepthSyncError => /* degraded; await resync */ }
+    }
+    snapshotMinute()
+    out.result()
   }
 
   /** Batch form (replay over an events table). */

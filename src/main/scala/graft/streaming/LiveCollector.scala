@@ -254,14 +254,32 @@ object LiveCollector {
     }
   }
 
-  /** Wire a liquidation event stream to a parquet minute-features sink
-    * (S15). Returns the started query's checkpointed writer setup. */
+  /** Start a liquidation minute-features sink (S15, reference
+    * `websocket.py:416-899`): update-mode rows land as a foreachBatch
+    * UPSERT — each micro-batch appends parquet tagged with its batch id,
+    * and [[readLiqFeatures]] resolves last-writer-wins per (symbol,
+    * minute). Returns the STARTED query (callers stop/await it). */
   def startLiqFeatureSink(spark: SparkSession, events: Dataset[LiquidationEvent],
-                          outDir: String, checkpointDir: String) =
+                          outDir: String, checkpointDir: String) = {
+    import org.apache.spark.sql.functions.lit
     liquidationMinuteFeaturesStream(events)
       .writeStream
       .outputMode("update")
-      .format("memory")
-      .queryName("liq_features")
       .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[LiqMinuteFeatures], batchId: Long) =>
+        batch.withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
+  /** Read the liq-features sink with upsert semantics: last batch wins
+    * per (symbol, minute). */
+  def readLiqFeatures(spark: SparkSession, outDir: String) = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.Ops.dedupKeepLast(
+      spark.read.parquet(outDir),
+      Seq("symbol", "timestampMs"), Seq(col("__batch_id")))
+      .drop("__batch_id")
+  }
 }
