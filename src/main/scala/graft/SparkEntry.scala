@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Ops}
+import graft.ops.{AlignSeries, AsOf, Ops}
 import graft.functions.{TextFns, VectorFns}
 
 /** Driver contract — each entry in [[queries]] exercises one operator
@@ -673,6 +673,89 @@ object SparkEntry {
         .withColumn("n_pixels", col("width") * col("height"))
     }),
 
+    // J3: as-of alignment at BAR CLOSE (alignment.py:37-110, call site
+    // service.py:1477-1488) — each hourly bar picks up the last purchase
+    // value at-or-before bar_open + 1h (so in-bar events are visible),
+    // unbounded backward.
+    "j3_align_close" -> ((s, dir) => {
+      val purchases = Ops.dedupKeepLast(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        Seq("ts"), Seq(col("event_id")))
+        .select(col("ts"), col("value").as("close_value"))
+      AlignSeries.align(hourSpine(s, dir), purchases, "h", "ts",
+          Seq("close_value"), AlignSeries.Mode.AsofBackward,
+          alignAtBarClose = true, barMs = 3600L * 1000)
+        .select(col("h"), round(col("close_value"), 4).as("close_value"))
+    }),
+
+    // J5: exact-timestamp alignment with bucket normalization
+    // (alignment.py:77-78) — series timestamps floored to the hour
+    // bucket, keep-last per bucket, left equi-join onto the bar frame.
+    "j5_align_exact" -> ((s, dir) => {
+      val purchases = Ops.dedupKeepLast(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        Seq("ts"), Seq(col("event_id")))
+        .select(col("ts"), col("value").as("snap_value"))
+      AlignSeries.align(hourSpine(s, dir), purchases, "h", "ts",
+          Seq("snap_value"), AlignSeries.Mode.Exact, barMs = 3600L * 1000)
+        .select(col("h"), round(col("snap_value"), 4).as("snap_value"))
+    }),
+
+    // A8: indicator OHLC aggregation (live_indicators/aggregation.py:
+    // 22-75) — per-minute bars with SPARSE open/close (only 'view'
+    // events carry them), 15m buckets with first/last NON-NULL open/
+    // close, completeness + all-non-null gates and the end-exclusive
+    // bound that drops the partial trailing period.
+    "a8_indicator_ohlc" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      val vv = when(col("event_type") === "view", col("value"))
+      val minutes = eventsK(s, dir).groupBy("minute").agg(
+          Ops.firstNonNullByOrd(vv, ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          Ops.lastNonNullByOrd(vv, ord).as("close"))
+        .withColumnRenamed("minute", "timestamp")
+      val endTime = t(s, dir, "events").agg(max(col("ts")))
+        .first().getTimestamp(0).toInstant
+      graft.operators.Indicators
+        .aggregateOhlcBars(minutes, graft.schema.Timeframes.parse("15m"), endTime)
+        .select(col("timestamp"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"))
+    }),
+
+    // Indicators: traditional pivot points from the PREVIOUS day's
+    // H/L/C (live_indicators/pivots.py:4-12).
+    "ind_pivot_points" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("event_id"))
+      val daily = t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day")
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+             Ops.lastByOrd(col("value"), ord).as("close"))
+      val w = Window.orderBy("day")
+      val prev = daily.select(col("day"),
+        lag(col("high"), 1).over(w).as("ph"),
+        lag(col("low"), 1).over(w).as("pl"),
+        lag(col("close"), 1).over(w).as("pc"))
+      val pivots = graft.operators.Indicators.pivotPoints(col("ph"), col("pl"), col("pc"))
+      prev.select(col("day") +: pivots.map { case (n, c) => round(c, 4).as(n) }: _*)
+    }),
+
+    // DEDUP: embedding-cosine near-dup pairs — label-blocked (IVF-style
+    // blocking: candidates only within a cluster, so the pair count per
+    // block stays bounded at scale), exact cosine within the block.
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", round(VectorFns.cosine("emb_a", "emb_b"), 5))
+        .where(col("cos") >= 0.42)
+        .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+    }),
+
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
     // against the full embedding table; one narrow pass + per-query
     // top-k (the baseline; LSH/IVF prune candidates at scale).
@@ -1215,6 +1298,113 @@ object SparkEntry {
         |       64 + (hv // 2048) % 1081 AS height,
         |       (64 + hv % 1857) * (64 + (hv // 2048) % 1081) AS n_pixels
         |FROM h""".stripMargin,
+
+    "j3_align_close" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS h),
+        |p AS (
+        |  SELECT ts, value FROM (
+        |    SELECT ts, value, row_number() OVER
+        |      (PARTITION BY ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT s.h, round(p.value, 4) AS close_value
+        |FROM spine s ASOF LEFT JOIN p ON p.ts <= s.h + INTERVAL 1 HOUR""".stripMargin,
+
+    "j5_align_exact" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('hour', min(ts)) FROM events),
+        |    (SELECT date_trunc('hour', max(ts)) FROM events),
+        |    INTERVAL 1 HOUR)) AS h),
+        |p AS (
+        |  SELECT ts, value FROM (
+        |    SELECT ts, value, row_number() OVER
+        |      (PARTITION BY ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        |fl AS (
+        |  SELECT hb, value FROM (
+        |    SELECT date_trunc('hour', ts) AS hb, value,
+        |           row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |                              ORDER BY ts DESC) AS rn2
+        |    FROM p) WHERE rn2 = 1)
+        |SELECT h, round(value, 4) AS snap_value
+        |FROM spine LEFT JOIN fl ON h = hb""".stripMargin,
+
+    "a8_indicator_ohlc" ->
+      """WITH e AS (SELECT *, date_trunc('minute', ts) AS minute FROM events),
+        |hl AS (SELECT minute, max(value) AS high, min(value) AS low
+        |       FROM e GROUP BY minute),
+        |vo AS (SELECT minute, value AS o FROM (
+        |  SELECT minute, value, row_number() OVER
+        |    (PARTITION BY minute ORDER BY ts, event_id) AS rn
+        |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |vc AS (SELECT minute, value AS c FROM (
+        |  SELECT minute, value, row_number() OVER
+        |    (PARTITION BY minute ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |mins AS (
+        |  SELECT hl.minute, vo.o, hl.high, hl.low, vc.c
+        |  FROM hl LEFT JOIN vo ON hl.minute = vo.minute
+        |          LEFT JOIN vc ON hl.minute = vc.minute),
+        |bo AS (SELECT bs, o FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, minute) AS bs, o, row_number()
+        |    OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, minute)
+        |          ORDER BY minute) AS rn
+        |  FROM mins WHERE o IS NOT NULL) WHERE rn = 1),
+        |bc AS (SELECT bs, c FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, minute) AS bs, c, row_number()
+        |    OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, minute)
+        |          ORDER BY minute DESC) AS rn
+        |  FROM mins WHERE c IS NOT NULL) WHERE rn = 1),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, minute) AS bs, count(*) AS n,
+        |         max(high) AS high, min(low) AS low
+        |  FROM mins GROUP BY 1)
+        |SELECT b.bs AS timestamp, round(bo.o, 4) AS open,
+        |       round(b.high, 4) AS high, round(b.low, 4) AS low,
+        |       round(bc.c, 4) AS close
+        |FROM b LEFT JOIN bo ON b.bs = bo.bs LEFT JOIN bc ON b.bs = bc.bs
+        |WHERE b.n = 15 AND bo.o IS NOT NULL AND bc.c IS NOT NULL
+        |  AND b.bs + INTERVAL 15 MINUTE <=
+        |      date_trunc('minute', (SELECT max(ts) FROM events)) + INTERVAL 1 MINUTE""".stripMargin,
+
+    "ind_pivot_points" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, max(value) AS high,
+        |         min(value) AS low
+        |  FROM events GROUP BY 1),
+        |cl AS (SELECT day, value AS close FROM (
+        |  SELECT date_trunc('day', ts) AS day, value, row_number() OVER
+        |    (PARTITION BY date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        |d AS (SELECT daily.day, high, low, close
+        |      FROM daily JOIN cl ON daily.day = cl.day),
+        |pv AS (SELECT day, lag(high) OVER (ORDER BY day) AS ph,
+        |              lag(low) OVER (ORDER BY day) AS pl,
+        |              lag(close) OVER (ORDER BY day) AS pc
+        |       FROM d)
+        |SELECT day, round((ph + pl + pc) / 3.0, 4) AS p,
+        |       round((ph + pl + pc) / 3.0 * 2.0 - pl, 4) AS r1,
+        |       round((ph + pl + pc) / 3.0 + (ph - pl), 4) AS r2,
+        |       round((ph + pl + pc) / 3.0 * 2.0 - ph, 4) AS s1,
+        |       round((ph + pl + pc) / 3.0 - (ph - pl), 4) AS s2
+        |FROM pv""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |pr AS (
+        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(a.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(b.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, id_a, id_b, cos FROM pr WHERE cos >= 0.42""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH scored AS (
