@@ -38,7 +38,12 @@ object Bench {
     // warm-up: JVM + parquet footer caches (not reported)
     run("s1_pruned_scan_agg")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration only;
+    // the driver never sets it, so the reported bench covers everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

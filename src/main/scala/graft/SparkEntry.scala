@@ -464,26 +464,29 @@ object SparkEntry {
     }),
 
     // DEDUP: n-gram Jaccard near-dup pairs within each source bucket.
-    // Shingles are 60-bit HASHES (one md5 each), so the pairwise set ops
-    // are long-array intersections — an order of magnitude cheaper than
-    // string sets at 100 TB. Self-join is bucketed by `source` so
-    // candidate pairs stay bounded (LSH below is the unbucketed path).
+    // Shingles are 60-bit HASHES (one md5 each), deduped per doc, so
+    // |A∩B| is computable by an INVERTED-INDEX join: explode shingles,
+    // equi-join on (source, hash), count rows per pair. No O(n²)
+    // per-pair array_intersect, and the join key is high-cardinality —
+    // parallelism scales with data, not with the number of sources.
+    // Exact at threshold: J ≥ 0.06 implies ≥ 1 shared shingle, so no
+    // qualifying pair is missed.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .withColumn("toks", TextFns.tokens(col("text")))
         .select(col("doc_id"), col("source"),
-                TextFns.shingleHashesFromTokens("toks", 3).as("sh"))
+                TextFns.shingleHashesFromText("text", 3).as("sh"))
         .withColumn("sz", size(col("sh")))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"), col("sz").as("sz_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b"), col("sz").as("sz_b"))
-      // J = i / (|A| + |B| - i): one array_intersect per pair, no union
-      val i = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      a.join(b, Seq("source"))
+      val ex = docs.select(col("source"), col("doc_id"), col("sz"),
+        explode(col("sh")).as("h"))
+      val a = ex.select(col("source"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"), col("h"))
+      val b = ex.select(col("source"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b"), col("h"))
+      val i = count(lit(1)).cast("double")
+      a.join(b, Seq("source", "h"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          round(i / (col("sz_a") + col("sz_b") - i), 6))
+        .groupBy("source", "id_a", "id_b", "sz_a", "sz_b")
+        .agg(round(i / (col("sz_a") + col("sz_b") - i), 6).as("jaccard"))
         .where(col("jaccard") >= 0.06)
         .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
     }),
@@ -494,9 +497,7 @@ object SparkEntry {
     // hashes over ONE md5 per shingle (not one md5 per perm×shingle).
     "dedup_minhash_bands" -> ((s, dir) => {
       val withSig = t(s, dir, "documents")
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
-        .withColumn("sig", TextFns.minhashSignature("sh", 16))
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
       val bands = (0 until 8).map { bnd =>
         md5(concat_ws("|",
           col("sig").getItem(bnd * 2).cast("string"),
@@ -510,9 +511,7 @@ object SparkEntry {
     // replaces the O(n²) pass at scale: candidates ≪ all pairs.
     "dedup_minhash_pairs" -> ((s, dir) => {
       val withSig = t(s, dir, "documents")
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
-        .withColumn("sig", TextFns.minhashSignature("sh", 16))
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
       val bandExprs = (0 until 8).map { b =>
         md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
           col("sig").getItem(b * 2 + 1).cast("string")))
@@ -535,9 +534,7 @@ object SparkEntry {
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("hs", TextFns.tokenHashes32("toks"))
-        .select(col("doc_id"), TextFns.simhash32FromHashes("hs").as("simhash"))
+        .select(col("doc_id"), TextFns.simhash32FromText("text").as("simhash"))
     }),
 
     // A5 end-to-end through the domain HtfAggregator: synthesize a sparse

@@ -19,6 +19,67 @@ object TextFns {
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  // -------------------------------------------------- expression binding
+  //
+  // Catalyst substitutes aliased expressions into predicates it pushes
+  // down (PushDownPredicates, InferFiltersFromGenerate) regardless of
+  // cost, and HOF lambdas are interpreted — no codegen subexpression
+  // elimination. A token-array column inlined into a lambda therefore
+  // re-runs the regex split at EVERY element access (~3 splits per
+  // shingle), which turns an exploded-shingle plan into hundreds of
+  // full-text regex splits per document. `bound` pins a subexpression
+  // to a lambda variable via a one-element transform, so any substituted
+  // copy of the whole expression still evaluates the subexpression once.
+
+  private def bound(arg: String, v: String)(body: String): String =
+    s"element_at(transform(array($arg), $v -> $body), 1)"
+
+  private def tokensSql(textCol: String): String =
+    s"split(trim($textCol), '\\\\s+')"
+
+  private def shingleHashesSql(tk: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$tk[i]" else s"$tk[i+$j]").mkString(", ")
+    s"case when size($tk) >= $n then " +
+      s"array_distinct(transform(sequence(0, size($tk) - $n), " +
+      s"i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint))) " +
+      s"else cast(array() as array<bigint>) end"
+  }
+
+  private def minhashArraySql(hs: String, numPerm: Int): String =
+    (0 until numPerm).map { p =>
+      val (a, b) = minhashPerm(p)
+      s"array_min(transform($hs, h -> ($a * (h % 4294967296) + $b) % $MinhashPrime))"
+    }.mkString("array(", ", ", ")")
+
+  private def simhashSql(hs: String): String =
+    (0 until 32).map { b =>
+      val vote = s"aggregate($hs, 0L, (a, x) -> " +
+        s"a + (case when (x div ${1L << b}L) % 2 = 1 then 1 else -1 end))"
+      s"(case when ($vote) > 0 then ${1L << b}L else 0L end)"
+    }.mkString(" + ")
+
+  /** Distinct 60-bit shingle hashes straight from the text column, with
+    * the token array BOUND (one regex split per evaluation, even after
+    * predicate-pushdown substitution). Prefer this over
+    * `tokens` + [[shingleHashesFromTokens]] in query plans. */
+  def shingleHashesFromText(textCol: String, n: Int): Column =
+    expr(bound(tokensSql(textCol), "__tk")(shingleHashesSql("__tk", n)))
+
+  /** MinHash signature straight from text: tokens and shingle hashes
+    * both bound, one split + one md5 per shingle per evaluation. */
+  def minhashSignatureFromText(textCol: String, shingleN: Int, numPerm: Int): Column =
+    expr(bound(tokensSql(textCol), "__tk")(
+      bound(shingleHashesSql("__tk", shingleN), "__hs")(
+        minhashArraySql("__hs", numPerm))))
+
+  /** 32-bit SimHash straight from text (tokens + 32-bit hashes bound —
+    * the 32 bit-votes share one tokenization and one md5 pass). */
+  def simhash32FromText(textCol: String): Column =
+    expr(bound(tokensSql(textCol), "__tk")(
+      bound("transform(__tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))",
+            "__hs")(simhashSql("__hs"))))
+
   /** Document fingerprint: md5 of lower-cased whitespace-collapsed text
     * (exact-dedup key). */
   def fingerprint(text: Column): Column =
@@ -70,15 +131,8 @@ object TextFns {
     * long-array set ops instead of string-array set ops. Jaccard over
     * the hashed sets equals Jaccard over the string sets (60-bit
     * collisions are negligible), and both engines agree on the hash. */
-  def shingleHashesFromTokens(tokCol: String, n: Int): Column = {
-    val parts = (0 until n)
-      .map(j => if (j == 0) s"$tokCol[i]" else s"$tokCol[i+$j]").mkString(", ")
-    expr(
-      s"case when size($tokCol) >= $n then " +
-        s"array_distinct(transform(sequence(0, size($tokCol) - $n), " +
-        s"i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint))) " +
-        s"else cast(array() as array<bigint>) end")
-  }
+  def shingleHashesFromTokens(tokCol: String, n: Int): Column =
+    expr(shingleHashesSql(tokCol, n))
 
   /** Universal-hash MinHash permutation constants: (a, b) pairs small
     * enough that a*h32 + b stays under 2^62 (no int64 overflow in either
@@ -90,13 +144,8 @@ object TextFns {
     * arithmetic universal hash (a_i * (h mod 2^32) + b_i) mod p — ONE
     * md5 per shingle total, instead of one per (shingle, permutation).
     * Exact in both engines (all intermediates < 2^62). */
-  def minhashSignature(hashCol: String, numPerm: Int): Column = {
-    val mins = (0 until numPerm).map { p =>
-      val (a, b) = minhashPerm(p)
-      s"array_min(transform($hashCol, h -> ($a * (h % 4294967296) + $b) % $MinhashPrime))"
-    }
-    expr(mins.mkString("array(", ", ", ")"))
-  }
+  def minhashSignature(hashCol: String, numPerm: Int): Column =
+    expr(minhashArraySql(hashCol, numPerm))
 
   /** 32-bit token hashes (input to [[simhash32FromHashes]]): computed
     * once into a column so the 32 bit-votes below don't re-hash. */
@@ -105,12 +154,6 @@ object TextFns {
 
   /** 32-bit SimHash from pre-hashed tokens: per bit, sum +1/-1 votes by
     * the hash's bit value, then pack the sign bits into a bigint. */
-  def simhash32FromHashes(hashCol: String): Column = {
-    val packed = (0 until 32).map { b =>
-      val vote = s"aggregate($hashCol, 0L, (a, x) -> " +
-        s"a + (case when (x div ${1L << b}L) % 2 = 1 then 1 else -1 end))"
-      s"(case when ($vote) > 0 then ${1L << b}L else 0L end)"
-    }.mkString(" + ")
-    expr(packed)
-  }
+  def simhash32FromHashes(hashCol: String): Column =
+    expr(simhashSql(hashCol))
 }
