@@ -743,12 +743,18 @@ object SparkEntry {
     // blocking: candidates only within a cluster, so the pair count per
     // block stays bounded at scale), exact cosine within the block.
     "dedup_embed_cosine" -> ((s, dir) => {
+      // norms are per-VECTOR, computed before the pair join (per-pair
+      // cosine would recompute both norms for every candidate pair)
       val emb = t(s, dir, "embeddings")
-      val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
       a.join(b, Seq("label"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("cos", round(VectorFns.cosine("emb_a", "emb_b"), 5))
+        .withColumn("cos",
+          round(VectorFns.dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 5))
         .where(col("cos") >= 0.42)
         .select(col("label"), col("id_a"), col("id_b"), col("cos"))
     }),
@@ -758,11 +764,14 @@ object SparkEntry {
     // top-k (the baseline; LSH/IVF prune candidates at scale).
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
       val q = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
       val scored = q.join(cand, col("q_id") =!= col("n_id"))
-        .withColumn("cos", VectorFns.cosine("q_emb", "n_emb"))
+        .withColumn("cos", VectorFns.dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
