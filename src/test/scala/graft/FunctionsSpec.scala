@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+
+/** TextFns / VectorFns unit coverage. The one-shot `...FromText` forms
+  * exist for plan quality (token array bound to a lambda variable so
+  * pushed-down predicate copies don't re-tokenize — see TextFns docs);
+  * these tests pin them to the staged column-by-column forms so the
+  * optimization can never drift semantically. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  leading  and   trailing   whitespace  runs  "),
+    (3L, "two tokens"),
+    (4L, "one"),
+    (5L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (6L, "a b c a b c a b c") // repeated shingles collapse (distinct sets)
+  ).toDF("doc_id", "text")
+
+  test("shingleHashesFromText equals tokens -> shingleHashesFromTokens") {
+    val staged = docs.withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), TextFns.shingleHashesFromTokens("toks", 3).as("sh"))
+    val oneShot = docs.select(col("doc_id"),
+      TextFns.shingleHashesFromText("text", 3).as("sh"))
+    assert(oneShot.collect().toSeq.sortBy(_.getLong(0)) ===
+      staged.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
+  test("short docs produce empty shingle sets, not descending sequences") {
+    val r = docs.where(col("doc_id").isin(3L, 4L))
+      .select(TextFns.shingleHashesFromText("text", 3))
+      .collect().map(_.getSeq[Long](0))
+    assert(r.forall(_.isEmpty))
+  }
+
+  test("minhashSignatureFromText equals staged shingle -> signature") {
+    val staged = docs.withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
+    val oneShot = docs
+      .where(size(TextFns.shingleHashesFromText("text", 3)) > 0)
+      .select(col("doc_id"), TextFns.minhashSignatureFromText("text", 3, 16).as("sig"))
+    assert(oneShot.collect().toSeq.sortBy(_.getLong(0)) ===
+      staged.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
+  test("identical docs share identical minhash signatures") {
+    val sigs = docs.where(col("doc_id").isin(1L, 5L))
+      .select(TextFns.minhashSignatureFromText("text", 3, 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 16)
+  }
+
+  test("simhash32FromText equals staged tokenHashes32 -> simhash32FromHashes") {
+    val staged = docs.withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("hs", TextFns.tokenHashes32("toks"))
+      .select(col("doc_id"), TextFns.simhash32FromHashes("hs").as("sim"))
+    val oneShot = docs.select(col("doc_id"), TextFns.simhash32FromText("text").as("sim"))
+    assert(oneShot.collect().toSeq.sortBy(_.getLong(0)) ===
+      staged.collect().toSeq.sortBy(_.getLong(0)))
+    val values = oneShot.collect().map(_.getLong(1))
+    assert(values.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val fp = Seq("The  Quick\tBrown ", "the quick brown").toDF("text")
+      .select(TextFns.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+  }
+
+  test("langId ties break toward the first listed language") {
+    val langs = Seq("en" -> Seq("the"), "de" -> Seq("der"))
+    val r = Seq("the der", "der", "nothing matches").toDF("text")
+      .select(TextFns.langIdExpr("text", langs)).collect().map(_.getString(0))
+    assert(r(0) === "en") // tie → first listed
+    assert(r(1) === "de")
+    assert(r(2) === "en") // 0-0 tie → first listed
+  }
+
+  test("vector dot/norm/cosine basics") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val r = df.select(col("id"), VectorFns.dot("a", "b").as("dot"),
+        VectorFns.l2Norm("a").as("na"), VectorFns.cosine("a", "b").as("cos"))
+      .collect().sortBy(_.getLong(0))
+    assert(r(0).getDouble(1) === 1.0 && r(0).getDouble(3) === 1.0)
+    assert(r(1).getDouble(1) === 0.0 && r(1).getDouble(3) === 0.0)
+    assert(r(2).getDouble(2) === 5.0)
+    assert(math.abs(r(2).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("hyperplane bucket is deterministic and bounded") {
+    val df = Seq((1L, Array.fill(8)(0.25f)), (2L, Array.fill(8)(-0.25f)))
+      .toDF("vec_id", "embedding")
+    val r1 = df.select(VectorFns.hyperplaneBucket("embedding", 8, 4))
+      .collect().map(_.getLong(0))
+    val r2 = df.select(VectorFns.hyperplaneBucket("embedding", 8, 4))
+      .collect().map(_.getLong(0))
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.forall(b => b >= 0 && b < 16))
+    assert(r1(0) !== r1(1)) // opposite vectors land in complementary buckets
+  }
+}
