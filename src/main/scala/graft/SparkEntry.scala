@@ -316,6 +316,19 @@ object SparkEntry {
              expr("bool_or(k > 90)").as("any_extreme"))
     }),
 
+    // A12: NEAREST-RANK p95 per minute (websocket.py:100-105 `_p95_int`:
+    // rank = max(1, ceil(0.95 n)), 1-indexed over the sorted sample) plus
+    // the any-sample-over-threshold bad flag — the exact latency-metric
+    // semantics, not the interpolating percentile of a6.
+    "a12_latency_p95_nearest" -> ((s, dir) => {
+      eventsK(s, dir)
+        .groupBy("minute")
+        .agg(expr("element_at(array_sort(collect_list(k)), " +
+               "cast(greatest(1, ceil(0.95 * count(k))) as int))").as("p95_engine"),
+             expr("bool_or(k > 90)").as("latency_bad"),
+             count(col("k")).as("n"))
+    }),
+
     // W1: per-group lag → log returns → realized volatility
     // (minute_builder.py:236-242).
     "w1_log_return_vol" -> ((s, dir) => {
@@ -929,6 +942,17 @@ object SparkEntry {
         |       round(CASE WHEN sum(k) > 0 THEN sum(value * k) / sum(k)
         |                  ELSE avg(value) END, 4) AS avg_fill_price,
         |       bool_or(k > 90) AS any_extreme
+        |FROM e GROUP BY minute""".stripMargin,
+
+    "a12_latency_p95_nearest" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute
+        |           FROM events)
+        |SELECT minute,
+        |       list_sort(list(k))[CAST(greatest(1, ceil(0.95 * count(k))) AS INT)]
+        |         AS p95_engine,
+        |       bool_or(k > 90) AS latency_bad,
+        |       count(k) AS n
         |FROM e GROUP BY minute""".stripMargin,
 
     "w1_log_return_vol" ->
