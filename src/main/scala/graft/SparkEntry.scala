@@ -189,16 +189,20 @@ object SparkEntry {
 
     // J2: as-of backward join with tolerance (minute_builder.py:409-454)
     // — hourly spine picks up the latest 'purchase' value no older than
-    // 120 minutes. Composition: union + last-over-window (SURVEY §2.3).
+    // 120 minutes. Uses the BUCKETED composition (window partitioned by
+    // tolerance-length time buckets with right rows replicated into the
+    // next bucket): identical semantics to the plain union+window form,
+    // but the shuffle is hash-distributed instead of single-task — the
+    // form that survives a 100 TB scan.
     "j2_asof_tolerance" -> ((s, dir) => {
       val purchases = Ops.dedupKeepLast(
         t(s, dir, "events").where(col("event_type") === "purchase"),
         Seq("ts"), Seq(col("event_id")))
         .select(col("ts"), col("value").as("asof_value"))
-      AsOf.asofJoinBackward(hourSpine(s, dir), purchases,
-                            leftOn = "h", rightOn = "ts",
-                            valueCols = Seq("asof_value"),
-                            toleranceMs = Some(120L * 60 * 1000))
+      AsOf.asofJoinBackwardBucketed(hourSpine(s, dir), purchases,
+                                    leftOn = "h", rightOn = "ts",
+                                    valueCols = Seq("asof_value"),
+                                    toleranceMs = 120L * 60 * 1000)
         .select(col("h"), round(col("asof_value"), 4).as("asof_value"))
     }),
 
