@@ -182,13 +182,16 @@ object MinuteBuilder {
       pcts
     }
 
+    // bucketed form: same backward+tolerance semantics, but the window
+    // shuffle is hash-distributed by tolerance-length time buckets — a
+    // bulk backfill over years of minutes never funnels into one task
     val withTop = topTrader match {
       case Some(df) =>
-        AsOf.asofJoinBackward(spine,
+        AsOf.asofJoinBackwardBucketed(spine,
           prep(df, "top_trader_ls_ratio_acct", withPcts = true),
           leftOn = "timestamp", rightOn = "data_timestamp",
           valueCols = Seq("top_trader_ls_ratio_acct", "top_trader_long_pct", "top_trader_short_pct"),
-          toleranceMs = Some(tolMs))
+          toleranceMs = tolMs)
       case None =>
         spine.withColumn("top_trader_ls_ratio_acct", lit(null).cast("double"))
           .withColumn("top_trader_long_pct", lit(null).cast("double"))
@@ -196,9 +199,9 @@ object MinuteBuilder {
     }
     val withGlobal = global match {
       case Some(df) =>
-        AsOf.asofJoinBackward(withTop, prep(df, "global_ls_ratio_acct", withPcts = false),
+        AsOf.asofJoinBackwardBucketed(withTop, prep(df, "global_ls_ratio_acct", withPcts = false),
           leftOn = "timestamp", rightOn = "data_timestamp",
-          valueCols = Seq("global_ls_ratio_acct"), toleranceMs = Some(tolMs))
+          valueCols = Seq("global_ls_ratio_acct"), toleranceMs = tolMs)
       case None =>
         withTop.withColumn("global_ls_ratio_acct", lit(null).cast("double"))
     }

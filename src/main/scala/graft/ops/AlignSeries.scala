@@ -39,8 +39,9 @@ object AlignSeries {
         AsOf.asofJoinBackward(withKey, series, alignKey, seriesTs, valueCols,
           toleranceMs = None)
       case Mode.FfillWithMaxAge(maxAge) =>
-        AsOf.asofJoinBackward(withKey, series, alignKey, seriesTs, valueCols,
-          toleranceMs = Some(maxAge))
+        // finite max-age → bucketed composition (hash-distributed window)
+        AsOf.asofJoinBackwardBucketed(withKey, series, alignKey, seriesTs,
+          valueCols, toleranceMs = maxAge)
       case Mode.Exact =>
         val floored = barMs match {
           case 0L => series.withColumn(alignKey, col(seriesTs))
