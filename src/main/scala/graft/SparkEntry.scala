@@ -206,11 +206,17 @@ object SparkEntry {
         .select(col("h"), round(col("asof_value"), 4).as("asof_value"))
     }),
 
-    // J6: anti join — customers that never ordered (validator.py:45-52).
+    // J6: anti join — customers with no order inside the window
+    // (missing-bucket detection pattern, validator.py:45-52; the window
+    // keeps the result non-empty on the synthetic data, where every
+    // customer has ordered at least once overall).
     "j6_anti_customers" -> ((s, dir) => {
+      val orders1995 = t(s, dir, "orders")
+        .where(col("o_orderdate").between(lit("1995-01-01").cast("timestamp"),
+                                          lit("1995-12-31").cast("timestamp")))
       Ops.antiByKeys(
         t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
-        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        orders1995.withColumnRenamed("o_custkey", "custkey"),
         Seq("custkey"))
         .select(col("custkey").as("c_custkey"), col("c_name"))
     }),
@@ -723,12 +729,16 @@ object SparkEntry {
     "a8_indicator_ohlc" -> ((s, dir) => {
       val ord = struct(col("ts"), col("event_id"))
       val vv = when(col("event_type") === "view", col("value"))
-      val minutes = eventsK(s, dir).groupBy("minute").agg(
-          Ops.firstNonNullByOrd(vv, ord).as("open"),
-          max(col("value")).as("high"),
-          min(col("value")).as("low"),
-          Ops.lastNonNullByOrd(vv, ord).as("close"))
-        .withColumnRenamed("minute", "timestamp")
+      val perMin = eventsK(s, dir).groupBy("minute").agg(
+        Ops.firstNonNullByOrd(vv, ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        Ops.lastNonNullByOrd(vv, ord).as("close"))
+      // DENSE frame (spine left-join): the completeness gate counts
+      // minutes-in-bucket, so a sparse frame would gate every bucket out
+      val minutes = minuteSpine(s, dir)
+        .join(perMin, col("m") === col("minute"), "left")
+        .drop("minute").withColumnRenamed("m", "timestamp")
       val endTime = t(s, dir, "events").agg(max(col("ts")))
         .first().getTimestamp(0).toInstant
       graft.operators.Indicators
@@ -873,7 +883,10 @@ object SparkEntry {
 
     "j6_anti_customers" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+        |                      AND TIMESTAMP '1995-12-31')""".stripMargin,
 
     "j9_star_join_revenue" ->
       """SELECT n_name,
@@ -1379,10 +1392,16 @@ object SparkEntry {
         |  SELECT minute, value, row_number() OVER
         |    (PARTITION BY minute ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT date_trunc('minute', min(ts)) FROM events),
+        |    (SELECT date_trunc('minute', max(ts)) FROM events),
+        |    INTERVAL 1 MINUTE)) AS m),
         |mins AS (
-        |  SELECT hl.minute, vo.o, hl.high, hl.low, vc.c
-        |  FROM hl LEFT JOIN vo ON hl.minute = vo.minute
-        |          LEFT JOIN vc ON hl.minute = vc.minute),
+        |  SELECT spine.m AS minute, vo.o, hl.high, hl.low, vc.c
+        |  FROM spine LEFT JOIN hl ON spine.m = hl.minute
+        |             LEFT JOIN vo ON spine.m = vo.minute
+        |             LEFT JOIN vc ON spine.m = vc.minute),
         |bo AS (SELECT bs, o FROM (
         |  SELECT time_bucket(INTERVAL 15 MINUTE, minute) AS bs, o, row_number()
         |    OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, minute)
