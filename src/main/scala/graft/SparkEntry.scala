@@ -44,31 +44,51 @@ object SparkEntry {
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      if (sql.regionMatches(true, i, "round(", 0, 6)) {
+      // require a non-identifier char before the match so e.g. `around(`
+      // or `my_round(` is left alone
+      val atWordStart = i == 0 || {
+        val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
+      }
+      if (atWordStart && sql.regionMatches(true, i, "round(", 0, 6)) {
+        // balance parens, skipping over single-quoted string literals
         var depth = 1
         var j = i + 6
-        while (depth > 0) {
+        var inStr = false
+        while (depth > 0 && j < sql.length) {
           val ch = sql.charAt(j)
-          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          if (inStr) { if (ch == '\'') inStr = false }
+          else if (ch == '\'') inStr = true
+          else if (ch == '(') depth += 1
+          else if (ch == ')') depth -= 1
           j += 1
         }
-        val inner = sql.substring(i + 6, j - 1)
-        // split at the top-level comma (the scale argument)
+        // top-level comma (the scale argument), quote-aware
+        val inner = if (depth == 0) sql.substring(i + 6, j - 1) else ""
         var d = 0
         var cut = -1
         var k = 0
+        var inStr2 = false
         while (k < inner.length) {
           val ch = inner.charAt(k)
-          if (ch == '(') d += 1
+          if (inStr2) { if (ch == '\'') inStr2 = false }
+          else if (ch == '\'') inStr2 = true
+          else if (ch == '(') d += 1
           else if (ch == ')') d -= 1
           else if (ch == ',' && d == 0) cut = k
           k += 1
         }
-        val e = stableRoundSql(inner.substring(0, cut))
-        val n = inner.substring(cut + 1).trim.toInt
-        out.append(s"CAST(round(CAST(CAST(round($e, ${n + 5}) AS VARCHAR) " +
-          s"AS DECIMAL(38,12)), $n) AS DOUBLE)")
-        i = j
+        val scaleOk = cut >= 0 &&
+          inner.substring(cut + 1).trim.forall(c => c.isDigit || c == '-')
+        if (depth != 0 || !scaleOk) {
+          // unbalanced or not a literal-scale round: pass through verbatim
+          out.append(sql.charAt(i)); i += 1
+        } else {
+          val e = stableRoundSql(inner.substring(0, cut))
+          val n = inner.substring(cut + 1).trim.toInt
+          out.append(s"CAST(round(CAST(CAST(round($e, ${n + 5}) AS VARCHAR) " +
+            s"AS DECIMAL(38,12)), $n) AS DOUBLE)")
+          i = j
+        }
       } else {
         out.append(sql.charAt(i))
         i += 1
@@ -838,7 +858,7 @@ object SparkEntry {
         |SELECT event_type,
         |       round(sum(CASE WHEN k >= 50 THEN value ELSE 0 END), 4) AS whale_value,
         |       round(sum(CASE WHEN k < 50 THEN value ELSE 0 END), 4) AS retail_value,
-        |       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS whale_cnt,
+        |       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS whale_cnt,
         |       count(*) AS cnt
         |FROM e GROUP BY event_type""".stripMargin,
 
@@ -943,7 +963,8 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, count(*) AS n_rows,
         |       count(DISTINCT event_id) AS n_unique_ids,
         |       count(DISTINCT user_id) AS n_users,
-        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_values,
+        |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS null_values,
         |       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -954,8 +975,8 @@ object SparkEntry {
         |SELECT minute,
         |       round(sum(CASE WHEN k % 2 = 0 THEN value ELSE 0 END), 4) AS long_vol,
         |       round(sum(CASE WHEN k % 2 <> 0 THEN value ELSE 0 END), 4) AS short_vol,
-        |       sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS long_count,
-        |       sum(CASE WHEN k % 2 <> 0 THEN 1 ELSE 0 END) AS short_count,
+        |       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS long_count,
+        |       CAST(sum(CASE WHEN k % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS short_count,
         |       round(CASE WHEN sum(k) > 0 THEN sum(value * k) / sum(k)
         |                  ELSE avg(value) END, 4) AS avg_fill_price,
         |       bool_or(k > 90) AS any_extreme
@@ -1076,7 +1097,8 @@ object SparkEntry {
 
     "txt_token_count" ->
       """SELECT source,
-        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |         AS total_tokens,
         |       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
@@ -1211,7 +1233,7 @@ object SparkEntry {
         |       round(min(lo), 4) AS low, round(any_value(bc), 4) AS close,
         |       round(sum(vb), 4) AS volume_btc,
         |       round(CASE WHEN sum(vb) > 0 THEN sum(vu) / sum(vb) END, 4) AS vwap,
-        |       sum(tc) AS trade_count,
+        |       CAST(sum(tc) AS BIGINT) AS trade_count,
         |       count(*) AS observed_minutes_in_bucket,
         |       60 - count(*) AS missing_minutes_count,
         |       count(*) = 60 AS bucket_complete,
@@ -1268,7 +1290,7 @@ object SparkEntry {
         |SELECT bs AS timestamp, round(o, 4) AS open, round(c, 4) AS close,
         |       round(vb, 4) AS volume_btc,
         |       round(CASE WHEN vb > 0 THEN notional / vb ELSE c END, 4) AS vwap_bar,
-        |       tc AS trade_count, round(fr, 6) AS funding_rate,
+        |       CAST(tc AS BIGINT) AS trade_count, round(fr, 6) AS funding_rate,
         |       round(sum(net) OVER (ORDER BY bs
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cvd_btc
         |FROM tl""".stripMargin,

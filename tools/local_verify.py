@@ -21,15 +21,16 @@ def load(sf_dir, out_dir):
     return con, oracle
 
 def norm(df):
+    # Bit-exact, dtype-sensitive normalization: every cell becomes its repr
+    # string, so int64 997 vs float64 997.0 (DuckDB HUGEINT → pandas float)
+    # and 1-ulp double differences BOTH fail — mirroring the driver's hash.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: repr(v))
     return df
 
 def main():
