@@ -87,42 +87,70 @@ object AggregatorRunner {
       }
 
   /** Startup backfill for one (symbol, timeframe) (reference
-    * `backfill.py:41-102`). */
+    * `backfill.py:41-102`), re-planned for a cluster:
+    *
+    *  - the missing-bucket set stays a DataFrame end to end — the source
+    *    read is bounded to [min(missing), max(missing)] (partition
+    *    pruning) and restricted to exactly the missing buckets with a
+    *    distributed semi-join, so the driver never materializes
+    *    O(buckets) lists (only 3 scalar bounds + 2 metric rows);
+    *  - ONE aggregation plan and ONE bulk dynamic-partition-overwrite
+    *    write cover the whole backfill, vs a per-window × per-day job
+    *    loop that re-ran the aggregation once per day;
+    *  - the watermark advances to the last bucket actually WRITTEN
+    *    complete — a trailing incomplete (skipped) bucket stays in front
+    *    of the watermark so [[runIncremental]] revisits it once its
+    *    remaining minutes arrive.
+    */
   def runBackfill(spark: SparkSession, reader: MinuteLakeReader,
                   writer: HtfLakeWriter, state: AggregatorStateStore,
                   htfRoot: String, symbol: String, spec: TimeframeSpec,
                   allowIncomplete: Boolean = false): BackfillResult = {
     val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
     val missing = detectMissingBuckets(
-      reader.scanAvailableMinutes(spark, symbol), existing, spec)
-      .collect().map(_.getTimestamp(0).toInstant).toSeq
+      reader.scanAvailableMinutes(spark, symbol), existing, spec).persist()
+    try {
+      val bounds = missing
+        .agg(count(lit(1)).as("n"), min("bucket_start").as("lo"), max("bucket_start").as("hi"))
+        .collect()(0)
+      if (bounds.getLong(0) == 0L) return BackfillResult(0, 0, 0, 0)
+      val nMissing = bounds.getLong(0)
+      val lo = bounds.getTimestamp(1).toInstant
+      val hiExclusive = spec.addBuckets(bounds.getTimestamp(2).toInstant)
 
-    if (missing.isEmpty) return BackfillResult(0, 0, 0, 0)
+      val source = reader
+        .readWindow(spark, symbol, lo, hiExclusive.minus(1, ChronoUnit.MINUTES))
+        .withColumn("__bucket", spec.bucketStart(col("timestamp")))
+        .join(missing.withColumnRenamed("bucket_start", "__bucket"),
+              Seq("__bucket"), "left_semi")
+        .drop("__bucket")
+      val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol).persist()
+      try {
+        val kept =
+          if (allowIncomplete) aggregated
+          else aggregated.where(col("bucket_complete"))
+        val m = aggregated.agg(
+          count(lit(1)).as("total"),
+          sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("n_complete"),
+          max(when(col("bucket_complete"), col("bucket_start"))).as("last_complete"))
+          .collect()(0)
+        val total = m.getLong(0)
+        val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
+        val written = if (allowIncomplete) total else nComplete
+        val skipped = total - nComplete
 
-    val existingComplete = existing.where(col("bucket_complete"))
-      .select("bucket_start").collect().map(_.getTimestamp(0).toInstant).toSet
-
-    var written = 0L
-    var skipped = 0L
-    var repaired = 0L
-    for (w <- coalesceBucketWindows(missing, spec)) {
-      val endExclusive = spec.addBuckets(w.end)
-      val source = reader.readWindow(spark, symbol, w.start,
-        endExclusive.minus(1, ChronoUnit.MINUTES))
-      val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol)
-      val kept =
-        if (allowIncomplete) aggregated
-        else aggregated.where(col("bucket_complete"))
-      val keptStarts = kept.select("bucket_start").collect()
-        .map(_.getTimestamp(0).toInstant)
-      skipped += (aggregated.count() - keptStarts.length)
-      if (keptStarts.nonEmpty) {
-        repaired += keptStarts.count(existingComplete.contains)
-        written += writeBucketsByDay(spark, writer, spec.name, symbol, kept)
-      }
-    }
-    missing.lastOption.foreach(state.set(symbol, spec.name, _))
-    BackfillResult(missing.size, written, skipped, repaired)
+        var repaired = 0L
+        if (written > 0) {
+          repaired = kept.join(
+            existing.where(col("bucket_complete")).select("bucket_start"),
+            Seq("bucket_start"), "left_semi").count()
+          writer.writeBucketsBulk(spark, spec.name, symbol, kept)
+        }
+        if (!m.isNullAt(2))
+          state.set(symbol, spec.name, m.getTimestamp(2).toInstant)
+        BackfillResult(nMissing, written, skipped, repaired)
+      } finally aggregated.unpersist()
+    } finally missing.unpersist()
   }
 
   /** Continuous incremental run: recompute from
@@ -150,22 +178,27 @@ object AggregatorRunner {
     }
 
     val source = reader.readWindow(spark, symbol, start, latestMinute)
-    val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol)
-    val scanned = aggregated.count()
-    val kept =
-      if (allowIncomplete) aggregated else aggregated.where(col("bucket_complete"))
-    val keptStarts = kept.select("bucket_start").collect()
-      .map(_.getTimestamp(0).toInstant)
-    val skipped = scanned - keptStarts.length
-
-    var written = 0L
-    var repaired = 0L
-    if (keptStarts.nonEmpty) {
-      val existingComplete = existing.where(col("bucket_complete"))
-        .select("bucket_start").collect().map(_.getTimestamp(0).toInstant).toSet
-      repaired = keptStarts.count(existingComplete.contains).toLong
-      written = writeBucketsByDay(spark, writer, spec.name, symbol, kept)
-    }
+    val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol).persist()
+    val (scanned, written, skipped, repaired) =
+      try {
+        val kept =
+          if (allowIncomplete) aggregated else aggregated.where(col("bucket_complete"))
+        val m = aggregated.agg(
+          count(lit(1)).as("total"),
+          sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("n_complete"))
+          .collect()(0)
+        val total = m.getLong(0)
+        val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
+        val nKept = if (allowIncomplete) total else nComplete
+        var rep = 0L
+        if (nKept > 0) {
+          rep = kept.join(
+            existing.where(col("bucket_complete")).select("bucket_start"),
+            Seq("bucket_start"), "left_semi").count()
+          writer.writeBucketsBulk(spark, spec.name, symbol, kept)
+        }
+        (total, nKept, total - nComplete, rep)
+      } finally aggregated.unpersist()
 
     val lastCompleted = scanExistingIndex(spark, htfRoot, spec.name, symbol)
       .where(col("bucket_complete"))
@@ -178,23 +211,6 @@ object AggregatorRunner {
       math.max(lagMs / 60000L, 0L)
     }
     IncrementalResult(scanned, written, skipped, repaired, lag)
-  }
-
-  /** Group aggregated buckets by UTC day and write each day partition
-    * through the merge-dedup writer (reference `target_writer.py:14-38`). */
-  private def writeBucketsByDay(spark: SparkSession, writer: HtfLakeWriter,
-                                timeframe: String, symbol: String,
-                                buckets: DataFrame): Long = {
-    val days = buckets
-      .select(to_date(col("bucket_start")).as("d"))
-      .distinct().collect().map(_.getDate(0).toLocalDate)
-    var written = 0L
-    for (day <- days) {
-      val dayBuckets = buckets.where(to_date(col("bucket_start")) === java.sql.Date.valueOf(day))
-      written += dayBuckets.count()
-      writer.writeBuckets(spark, timeframe, symbol, day, dayBuckets)
-    }
-    written
   }
 
   /** Partition-change detection (reference `aggregator/main.py:102-137`):

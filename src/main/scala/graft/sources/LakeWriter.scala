@@ -117,16 +117,25 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
 }
 
 object MinuteLakeWriter {
-  /** Atomic publish (reference `atomic.py:38-44`): delete any previous
-    * partition directory and rename the freshly-written tmp directory
-    * into place, so concurrent readers see either the old or the new
-    * partition, never a half-written one. */
+  /** Atomic publish (reference `atomic.py:38-44`): rename the previous
+    * partition directory aside (into the dot-prefixed tmp area, which
+    * readers never list), rename the freshly-written tmp directory into
+    * place, then delete the aside copy. Readers see the old or the new
+    * partition except during the instant between the two renames (a
+    * brief missing-partition window); a crash in that window leaves the
+    * old data recoverable under `.tmp` rather than lost. */
   def publishAtomically(fs: FileSystem, tmpDir: String, finalDir: String): Unit = {
     val finalPath = new HPath(finalDir)
-    if (fs.exists(finalPath)) fs.delete(finalPath, true)
+    val aside = new HPath(tmpDir + ".aside")
     fs.mkdirs(finalPath.getParent)
-    if (!fs.rename(new HPath(tmpDir), finalPath))
+    val hadOld = fs.exists(finalPath)
+    if (hadOld && !fs.rename(finalPath, aside))
+      throw new RuntimeException(s"aside rename failed for $finalDir")
+    if (!fs.rename(new HPath(tmpDir), finalPath)) {
+      if (hadOld) fs.rename(aside, finalPath) // restore the old partition
       throw new RuntimeException(s"atomic rename failed for $finalDir")
+    }
+    if (hadOld) fs.delete(aside, true)
   }
 }
 
@@ -138,6 +147,73 @@ class HtfLakeWriter(root: String) {
   def partitionDir(timeframe: String, symbol: String, day: java.time.LocalDate): String =
     f"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}/year=${day.getYear}%04d/" +
       f"month=${day.getMonthValue}%02d/day=${day.getDayOfMonth}%02d"
+
+  def symbolDir(timeframe: String, symbol: String): String =
+    s"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
+
+  /** Bulk path (reference `target_writer.py:59-69`, re-planned for a
+    * cluster): merge-dedup the incoming buckets against ONLY the touched
+    * day partitions and rewrite them all in ONE dynamic-partition-
+    * overwrite job — O(1) Spark jobs in the number of days, vs the
+    * per-day loop of [[writeBuckets]] which re-ran the upstream plan
+    * once per day.
+    *
+    * Existing sibling buckets inside a touched day that are not in
+    * `buckets` survive via the merge (last-wins on `bucket_start`,
+    * incoming wins). Because the merged plan reads the same directory it
+    * overwrites, the merge is staged through a `.tmp` parquet dir
+    * (2 sequential jobs); a fresh lake skips the staging (1 job).
+    */
+  def writeBucketsBulk(spark: SparkSession, timeframe: String, symbol: String,
+                       buckets: DataFrame): Unit = {
+    val dir = symbolDir(timeframe, symbol)
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withDayCols(df: DataFrame): DataFrame = df
+      .withColumn("year", date_format(col("bucket_start"), "yyyy"))
+      .withColumn("month", date_format(col("bucket_start"), "MM"))
+      .withColumn("day", date_format(col("bucket_start"), "dd"))
+
+    val hasExisting = fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty
+    val merged =
+      if (!hasExisting) buckets
+      else {
+        // Semi-join on the INFERRED partition columns (ints) so Catalyst
+        // can partition-prune the existing scan down to touched days.
+        val touchedDays = withDayCols(buckets)
+          .select(col("year").cast("int").as("year"),
+                  col("month").cast("int").as("month"),
+                  col("day").cast("int").as("day"))
+          .distinct()
+        val existingTouched = spark.read.parquet(dir)
+          .join(broadcast(touchedDays), Seq("year", "month", "day"), "left_semi")
+          .drop("year", "month", "day")
+        Ops.dedupKeepLast(
+          existingTouched.withColumn("__src", lit(0))
+            .unionByName(buckets.withColumn("__src", lit(1)), allowMissingColumns = true),
+          Seq("bucket_start"), Seq(col("__src"))).drop("__src")
+      }
+
+    // stage through .tmp when merging: Spark refuses to overwrite a path
+    // its own plan reads from, and readers never list dot-dirs
+    val tmp =
+      if (!hasExisting) None
+      else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val stage = tmp match {
+      case None => merged
+      case Some(t) =>
+        merged.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+        spark.read.parquet(t)
+    }
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    withDayCols(stage)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "day")
+      .option("compression", "zstd")
+      .parquet(dir)
+    tmp.foreach(t => fs.delete(new HPath(t), true))
+  }
 
   def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
                    day: java.time.LocalDate, buckets: DataFrame): String = {

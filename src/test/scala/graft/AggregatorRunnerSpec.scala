@@ -95,6 +95,42 @@ class AggregatorRunnerSpec extends SparkSpec {
     assert(after.select("close").head.getDouble(0) == 500.5 && before == 104.5)
   }
 
+  test("watermark stops at last WRITTEN-complete bucket, not last missing") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    // 7 minutes: one complete 5m bucket + an incomplete trailing bucket
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 7))
+    AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"))
+    // the skipped 00:05 bucket must stay ahead of the watermark…
+    assert(state.get("BTCUSDT", "5m").contains(instant("2026-01-01T00:00:00Z")))
+    // …so when its minutes arrive (even past any repair lookback) the
+    // incremental run still materializes it
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10))
+    val inc = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", Timeframes.parse("5m"), repairLookbackMinutes = 0)
+    assert(inc.bucketsWritten >= 1)
+    assert(AggregatorRunner.scanExistingIndex(spark, s"$dir/htf", "5m", "BTCUSDT")
+      .where(col("bucket_start") === ts("2026-01-01T00:05:00Z"))
+      .count() == 1)
+  }
+
+  test("bulk write preserves sibling buckets in a partially-rewritten day") {
+    val (dir, _, _, hw, _) = newEnv()
+    def bucketRow(iso: String, close: Double) =
+      Seq((java.sql.Timestamp.from(instant(iso)), close, true))
+        .toDF("bucket_start", "close", "bucket_complete")
+    hw.writeBucketsBulk(spark, "1h", "BTCUSDT",
+      bucketRow("2026-01-01T00:00:00Z", 1.0)
+        .unionByName(bucketRow("2026-01-01T05:00:00Z", 2.0)))
+    // rewrite only the 05:00 bucket; 00:00 (same day partition) must survive
+    hw.writeBucketsBulk(spark, "1h", "BTCUSDT", bucketRow("2026-01-01T05:00:00Z", 9.0))
+    val rows = spark.read.parquet(s"$dir/htf/timeframe=1h/symbol=BTCUSDT")
+      .orderBy("bucket_start").select("close").collect().map(_.getDouble(0)).toSeq
+    assert(rows == Seq(1.0, 9.0))
+  }
+
   test("coalesceBucketWindows groups contiguous runs (validator.py:55-72)") {
     val spec = Timeframes.parse("5m")
     val buckets = Seq("00:00", "00:05", "00:10", "00:25", "00:30", "01:00")
