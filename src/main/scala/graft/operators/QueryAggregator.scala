@@ -24,21 +24,40 @@ object QueryAggregator {
   private def zi(c: String): Column = coalesce(col(c), lit(0L))
   private def f(c: String): Column = coalesce(col(c), lit(false))
 
+  /** Exact nearest-rank p95 over the group's non-null samples —
+    * `element_at(sorted, max(1, ceil(0.95 n)))`, NULL when no samples
+    * (guarded: ANSI element_at errors on an empty array). Groups are
+    * bar-sized (≤ minutes-per-bucket rows), so the sorted collect is
+    * bounded. */
+  private def p95NearestRank(c: Column): Column =
+    when(count(c) > 0,
+      element_at(array_sort(collect_list(c)),
+        greatest(lit(1), ceil(lit(0.95) * count(c))).cast("int")))
+
   /** Unbounded forward-fill of point-in-time snapshot metrics
-    * (reference `aggregation.py:16-24`). */
-  def ffillSnapshots(frame: DataFrame): DataFrame = {
+    * (reference `aggregation.py:16-24`). Pass `partitionCols` (e.g.
+    * `Seq("symbol")`) for any multi-series frame: an unpartitioned
+    * unbounded window funnels every row through ONE task — fine for the
+    * API's driver-bounded single-symbol windows, a scale-killer
+    * anywhere else. */
+  def ffillSnapshots(frame: DataFrame, partitionCols: Seq[String] = Nil): DataFrame = {
     val cols = Seq("funding_rate", "oi_contracts", "oi_value_usdt",
       "top_trader_ls_ratio_acct", "global_ls_ratio_acct",
       "top_trader_long_pct", "top_trader_short_pct")
+    val pc = partitionCols.map(col)
     cols.foldLeft(frame) { (df, c) =>
-      df.withColumn(c, Ops.boundedFfill(col(c), Seq(col("timestamp")), None))
+      df.withColumn(c, Ops.boundedFfill(col(c), Seq(col("timestamp")), None, pc))
     }
   }
 
   /** Aggregate a canonical 1m frame to `spec`, keeping only complete
-    * windows, limited to the trailing `limit` bars. */
-  def aggregateCanonicalFrame(frameIn: DataFrame, spec: TimeframeSpec, limit: Int): DataFrame = {
-    val frame = ffillSnapshots(frameIn)
+    * windows, limited to the trailing `limit` bars (per series when
+    * `partitionCols` is non-empty — every window, groupBy and tail is
+    * then keyed by the series columns too, so multi-symbol frames
+    * shuffle by symbol instead of single-tasking). */
+  def aggregateCanonicalFrame(frameIn: DataFrame, spec: TimeframeSpec, limit: Int,
+                              partitionCols: Seq[String] = Nil): DataFrame = {
+    val frame = ffillSnapshots(frameIn, partitionCols)
     val ts = col("timestamp")
 
     val vwapNotional =
@@ -55,7 +74,7 @@ object QueryAggregator {
       .withColumn("_liq_total_notional_row", liqTotalNotional)
       .withColumn("_liq_estimated_qty_row", liqEstimatedQty)
 
-    val grouped = prepped.groupBy("bucket_start").agg(
+    val grouped = prepped.groupBy("bucket_start", partitionCols: _*).agg(
       count(lit(1)).as("_minute_count"),
       (Seq(
         max(f("has_ws_latency")).as("has_ws_latency"),
@@ -65,13 +84,13 @@ object QueryAggregator {
         max(col("event_time")).as("event_time"),
         max(col("transact_time")).as("transact_time"),
         max(col("arrival_time")).as("arrival_time"),
-        // exact nearest-rank p95 (reference quantile(0.95, "nearest")):
-        // exact `percentile` + ceil-rank emulation via sorted collect is
-        // overkill for ≤ bar-sized groups; `percentile` with interpolation
-        // differs from nearest-rank, so use percentile_approx which is
-        // EXACT nearest-or-lower for small groups — verified in specs.
-        percentile_approx(col("latency_engine"), lit(0.95), lit(10000)).as("latency_engine"),
-        percentile_approx(col("latency_network"), lit(0.95), lit(10000)).as("latency_network"),
+        // exact nearest-rank p95 (reference quantile(0.95, "nearest"),
+        // `_p95_int` websocket.py:100-105): rank = max(1, ceil(0.95 n))
+        // over the sorted non-null samples. Interpolating `percentile`
+        // and `percentile_approx` both diverge from nearest-rank by one
+        // rank on some group sizes (e.g. n=10) — pinned in specs.
+        p95NearestRank(col("latency_engine")).as("latency_engine"),
+        p95NearestRank(col("latency_network")).as("latency_network"),
         max(f("ws_latency_bad")).as("_ws_latency_bad"),
         min(col("update_id_start")).as("update_id_start"),
         max(col("update_id_end")).as("update_id_end"),
@@ -164,19 +183,29 @@ object QueryAggregator {
         "_liq_unfilled_supported")
 
     // tail(limit): top-k by time desc then restore ascending order —
-    // Catalyst plans TakeOrderedAndProject, no full sort.
-    val tailed = complete.orderBy(col("timestamp").desc).limit(limit)
-      .orderBy(col("timestamp"))
+    // unpartitioned, Catalyst plans TakeOrderedAndProject (no full
+    // sort); per-series, a rank window bounded by the series key.
+    val tailed =
+      if (partitionCols.isEmpty)
+        complete.orderBy(col("timestamp").desc).limit(limit)
+          .orderBy(col("timestamp"))
+      else {
+        val w = Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(col("timestamp").desc)
+        complete.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= limit).drop("__rn")
+          .orderBy((partitionCols.map(col) :+ col("timestamp")): _*)
+      }
 
-    addServiceFields(tailed)
+    addServiceFields(tailed, partitionCols)
   }
 
   /** Service-only derived fields + CVD (reference
     * `aggregation.py:177-227`). */
-  def addServiceFields(df: DataFrame): DataFrame = {
+  def addServiceFields(df: DataFrame, partitionCols: Seq[String] = Nil): DataFrame = {
     val g = col("global_ls_ratio_acct")
     val gOk = g.isNotNull && g > 0
-    val w = Window.orderBy("timestamp")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy("timestamp")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df
       .withColumn("global_long_pct", when(gOk, g / (g + 1.0)))
@@ -198,8 +227,8 @@ object QueryAggregator {
 
   /** Bar-over-bar lag deltas appended at serialization time (reference
     * `service.py:1218-1257`). NULL on the first bar. */
-  def addDeltaFields(df: DataFrame): DataFrame = {
-    val w = Window.orderBy("timestamp")
+  def addDeltaFields(df: DataFrame, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy("timestamp")
     def d(c: String): Column = col(c) - lag(col(c), 1).over(w)
     df
       .withColumn("net_long", when(col("global_long_usd").isNotNull, col("global_long_usd")))

@@ -54,6 +54,52 @@ class QueryAggregatorSpec extends SparkSpec {
     assert(got == Seq(0.5, 0.0, 0.5))
   }
 
+  test("multi-symbol frames aggregate per symbol with no unpartitioned window") {
+    val two = canonicalMinutes(12).withColumn("symbol", lit("AAA"))
+      .unionByName(canonicalMinutes(12).withColumn("symbol", lit("BBB"))
+        .withColumn("close", col("close") + 1000.0))
+    val out = QueryAggregator.aggregateCanonicalFrame(
+      two, Timeframes.parse("5m"), limit = 1, partitionCols = Seq("symbol"))
+    // every logical Window must carry a partition spec — an empty one
+    // would funnel the whole frame through a single task at scale
+    val unpartitioned = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "found unpartitioned window in plan")
+    val rows = out.select("symbol", "timestamp", "close").collect()
+    // per-symbol tail(1): one bar each, the 10:05 window
+    assert(rows.length == 2)
+    assert(rows.forall(_.getTimestamp(1).toInstant == instant("2026-01-15T10:05:00Z")))
+    val bySym = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(bySym("AAA") == 109.5 && bySym("BBB") == 1109.5)
+    // delta fields must also partition by symbol (no cross-series lag)
+    val withDeltas = QueryAggregator.addDeltaFields(
+      QueryAggregator.aggregateCanonicalFrame(
+        two, Timeframes.parse("5m"), limit = 200, partitionCols = Seq("symbol")),
+      partitionCols = Seq("symbol"))
+    val firstBars = withDeltas.where(col("timestamp") === ts("2026-01-15T10:00:00Z"))
+      .select("realized_vol_bar").collect()
+    assert(firstBars.length == 2 && firstBars.forall(_.isNullAt(0)))
+  }
+
+  test("latency p95 is exact nearest-rank, not interpolating (websocket.py:100-105)") {
+    // samples 1..5 in one 5m bucket: nearest-rank p95 takes rank
+    // ceil(0.95*5)=5 → 5.0; interpolating percentile would give 4.8
+    val base = canonicalMinutes(10)
+    val lat = base.withColumn("latency_engine",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("timestamp"))).cast("long"))
+    val out = QueryAggregator.aggregateCanonicalFrame(
+      MinuteBuilder.finalizeSchema(lat), Timeframes.parse("5m"), limit = 10)
+    assert(out.orderBy("timestamp").select("latency_engine")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 10L))
+    // all-null group → NULL, not an ANSI element_at error
+    val out2 = QueryAggregator.aggregateCanonicalFrame(
+      canonicalMinutes(10), Timeframes.parse("5m"), limit = 10)
+    assert(out2.select("latency_engine").collect().forall(_.isNullAt(0)))
+  }
+
   test("delta fields lag by one bar and are NULL on the first (service.py:1218-1257)") {
     val agg = QueryAggregator.aggregateCanonicalFrame(
       canonicalMinutes(15), Timeframes.parse("5m"), limit = 200)
