@@ -122,4 +122,38 @@ object VisionLoader {
     * sums/counts downstream in MinuteBuilder.metricsFrame. */
   def metricsFromZips(spark: SparkSession, zipGlob: String, hasHeader: Boolean = true): DataFrame =
     readZipCsv(spark, zipGlob, metricsCsvSchema, hasHeader)
+
+  val aggTradesCsvSchema: StructType = StructType(Seq(
+    StructField("agg_trade_id", LongType), StructField("price", DoubleType),
+    StructField("quantity", DoubleType), StructField("first_trade_id", LongType),
+    StructField("last_trade_id", LongType), StructField("transact_time", LongType),
+    StructField("is_buyer_maker", BooleanType)))
+
+  /** aggTrades stream loader (reference `vision_loader.py:120-155`).
+    * The reference coalesces header-name variants
+    * (aggregate_trade_id/timestamp/was_buyer_maker); our reads are
+    * positional against the declared daily layout, which is the same for
+    * both namings, so the coalesce collapses to the rename below. */
+  def aggTradesFromZips(spark: SparkSession, zipGlob: String,
+                        startMs: Long, endMs: Long, hasHeader: Boolean = false): DataFrame =
+    filterWindow(readZipCsv(spark, zipGlob, aggTradesCsvSchema, hasHeader),
+      "transact_time", startMs, endMs)
+      .select(col("agg_trade_id"), col("price"), col("quantity").as("qty"),
+        col("first_trade_id"), col("last_trade_id"), col("transact_time"),
+        col("is_buyer_maker"))
+
+  val bookTickerCsvSchema: StructType = StructType(Seq(
+    StructField("update_id", LongType), StructField("best_bid_price", DoubleType),
+    StructField("best_bid_qty", DoubleType), StructField("best_ask_price", DoubleType),
+    StructField("best_ask_qty", DoubleType), StructField("transaction_time", LongType),
+    StructField("event_time", LongType)))
+
+  /** bookTicker stream loader (reference `vision_loader.py:157-182`). */
+  def bookTickerFromZips(spark: SparkSession, zipGlob: String,
+                         startMs: Long, endMs: Long, hasHeader: Boolean = false): DataFrame =
+    filterWindow(readZipCsv(spark, zipGlob, bookTickerCsvSchema, hasHeader),
+      "event_time", startMs, endMs)
+      .select(col("update_id"), col("best_bid_price").as("bid_price"),
+        col("best_bid_qty").as("bid_qty"), col("best_ask_price").as("ask_price"),
+        col("best_ask_qty").as("ask_qty"), col("transaction_time"), col("event_time"))
 }

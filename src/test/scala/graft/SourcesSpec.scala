@@ -110,4 +110,130 @@ class SourcesSpec extends SparkSpec {
     val got = RestClient.fanOut(Seq(() => 1, () => 2, () => 3))
     assert(got == Seq(1, 2, 3))
   }
+
+  test("aggTrades + bookTicker Vision loaders: renames and window filters (vision_loader.py:96-182)") {
+    val dir = Files.createTempDirectory("vision3").toString
+    val t0 = ms("2026-01-15T10:00:00Z")
+    writeZip(dir, "BTCUSDT-aggTrades-2026-01-15.zip",
+      Seq(s"1001,100.25,0.5,2000,2003,$t0,true",
+          s"1002,100.30,0.7,2004,2004,${t0 + 60000},false",
+          s"1003,100.40,0.1,2005,2005,${t0 + 999999},true").mkString("\n"))
+    val trades = VisionLoader.aggTradesFromZips(
+      spark, s"$dir/BTCUSDT-aggTrades-*.zip", t0, t0 + 60000)
+    val tr = trades.orderBy("agg_trade_id").collect()
+    assert(trades.columns.toSeq == Seq("agg_trade_id", "price", "qty",
+      "first_trade_id", "last_trade_id", "transact_time", "is_buyer_maker"))
+    assert(tr.length == 2) // window filter drops the 3rd row
+    assert(tr.head.getDouble(2) == 0.5 && tr.head.getBoolean(6))
+
+    writeZip(dir, "BTCUSDT-bookTicker-2026-01-15.zip",
+      Seq(s"555,100.1,3.0,100.2,2.0,${t0 - 100},$t0",
+          s"556,100.2,1.0,100.3,4.0,${t0 + 70000},${t0 + 70100}").mkString("\n"))
+    val book = VisionLoader.bookTickerFromZips(
+      spark, s"$dir/BTCUSDT-bookTicker-*.zip", t0, t0 + 60000)
+    val bk = book.collect()
+    assert(book.columns.toSeq == Seq("update_id", "bid_price", "bid_qty",
+      "ask_price", "ask_qty", "transaction_time", "event_time"))
+    assert(bk.length == 1 && bk.head.getDouble(1) == 100.1 && bk.head.getDouble(4) == 2.0)
+  }
+
+  test("all 11 typed endpoints parse their fixture payloads (rest.py:154-519)") {
+    import graft.sources.RestEndpoints._
+    val requests = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+    val fixtures = Map(
+      "/fapi/v1/klines" ->
+        """[[1700000000000,"100.1","101.2","99.3","100.5","2.5",1700000059999,
+          |"250000.0",20,"1.2","120000.0","0"]]""".stripMargin.replace("\n", ""),
+      "/fapi/v1/markPriceKlines" ->
+        """[[1700000000000,"100.0","101.0","99.0","100.4",1700000059999,"0",0,"0","0","0"]]""",
+      "/fapi/v1/indexPriceKlines" ->
+        """[[1700000000000,"99.9","100.9","98.9","100.3",1700000059999,"0",0,"0","0","0"]]""",
+      "/fapi/v1/premiumIndexKlines" ->
+        """[[1700000000000,"0.0001","0.0002","-0.0001","0.00015",1700000059999,"0",0,"0","0","0"]]""",
+      "/fapi/v1/aggTrades" ->
+        """[{"a":1001,"p":"100.25","q":"0.5","f":2000,"l":2003,"T":1700000001234,"m":true}]""",
+      "/fapi/v1/ticker/bookTicker" ->
+        """{"symbol":"BTCUSDT","bidPrice":"100.1","bidQty":"3.0","askPrice":"100.2","askQty":"2.0","time":1700000002000}""",
+      "/fapi/v1/premiumIndex" ->
+        """{"symbol":"BTCUSDT","markPrice":"100.15","indexPrice":"100.05",
+          |"lastFundingRate":"0.0001","nextFundingTime":1700028800000,"time":1700000003000}""".stripMargin.replace("\n", ""),
+      "/fapi/v1/openInterest" ->
+        """{"symbol":"BTCUSDT","openInterest":"12345.6","time":1700000004000}""",
+      "/fapi/v1/depth" ->
+        """{"lastUpdateId":555,"E":1700000005000,"T":1700000004900,
+          |"bids":[["100.1","3.0"],["100.0","1.0"]],"asks":[["100.2","2.0"]]}""".stripMargin.replace("\n", ""),
+      "/futures/data/topLongShortAccountRatio" ->
+        """[{"symbol":"BTCUSDT","longShortRatio":"1.25","longAccount":"0.5556","shortAccount":"0.4444","timestamp":1700000000000}]""",
+      "/futures/data/globalLongShortAccountRatio" ->
+        """[{"symbol":"BTCUSDT","longShortRatio":"0.8","longAccount":"0.4444","shortAccount":"0.5556","timestamp":1700000000000}]""",
+      "/futures/data/topLongShortPositionRatio" ->
+        """[{"symbol":"BTCUSDT","longShortRatio":"1.1","longAccount":"0.5238","shortAccount":"0.4762","timestamp":1700000000000}]""",
+      "/futures/data/openInterestHist" ->
+        """[{"symbol":"BTCUSDT","sumOpenInterest":"12000.5","sumOpenInterestValue":"1200050000.0","timestamp":1700000000000}]""",
+      "/fapi/v1/fundingRate" ->
+        """[{"symbol":"BTCUSDT","fundingRate":"0.0001","fundingTime":1700000000000,"markPrice":"100.2"},
+          |{"symbol":"BTCUSDT","fundingRate":"0.0002","fundingTime":1700028800000,"markPrice":""}]""".stripMargin.replace("\n", ""))
+    val transport = new Transport {
+      def get(path: String, params: Map[String, String]): String = {
+        requests += ((path, params)); fixtures(path)
+      }
+    }
+    val api = new BinanceEndpoints(
+      new RetryingClient(transport, minIntervalMs = 0, sleep = _ => (), now = () => 0))
+
+    val k = api.klines("btcusdt", 1700000000000L, 1700000060000L).head
+    assert(k == KlineRecord(1700000000000L, 100.1, 101.2, 99.3, 100.5, 2.5,
+      1700000059999L, 250000.0, 20L, 1.2, 120000.0))
+    assert(requests.last._2("symbol") == "BTCUSDT" && requests.last._2("interval") == "1m")
+
+    assert(api.markPriceKlines("BTCUSDT", 0, 1).head.mark_price_close == 100.4)
+    assert(api.indexPriceKlines("BTCUSDT", 0, 1).head.index_price_open == 99.9)
+    assert(requests.last._2.contains("pair") && !requests.last._2.contains("symbol"))
+    assert(api.premiumIndexKlines("BTCUSDT", 0, 1).head.premium_index_close == 0.00015)
+
+    val t = api.aggTrades("BTCUSDT", 0, 1700000002000L).head
+    assert(t == AggTradeRecord(1001L, 100.25, 0.5, 2000L, 2003L, 1700000001234L, true))
+
+    val bt = api.bookTicker("BTCUSDT")
+    assert(bt == BookTickerSnapshot(100.1, 3.0, 100.2, 2.0, 1700000002000L))
+
+    val pi = api.premiumIndex("BTCUSDT")
+    assert(pi.mark_price == 100.15 && pi.predicted_funding == 0.0 &&
+      pi.next_funding_time == 1700028800000L)
+
+    assert(api.openInterest("BTCUSDT") ==
+      OpenInterestSnapshot("BTCUSDT", 12345.6, 1700000004000L))
+
+    val d = api.depth("btcusdt", limit = 100)
+    assert(d.symbol == "BTCUSDT" && d.last_update_id == 555L &&
+      d.bids == Seq((100.1, 3.0), (100.0, 1.0)) && d.asks == Seq((100.2, 2.0)) &&
+      d.transact_time == 1700000004900L)
+
+    assert(api.topTraderLongShortAccountRatio("BTCUSDT").head.ratio == 1.25)
+    // optional bounds stay off the query string when absent
+    assert(!requests.last._2.contains("startTime"))
+    assert(api.globalLongShortAccountRatio("BTCUSDT",
+      startMs = Some(1L), endMs = Some(2L)).head.ratio == 0.8)
+    assert(requests.last._2("startTime") == "1" && requests.last._2("endTime") == "2")
+    assert(api.topTraderLongShortPositionRatio("BTCUSDT").head.long_account == 0.5238)
+
+    val oi = api.openInterestHist("BTCUSDT").head
+    assert(oi.oi_contracts == 12000.5 && oi.oi_value_usdt == 1200050000.0)
+
+    val fr = api.fundingRate("BTCUSDT")
+    assert(fr.head.mark_price.contains(100.2))
+    assert(fr(1).mark_price.isEmpty) // blank markPrice → None
+  }
+
+  test("typed kline records flow into the minute builder as a Dataset") {
+    import spark.implicits._
+    import graft.sources.RestEndpoints._
+    val recs = parseKlines(
+      """[[1700000000000,"100.1","101.2","99.3","100.5","2.5",1700000059999,
+        |"250000.0",20,"1.2","120000.0","0"]]""".stripMargin.replace("\n", ""))
+    val frame = graft.operators.MinuteBuilder.klinesFrame(recs.toDS().toDF())
+    val r = frame.collect().head
+    assert(r.getTimestamp(0).toInstant == instant("2023-11-14T22:13:00Z"))
+    assert(frame.columns.contains("taker_buy_vol_usdt"))
+  }
 }
