@@ -648,6 +648,69 @@ object SparkEntry {
         round(col("cvd_btc"), 4).as("cvd_btc"))
     }),
 
+    // The native candle route end-to-end (service.py:1136-1551):
+    // 15m "native klines" synthesized from purchase events →
+    // nativeKlinesToFrame (vwap/taker derivations, null gates) →
+    // enrichment joins (mark/index klines exact-with-one-bar-fallback,
+    // funding as-of backward at bar close) → derived/delta fields →
+    // tail + serialize, all through the planner-gated service wrapper.
+    "native_enrich_route" -> ((s, dir) => {
+      import graft.service.{NativeCandles, QueryService}
+      val e = eventsK(s, dir)
+      val bMs = 900000L // 15m
+      // integer division — `/` would be double division (see t())
+      val bucketMs = expr(s"unix_millis(ts) div $bMs") * bMs
+      val ord = struct(col("ts"), col("event_id"))
+
+      val klines = e.where(col("event_type") === "purchase")
+        .withColumn("open_time", bucketMs)
+        .groupBy("open_time").agg(
+          Ops.firstByOrd(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          Ops.lastByOrd(col("value"), ord).as("close"),
+          sum(col("value")).as("volume_btc"),
+          sum(col("value") * col("k")).as("volume_usdt"),
+          count(lit(1)).as("trade_count"),
+          sum(when(col("k") % 2 === 0, col("value")).otherwise(0.0))
+            .as("taker_buy_vol_btc"),
+          sum(when(col("k") % 2 === 0, col("value") * col("k")).otherwise(0.0))
+            .as("taker_buy_vol_usdt"))
+
+      def auxKlines(eventType: String, openCol: String, closeCol: String) =
+        e.where(col("event_type") === eventType)
+          .withColumn("open_time", bucketMs)
+          .groupBy("open_time").agg(
+            Ops.firstByOrd(col("value"), ord).as(openCol),
+            Ops.lastByOrd(col("value"), ord).as(closeCol))
+
+      val funding = Ops.dedupKeepLast(
+        e.where(col("event_type") === "error" && col("k").isNotNull)
+          .select(unix_millis(col("ts")).as("funding_time"),
+            (col("k").cast("double") / 10000.0).as("funding_rate"),
+            col("event_id")),
+        Seq("funding_time"), Seq(col("event_id"))).drop("event_id")
+
+      val aux = NativeCandles.AuxSeries(
+        markPriceKlines = Some(auxKlines("view", "mark_price_open", "mark_price_close")),
+        indexPriceKlines = Some(auxKlines("click", "index_price_open", "index_price_close")),
+        fundingRate = Some(funding))
+      val (bars, _) = QueryService.nativeCandleBars(klines, aux, "15m", limit = 200)
+      bars.select(col("timestamp"),
+        round(col("open"), 4).as("open"), round(col("close"), 4).as("close"),
+        round(col("volume_btc"), 4).as("volume_btc"),
+        round(col("vwap_bar"), 4).as("vwap_bar"),
+        col("trade_count"),
+        round(col("taker_buy_ratio"), 6).as("taker_buy_ratio"),
+        round(col("net_taker_vol_btc"), 4).as("net_taker_vol_btc"),
+        round(col("mark_price_close"), 4).as("mark_price_close"),
+        round(col("index_price_close"), 4).as("index_price_close"),
+        round(col("premium_index"), 6).as("premium_index"),
+        round(col("funding_rate"), 6).as("funding_rate"),
+        round(col("delta_funding_rate"), 6).as("delta_funding_rate"),
+        round(col("realized_vol_bar"), 6).as("realized_vol_bar"))
+    }),
+
     // ANN scale path: random-hyperplane LSH bucketing — md5-derived
     // deterministic planes (constant-folded by Catalyst), sign-bit
     // bucket id per vector; bucket-equality joins replace the O(n²)
@@ -1242,6 +1305,88 @@ object SparkEntry {
         |                                    THEN pow(ln(c / prev_c), 2) END), 0.0)), 6)
         |         AS realized_vol_htf
         |FROM b GROUP BY bucket_start""".stripMargin,
+
+    // Mirrors the native-route composition: bars + aux series per 15m
+    // bucket; the exact-with-one-bar-fallback enrichment resolves (when
+    // any bar lacks exact coverage — the populated-count gate) to
+    // coalesce(next-bucket value, own-bucket value) because aux rows sit
+    // exactly on bucket boundaries; funding is an ASOF join at bar close.
+    "native_enrich_route" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 AS b
+        |           FROM events),
+        |pw AS (
+        |  SELECT b, ts, event_id, value, k,
+        |         first_value(value) OVER w AS fo, last_value(value) OVER w AS fc
+        |  FROM e WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY b ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |bars AS (
+        |  SELECT b, any_value(fo) AS o, max(value) AS h, min(value) AS l,
+        |         any_value(fc) AS c,
+        |         coalesce(sum(value), 0.0) AS vb,
+        |         coalesce(sum(value * k), 0.0) AS vu,
+        |         count(*) AS tc,
+        |         sum(CASE WHEN k % 2 = 0 THEN value ELSE 0 END) AS tb
+        |  FROM pw GROUP BY b),
+        |mkw AS (
+        |  SELECT b, value, first_value(value) OVER w AS mo, last_value(value) OVER w AS mc
+        |  FROM e WHERE event_type = 'view'
+        |  WINDOW w AS (PARTITION BY b ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |mk AS (SELECT b, any_value(mo) AS m_open, any_value(mc) AS m_close FROM mkw GROUP BY b),
+        |ixw AS (
+        |  SELECT b, value, first_value(value) OVER w AS io, last_value(value) OVER w AS ic
+        |  FROM e WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY b ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |ix AS (SELECT b, any_value(io) AS i_open, any_value(ic) AS i_close FROM ixw GROUP BY b),
+        |f AS (
+        |  SELECT ft, fr FROM (
+        |    SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ft,
+        |           CAST(k AS DOUBLE) / 10000.0 AS fr,
+        |           row_number() OVER (PARTITION BY epoch_ms(CAST(ts AS TIMESTAMP))
+        |                              ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'error' AND k IS NOT NULL) WHERE rn = 1),
+        |fa AS (SELECT bars.b, f.fr FROM bars ASOF LEFT JOIN f ON bars.b + 900000 >= f.ft),
+        |mk_gap AS (SELECT count(*) AS n FROM bars LEFT JOIN mk ON mk.b = bars.b
+        |           WHERE mk.m_open IS NULL OR mk.m_close IS NULL),
+        |ix_gap AS (SELECT count(*) AS n FROM bars LEFT JOIN ix ON ix.b = bars.b
+        |           WHERE ix.i_open IS NULL OR ix.i_close IS NULL),
+        |enr AS (
+        |  SELECT bars.*,
+        |    CASE WHEN (SELECT n FROM mk_gap) = 0 THEN mk1.m_close
+        |         ELSE coalesce(mk2.m_close, mk1.m_close) END AS mark_close,
+        |    CASE WHEN (SELECT n FROM ix_gap) = 0 THEN ix1.i_close
+        |         ELSE coalesce(ix2.i_close, ix1.i_close) END AS index_close,
+        |    fa.fr AS funding_rate
+        |  FROM bars
+        |  LEFT JOIN mk mk1 ON mk1.b = bars.b
+        |  LEFT JOIN mk mk2 ON mk2.b = bars.b + 900000
+        |  LEFT JOIN ix ix1 ON ix1.b = bars.b
+        |  LEFT JOIN ix ix2 ON ix2.b = bars.b + 900000
+        |  LEFT JOIN fa ON fa.b = bars.b),
+        |drv AS (
+        |  SELECT *, lag(funding_rate) OVER wo AS prev_fr, lag(c) OVER wo AS prev_c
+        |  FROM enr WINDOW wo AS (ORDER BY b)),
+        |tl AS (SELECT * FROM drv ORDER BY b DESC LIMIT 200)
+        |SELECT strftime(epoch_ms(b), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS timestamp,
+        |  round(o, 4) AS open, round(c, 4) AS close,
+        |  round(vb, 4) AS volume_btc,
+        |  round(CASE WHEN vb > 0 THEN vu / vb ELSE c END, 4) AS vwap_bar,
+        |  tc AS trade_count,
+        |  round(CASE WHEN vb > 0 THEN tb / vb END, 6) AS taker_buy_ratio,
+        |  round(tb - greatest(vb - tb, 0.0), 4) AS net_taker_vol_btc,
+        |  round(mark_close, 4) AS mark_price_close,
+        |  round(index_close, 4) AS index_price_close,
+        |  round(CASE WHEN index_close IS NOT NULL AND index_close <> 0
+        |             THEN mark_close / index_close - 1.0 END, 6) AS premium_index,
+        |  round(funding_rate, 6) AS funding_rate,
+        |  round(CASE WHEN funding_rate IS NOT NULL AND prev_fr IS NOT NULL
+        |             THEN funding_rate - prev_fr END, 6) AS delta_funding_rate,
+        |  round(CASE WHEN c > 0 AND prev_c > 0 THEN abs(ln(c / prev_c)) END, 6)
+        |    AS realized_vol_bar
+        |FROM tl""".stripMargin,
 
     "qagg_aggregate_15m" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,

@@ -20,7 +20,18 @@ object AsOf {
 
   private val TS = "__asof_ts"
   private val SIDE = "__asof_side"
-  private val SRC = "__asof_src_ts"
+  private val PACK = "__asof_row"
+  private val SRC_FIELD = "__src_ts"
+
+  /** Pack the matched right ROW as one struct (src ts + values) so the
+    * tolerance gate and every projected value come from the SAME row —
+    * matching polars `join_asof` row semantics: if the nearest backward
+    * row has a NULL in one value column, that NULL is returned (carrying
+    * columns independently would backfill it from an older row the
+    * tolerance check never saw). */
+  private def packRow(valueCols: Seq[String]): Column =
+    when(col(SIDE) === 0,
+      struct((col(TS).as(SRC_FIELD) +: valueCols.map(col)): _*))
 
   /** Backward as-of join.
     *
@@ -50,26 +61,27 @@ object AsOf {
       (partitionBy.map(col) :+ col(rightOn).as(TS) :+ lit(0).as(SIDE)) ++
         valueCols.map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-      .withColumn(SRC, when(col(SIDE) === 0, col(TS)))
+      .withColumn(PACK, packRow(valueCols))
 
     val w = Window.partitionBy(partitionBy.map(col): _*)
       .orderBy(col(TS), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filledSrc = last(col(SRC), ignoreNulls = true).over(w)
+    val lastRow = last(col(PACK), ignoreNulls = true).over(w)
+    val matchedSrc = lastRow.getField(SRC_FIELD)
     val ageOk: Column = toleranceMs match {
       case Some(tol) =>
-        (unix_millis(col(TS)) - unix_millis(filledSrc)) <= tol
+        (unix_millis(col(TS)) - unix_millis(matchedSrc)) <= tol
       case None => lit(true)
     }
     val withVals = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, when(ageOk, last(col(c), ignoreNulls = true).over(w)))
+      df.withColumn(c, when(ageOk, lastRow.getField(c)))
     }
     val withSrc = keepSrcTs match {
-      case Some(name) => withVals.withColumn(name, when(ageOk, filledSrc))
+      case Some(name) => withVals.withColumn(name, when(ageOk, matchedSrc))
       case None => withVals
     }
-    withSrc.where(col(SIDE) === 1).drop(TS, SIDE, SRC)
+    withSrc.where(col(SIDE) === 1).drop(TS, SIDE, PACK)
   }
 
   /** Scalable bounded as-of join: when there is no natural partition key
@@ -100,15 +112,15 @@ object AsOf {
     val r = rBase.withColumn(B, explode(array(bucketOf(col(TS)), bucketOf(col(TS)) + 1)))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
-      .withColumn(SRC, when(col(SIDE) === 0, col(TS)))
+      .withColumn(PACK, packRow(valueCols))
     val w = Window.partitionBy((partitionBy.map(col) :+ col(B)): _*)
       .orderBy(col(TS), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filledSrc = last(col(SRC), ignoreNulls = true).over(w)
-    val ageOk = (unix_millis(col(TS)) - unix_millis(filledSrc)) <= toleranceMs
+    val lastRow = last(col(PACK), ignoreNulls = true).over(w)
+    val ageOk = (unix_millis(col(TS)) - unix_millis(lastRow.getField(SRC_FIELD))) <= toleranceMs
     val withVals = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, when(ageOk, last(col(c), ignoreNulls = true).over(w)))
+      df.withColumn(c, when(ageOk, lastRow.getField(c)))
     }
-    withVals.where(col(SIDE) === 1).drop(TS, SIDE, SRC, B)
+    withVals.where(col(SIDE) === 1).drop(TS, SIDE, PACK, B)
   }
 }

@@ -120,6 +120,27 @@ object QueryService {
     serializeFrame(QueryAggregator.addDeltaFields(agg))
   }
 
+  /** The native candle route (§3.1 step 5c — reference
+    * `service.py:1833-2078`): capability-planned direct-timeframe bars
+    * from typed kline records, enriched with the auxiliary series, then
+    * tailed and serialized. Returns the frame plus the planner +
+    * enrichment notes the API surfaces as metadata. */
+  def nativeCandleBars(klines: DataFrame, aux: NativeCandles.AuxSeries,
+                       timeframe: String, limit: Int = 200,
+                       config: Capabilities.FetchPlannerConfig =
+                         Capabilities.FetchPlannerConfig()): (DataFrame, Seq[String]) = {
+    val decision = Capabilities.planTimeframeFetch(timeframe, config)
+    require(decision.candleSource == "binance_native",
+      s"planner chose ${decision.candleSource} for $timeframe — use candleBars")
+    val spec = Timeframes.parse(timeframe)
+    val enriched = NativeCandles.enrichNativeFrame(
+      NativeCandles.nativeKlinesToFrame(klines), aux, spec,
+      decision.binanceInterval.get)
+    val tailed = enriched.frame
+      .orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
+    (serializeFrame(tailed), decision.notes ++ enriched.notes)
+  }
+
   /** Indicator payload (reference `live_indicators/service.py:32-238`):
     * TradingView EMA over the trailing bars of one timeframe plus
     * traditional pivots from the PREVIOUS completed period of another.

@@ -40,6 +40,20 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(1))).toSeq == Seq(Some(1.0), Some(2.0), None))
   }
 
+  test("as-of join returns the matched ROW's null, not an older value (join_asof row semantics)") {
+    // right rows: 00:00 → 10.0, 00:05 → NULL. Probing at 00:06 matches the
+    // 00:05 row; its NULL must come through — backfilling 10.0 from 00:00
+    // would pair a value with a freshness check it never saw.
+    val left = Seq(Tuple1(ts("2026-01-01T00:06:00Z"))).toDF("t")
+    val right = Seq((ts("2026-01-01T00:00:00Z"), Some(10.0)),
+      (ts("2026-01-01T00:05:00Z"), Option.empty[Double])).toDF("rt", "v")
+    val tol = 30L * 60 * 1000
+    val a = AsOf.asofJoinBackward(left, right, "t", "rt", Seq("v"), Some(tol)).collect()
+    assert(a.head.isNullAt(1))
+    val b = AsOf.asofJoinBackwardBucketed(left, right, "t", "rt", Seq("v"), tol).collect()
+    assert(b.head.isNullAt(1))
+  }
+
   test("bucketed as-of join equals the windowed as-of join") {
     val rnd = new scala.util.Random(42)
     val left = (0 until 500).map(i => Tuple1(java.sql.Timestamp.from(

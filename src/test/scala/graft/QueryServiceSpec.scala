@@ -142,4 +142,81 @@ class QueryServiceSpec extends SparkSpec {
     assert(bars.select("timestamp").head.getString(0) == "2026-01-15T10:00:00.000Z")
     assert(bars.columns.contains("cvd_btc") && bars.columns.contains("vwap_bar"))
   }
+
+  test("native route: klines→frame, enrichment joins, derived fields (service.py:1136-1551)") {
+    import graft.service.{Capabilities, NativeCandles}
+    val h = 3600000L
+    val t0 = ms("2026-01-15T10:00:00Z")
+    // three 1h native bars; middle one has zero volume → vwap falls back
+    // to close, taker ratio NULL (test_live_data_api_service.py native path)
+    val klines = Seq(
+      (t0,         100.0, 110.0, 95.0, 105.0, 10.0, 1050000.0, 50L, 6.0, 630000.0),
+      (t0 + h,     105.0, 106.0, 99.0, 101.0,  0.0,       0.0,  0L, 0.0,      0.0),
+      (t0 + 2 * h, 101.0, 120.0, 98.0, 118.0, 20.0, 2360000.0, 80L, 8.0, 944000.0))
+      .toDF("open_time", "open", "high", "low", "close", "volume_btc",
+        "volume_usdt", "trade_count", "taker_buy_vol_btc", "taker_buy_vol_usdt")
+
+    val frame = NativeCandles.nativeKlinesToFrame(klines)
+    val f = frame.orderBy("timestamp").collect()
+    assert(f.length == 3)
+    val iVwap = frame.columns.indexOf("vwap_1m")
+    val iRatio = frame.columns.indexOf("taker_buy_ratio")
+    assert(f(0).getDouble(iVwap) == 105000.0) // usdt/btc
+    assert(f(1).getDouble(iVwap) == 101.0)    // zero-volume → close
+    assert(f(1).isNullAt(iRatio))             // NULL, not 0 (null-gate)
+    assert(f(0).getDouble(iRatio) == 0.6)
+    val iNet = frame.columns.indexOf("net_taker_vol_btc")
+    assert(f(0).getDouble(iNet) == 2.0) // 6 - max(10-6, 0)
+
+    // enrichment: mark klines cover bars 1+3 only (bar 2 exercises the
+    // fallback's no-fill path); index klines cover all 3; OI history is
+    // stamped at period END (next bucket boundary) → only the as-of
+    // fallback can attach it; funding events are sparse → as-of at close
+    val aux = NativeCandles.AuxSeries(
+      markPriceKlines = Some(Seq((t0, 100.1, 105.2), (t0 + 2 * h, 101.2, 118.3))
+        .toDF("open_time", "mark_price_open", "mark_price_close")),
+      indexPriceKlines = Some(Seq((t0, 100.0, 105.0), (t0 + h, 105.0, 101.0),
+        (t0 + 2 * h, 101.0, 118.0))
+        .toDF("open_time", "index_price_open", "index_price_close")),
+      openInterestHist = Some(Seq((t0 + h, 1000.0, 105000.0), (t0 + 3 * h, 1200.0, 141600.0))
+        .toDF("create_time", "oi_contracts", "oi_value_usdt")),
+      fundingRate = Some(Seq((t0 - h, 0.0001), (t0 + 2 * h + 1800000L, 0.0003))
+        .toDF("funding_time", "funding_rate")))
+    val enriched = NativeCandles.enrichNativeFrame(
+      frame, aux, graft.schema.Timeframes.parse("1h"), "1h")
+    val e = enriched.frame.orderBy("timestamp").collect()
+    def colIdx(n: String) = enriched.frame.columns.indexOf(n)
+
+    assert(e(0).getDouble(colIdx("mark_price_close")) == 105.2)
+    // gap bar: the 12:00 kline sits exactly at bar 2's close boundary, so
+    // the one-bar as-of fallback attaches it (age vs source ts = 0) —
+    // the same boundary semantics that make period-END-stamped OI attach
+    assert(e(1).getDouble(colIdx("mark_price_close")) == 118.3)
+    // OI stamped at bucket END attaches to the bar it closes (fallback
+    // path); the 11:00 point is also exactly one bar old at bar 2's close
+    // and max-age is inclusive (alignment.py:88), so it carries one bar
+    assert(e(0).getDouble(colIdx("oi_contracts")) == 1000.0)
+    assert(e(1).getDouble(colIdx("oi_contracts")) == 1000.0)
+    assert(e(2).getDouble(colIdx("oi_contracts")) == 1200.0)
+    // funding: last event at-or-before each bar CLOSE
+    assert(e(0).getDouble(colIdx("funding_rate")) == 0.0001)
+    assert(e(2).getDouble(colIdx("funding_rate")) == 0.0003)
+    // derived: premium from mark/index close; delta funding between bars
+    assert(math.abs(e(0).getDouble(colIdx("premium_index")) - (105.2 / 105.0 - 1.0)) < 1e-12)
+    assert(e(2).getDouble(colIdx("delta_funding_rate")) == 0.0003 - 0.0001)
+    assert(!e(0).getBoolean(colIdx("has_ls_ratio"))) // no ratio series
+    assert(enriched.notes.contains("mark_price_alignment_exact_timestamp"))
+    assert(enriched.notes.contains("oi_hist_alignment_asof_backward_max_age_1bar"))
+    assert(enriched.notes.contains("funding_rate_aligned_asof_backward"))
+
+    // planner-gated service wrapper tails + serializes
+    val (bars, notes) = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2)
+    assert(bars.count() == 2)
+    assert(bars.select("timestamp").orderBy("timestamp").head.getString(0) ==
+      "2026-01-15T11:00:00.000Z")
+    assert(notes.contains("historical_depth_not_available_from_binance_rest"))
+    // a non-native timeframe refuses the native route
+    assertThrows[IllegalArgumentException](
+      QueryService.nativeCandleBars(klines, aux, "2h"))
+  }
 }
