@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Orchestrator
+import graft.pipeline.Orchestrator.{Band, BandCollector, MinutePipeline, Settings, SourceBatch}
+import graft.sources.{MinuteLakeReader, MinuteLakeWriter, PartitionLedger, WatermarkStore}
+
+/** Ingestion-lifecycle semantics from reference
+  * `pipeline/orchestrator.py:99-175,321-502,634-641` (test style follows
+  * the reference's fake-provider pytest fixtures). */
+class OrchestratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def klineRecords(startIso: String, minutes: Int, base: Double = 100.0) = {
+    val t0 = ms(startIso)
+    (0 until minutes).map { i =>
+      (t0 + 60000L * i, base + i, base + i + 1.0, base + i - 1.0, base + i + 0.5,
+        2.0, 200.0, 10L, 1.0, 100.0)
+    }.toDF("open_time", "open", "high", "low", "close", "volume_btc",
+      "volume_usdt", "trade_count", "taker_buy_vol_btc", "taker_buy_vol_usdt")
+  }
+
+  private def auxKlineRecords(startIso: String, minutes: Int, prefix: String) = {
+    val t0 = ms(startIso)
+    (0 until minutes).map { i =>
+      (t0 + 60000L * i, 100.0 + i, 100.5 + i)
+    }.toDF("open_time", s"${prefix}_open", s"${prefix}_close")
+  }
+
+  private def tradeRecords(startIso: String, minutes: Int, qty: Double) = {
+    val t0 = ms(startIso)
+    (0 until minutes).map { i =>
+      (1000L + i, 100.0, qty, 1L, 2L, t0 + 60000L * i + 500, false)
+    }.toDF("agg_trade_id", "price", "qty", "first_trade_id", "last_trade_id",
+      "transact_time", "is_buyer_maker")
+  }
+
+  private def env() = {
+    val dir = Files.createTempDirectory("graft-orch").toString
+    val writer = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"))
+    (dir, writer, new MinuteLakeReader(dir), new WatermarkStore(s"$dir/_wm"))
+  }
+
+  /** Fixture collector covering any window from full-range record
+    * frames (the spine join bounds them); call log for assertions. */
+  private class FakeCollector(allKlines: DataFrame, allAux: String => DataFrame,
+                              restTrades: DataFrame,
+                              visionKlines: Option[DataFrame] = None,
+                              liveTrades: Option[DataFrame] = None)
+    extends BandCollector {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    def vision(s: Instant, e: Instant): SourceBatch = {
+      calls += "vision"
+      SourceBatch(klines = visionKlines,
+        markPriceKlines = Some(allAux("mark_price")),
+        indexPriceKlines = Some(allAux("index_price")),
+        aggTrades = Some(restTrades.limit(0))) // empty → triggers fallback
+    }
+    def rest(s: Instant, e: Instant): SourceBatch = {
+      calls += "rest"
+      SourceBatch(klines = Some(allKlines),
+        markPriceKlines = Some(allAux("mark_price")),
+        indexPriceKlines = Some(allAux("index_price")),
+        aggTrades = Some(restTrades))
+    }
+    def liveAggTrades(s: Instant, e: Instant): Option[DataFrame] = {
+      calls += "live"
+      liveTrades
+    }
+  }
+
+  test("band choice: HOT ≤6h, WARM ≤7d, COLD beyond (orchestrator.py:634-641)") {
+    val now = instant("2026-01-15T12:00:00Z")
+    assert(Orchestrator.chooseBand(now, instant("2026-01-15T08:00:00Z")) == Band.Hot)
+    assert(Orchestrator.chooseBand(now, instant("2026-01-15T06:00:00Z")) == Band.Hot)
+    assert(Orchestrator.chooseBand(now, instant("2026-01-12T12:00:00Z")) == Band.Warm)
+    assert(Orchestrator.chooseBand(now, instant("2026-01-08T12:00:00Z")) == Band.Warm)
+    assert(Orchestrator.chooseBand(now, instant("2026-01-01T12:00:00Z")) == Band.Cold)
+  }
+
+  test("run_once ingests 3 hours, advances watermark, reruns are no-ops (orchestrator.py:99-175)") {
+    val (dir, writer, reader, wm) = env()
+    val collector = new FakeCollector(
+      klineRecords("2026-01-15T07:55:00Z", 130),
+      p => auxKlineRecords("2026-01-15T07:55:00Z", 130, p),
+      tradeRecords("2026-01-15T07:55:00Z", 130, qty = 2.0),
+      liveTrades = Some(tradeRecords("2026-01-15T07:55:00Z", 130, qty = 7.0)))
+    val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
+
+    val now = instant("2026-01-15T10:03:00Z")
+    val res = pipe.runOnce(now)
+    // bootstrap: watermark = target(10:00) - 121min = 07:59 → hours 08/09/10
+    assert(res.partitionsCommitted == 3)
+    assert(res.watermarkAfter.contains(instant("2026-01-15T10:00:00Z")))
+    assert(res.bandsUsed == Seq(Band.Hot, Band.Hot, Band.Hot))
+    // all three partitions on disk; hour 10 holds the single target minute
+    val got = reader.readWindow(spark, "BTCUSDT",
+      instant("2026-01-15T08:00:00Z"), instant("2026-01-15T10:59:00Z"))
+    assert(got.count() == 121)
+    // live aggTrades substituted for REST ones (qty 7 → net taker 7)
+    assert(got.where(col("net_taker_vol_btc") === 7.0).count() == 121)
+    // rerun at the same now: watermark >= target → no work
+    val res2 = pipe.runOnce(now)
+    assert(res2.partitionsCommitted == 0)
+    assert(res2.watermarkAfter == res2.watermarkBefore)
+  }
+
+  test("COLD band uses Vision and falls back to REST per empty stream (orchestrator.py:321-502)") {
+    val (dir, writer, reader, wm) = env()
+    // Vision has klines; its aggTrades come back empty → REST fallback
+    val collector = new FakeCollector(
+      klineRecords("2026-01-01T00:00:00Z", 60, base = 500.0),
+      p => auxKlineRecords("2026-01-01T00:00:00Z", 60, p),
+      tradeRecords("2026-01-01T00:00:00Z", 60, qty = 3.0),
+      visionKlines = Some(klineRecords("2026-01-01T00:00:00Z", 60, base = 900.0)))
+    val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
+
+    wm.set("BTCUSDT", instant("2025-12-31T23:59:00Z"))
+    val res = pipe.runUntilTarget(instant("2026-01-01T00:59:00Z"),
+      nowForBand = instant("2026-01-20T00:00:00Z"))
+    assert(res.bandsUsed == Seq(Band.Cold))
+    assert(res.partitionsCommitted == 1)
+    val got = reader.readWindow(spark, "BTCUSDT",
+      instant("2026-01-01T00:00:00Z"), instant("2026-01-01T00:59:00Z"))
+    // Vision klines won (open 900-series), REST trades filled the gap
+    assert(got.where(col("open") >= 900.0).count() == 60)
+    assert(got.where(col("net_taker_vol_btc") === 3.0).count() == 60)
+    assert(collector.calls.contains("vision") && collector.calls.contains("rest"))
+  }
+
+  test("WARM band takes live aggTrades but never REST fallback (orchestrator.py:569-585)") {
+    val (dir, writer, reader, wm) = env()
+    val collector = new FakeCollector(
+      klineRecords("2026-01-10T00:00:00Z", 60),
+      p => auxKlineRecords("2026-01-10T00:00:00Z", 60, p),
+      tradeRecords("2026-01-10T00:00:00Z", 60, qty = 2.0)) // no live trades
+    val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
+    wm.set("BTCUSDT", instant("2026-01-09T23:59:00Z"))
+    val res = pipe.runUntilTarget(instant("2026-01-10T00:59:00Z"),
+      nowForBand = instant("2026-01-12T00:00:00Z"))
+    assert(res.bandsUsed == Seq(Band.Warm))
+    val got = reader.readWindow(spark, "BTCUSDT",
+      instant("2026-01-10T00:00:00Z"), instant("2026-01-10T00:59:00Z"))
+    // WARM: REST aggTrades are NOT used as fallback → no taker flow
+    assert(got.where(col("net_taker_vol_btc") === 2.0).count() == 0)
+    assert(got.count() == 60)
+  }
+
+  test("empty window raises a data-quality error (orchestrator.py:159-163)") {
+    val (dir, writer, _, wm) = env()
+    val empty = klineRecords("2026-01-10T00:00:00Z", 0)
+    val collector = new FakeCollector(empty, p => auxKlineRecords("2026-01-10T00:00:00Z", 0, p),
+      tradeRecords("2026-01-10T00:00:00Z", 0, qty = 1.0))
+    val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
+    wm.set("BTCUSDT", instant("2026-01-09T23:59:00Z"))
+    // the spine still yields rows (defaults), so the build is non-empty —
+    // this asserts the wiring rather than an impossible fixture: OHLC
+    // rows exist but are all-null → DQ validation inside the writer fails
+    assertThrows[Exception](pipe.runUntilTarget(
+      instant("2026-01-10T00:59:00Z"), nowForBand = instant("2026-01-10T01:00:00Z")))
+  }
+}
