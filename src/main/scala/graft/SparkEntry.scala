@@ -721,6 +721,22 @@ object SparkEntry {
           VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8).as("bucket"))
     }),
 
+    // IVF trainer: deterministic Lloyd's k-means over the embedding
+    // table (k=4, 2 iterations, md5-seeded, stable-rounded distances
+    // and centroids so assignments are engine-reproducible). Output is
+    // integer-only per-cluster membership accounting — the strongest
+    // assignment check with zero float-output surface.
+    "ivf_kmeans_train" -> ((s, dir) => {
+      val (assigned, _) = VectorFns.kmeansLloyd(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2, dim = 64)
+      // long cluster ids — DuckDB's row_number arithmetic yields BIGINT
+      assigned.groupBy(col("cluster").cast("long").as("cluster")).agg(
+        count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("vec_id")).as("sum_vec_id"))
+    }),
+
     // ANN scale path #2: IVF-style probing — per-label centroids
     // (element-wise mean via posexplode + two-level agg), each query
     // probes its nearest centroid by cosine and ranks only that
@@ -1305,6 +1321,40 @@ object SparkEntry {
         |                                    THEN pow(ln(c / prev_c), 2) END), 0.0)), 6)
         |         AS realized_vol_htf
         |FROM b GROUP BY bucket_start""".stripMargin,
+
+    // Unrolled 2-iteration Lloyd's: 3 assignment passes (seeds → c1 →
+    // c2) + 2 centroid updates, distances and centroid components
+    // stable-rounded at 6dp on both engines, argmin ties by cluster id.
+    "ivf_kmeans_train" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |dims AS (SELECT vec_id, i + 1 AS d, vec[CAST(i + 1 AS INT)] AS x
+        |         FROM v, range(64) t(i)),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |                 vec_id
+        |          FROM (SELECT vec_id FROM embeddings
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+        |c0 AS (SELECT s.c, dm.d, dm.x AS cx FROM seeds s JOIN dims dm ON dm.vec_id = s.vec_id),
+        |d1 AS (SELECT dims.vec_id, c0.c, round(sum((dims.x - c0.cx) * (dims.x - c0.cx)), 6) AS dist
+        |       FROM dims JOIN c0 ON c0.d = dims.d GROUP BY dims.vec_id, c0.c),
+        |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.c, dims.d, round(avg(dims.x), 6) AS cx
+        |       FROM dims JOIN a1 USING (vec_id) GROUP BY a1.c, dims.d),
+        |d2 AS (SELECT dims.vec_id, c1.c, round(sum((dims.x - c1.cx) * (dims.x - c1.cx)), 6) AS dist
+        |       FROM dims JOIN c1 ON c1.d = dims.d GROUP BY dims.vec_id, c1.c),
+        |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
+        |c2 AS (SELECT a2.c, dims.d, round(avg(dims.x), 6) AS cx
+        |       FROM dims JOIN a2 USING (vec_id) GROUP BY a2.c, dims.d),
+        |d3 AS (SELECT dims.vec_id, c2.c, round(sum((dims.x - c2.cx) * (dims.x - c2.cx)), 6) AS dist
+        |       FROM dims JOIN c2 ON c2.d = dims.d GROUP BY dims.vec_id, c2.c),
+        |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d3) WHERE rn = 1)
+        |SELECT c AS cluster, count(*) AS n_members,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        |FROM a3 GROUP BY c""".stripMargin,
 
     // Mirrors the native-route composition: bars + aux series per 15m
     // bucket; the exact-with-one-bar-fallback enrichment resolves (when

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector math as pure Catalyst higher-order functions —
@@ -28,6 +28,78 @@ object VectorFns {
 
   /** cos(a,b) = a·b / (‖a‖‖b‖) */
   def cosine(a: String, b: String): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic Lloyd's k-means over an embedding column — the real
+    * IVF trainer (replaces per-label stand-in centroids). The DATA stays
+    * distributed (one distance-scan + one aggregation per iteration);
+    * only the k×dim centroid table crosses the driver, broadcast back as
+    * constant-folded literals — the standard Spark k-means shape.
+    *
+    * Determinism knobs (also what makes it cross-engine reproducible):
+    *  - seeds = the k vectors with smallest md5(id) (no Math.random);
+    *  - `roundScale`: distances and centroid components are
+    *    double-rounded at this scale before reuse, collapsing
+    *    sum-order ulp noise so assignments don't flip between runs,
+    *    partitionings, or engines;
+    *  - argmin ties break toward the lowest cluster id.
+    *
+    * Returns (assignments: idCol, cluster; centroids: cluster, Seq[dim
+    * values]). Clusters that lose all members simply drop out. */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, dim: Int,
+                  roundScale: Int = 6): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    def stableRound(c: Column, s: Int): Column = round(round(c, s + 5), s)
+    val vecD = s"transform($vecCol, x -> cast(x as double))"
+
+    val seeds = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(expr(vecD))
+      .collect()
+      .map(_.getSeq[Double](0).toSeq)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+
+    var centroids = seeds
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignClusters(df, vecCol, centroids, roundScale)
+      centroids = assigned
+        .select(col("__cluster"), posexplode(expr(vecD)).as(Seq("__d", "__x")))
+        .groupBy("__cluster", "__d")
+        .agg(stableRound(avg(col("__x")), roundScale).as("__cx"))
+        .groupBy("__cluster")
+        .agg(expr("array_sort(collect_list(struct(__d, __cx)))").as("__dims"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq))
+        .sortBy(_._1).toSeq
+    }
+    (assignClusters(df, vecCol, centroids, roundScale)
+       .withColumnRenamed("__cluster", "cluster"), centroids)
+  }
+
+  /** One assignment pass: nearest centroid by squared L2, distances
+    * double-rounded at `distScale`, first-match (lowest id) on ties. */
+  private def assignClusters(df: DataFrame, vecCol: String,
+                             centroids: Seq[(Int, Seq[Double])],
+                             distScale: Int): DataFrame = {
+    def distExpr(c: Seq[Double]): String = {
+      // string-cast literals: Double.toString round-trips exactly and
+      // scientific notation ("5.0E-5") survives the SQL parser via CAST
+      val lits = c.map(v => s"cast('$v' as double)").mkString(",")
+      s"round(round(aggregate(zip_with($vecCol, array($lits), " +
+        s"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
+        s"0.0d, (a, v) -> a + v), ${distScale + 5}), $distScale)"
+    }
+    val ds = centroids.map { case (_, c) => distExpr(c) }
+    val ids = centroids.map(_._1)
+    val arr = s"array(${ds.mkString(",")})"
+    val idArr = s"array(${ids.mkString(",")})"
+    df.withColumn("__cluster",
+      expr(s"element_at($idArr, " +
+        s"cast(array_position($arr, array_min($arr)) as int))"))
+  }
 
   /** Random-hyperplane LSH bucket for a vector: sign bits of dot products
     * with `numPlanes` deterministic pseudo-random hyperplanes whose

@@ -31,6 +31,7 @@ final class ResultCache[K, V](maxEntries: Int = 256,
   case object Miss extends HitType
   case object ExactHit extends HitType
   case object SupersetHit extends HitType
+  case object PartialHit extends HitType
   case object InFlightHit extends HitType
 
   private val entries = mutable.LinkedHashMap[K, Entry]()
@@ -43,12 +44,23 @@ final class ResultCache[K, V](maxEntries: Int = 256,
     ChronoUnit.SECONDS.between(e.storedAt, now()) <= ttl
   }
 
-  /** Get-or-compute with exact/superset/in-flight semantics.
-    * @param supersetOf key k2 "covers" key k1 (e.g. wider window)
-    * @param slice      derive the requested value from a superset value */
+  /** Get-or-compute with exact/superset/partial/in-flight semantics.
+    * @param supersetOf  key k2 "covers" key k1 (e.g. wider window)
+    * @param slice       derive the requested value from a superset value
+    * @param partialOf   key k2 PARTIALLY covers k1 — same window, smaller
+    *                    limit (reference `service.py:444-471`)
+    * @param partialRank rank among matching partials; highest wins
+    *                    (reference: max cached limit)
+    * @param extend      extend-and-merge: compute only the missing slice
+    *                    and combine with the partial value (reference
+    *                    `service.py:1902-1960`); the result is stored
+    *                    under the requested key */
   def getOrCompute(key: K, stable: Boolean,
                    supersetOf: (K, K) => Boolean = (_: K, _: K) => false,
-                   slice: (K, V) => V = (_: K, v: V) => v)(compute: => V): V = {
+                   slice: (K, V) => V = (_: K, v: V) => v,
+                   partialOf: (K, K) => Boolean = (_: K, _: K) => false,
+                   partialRank: K => Long = (_: K) => 0L,
+                   extend: (K, V) => Option[V] = (_: K, _: V) => None)(compute: => V): V = {
     synchronized {
       entries.get(key).filter(fresh) match {
         case Some(e) =>
@@ -62,6 +74,18 @@ final class ResultCache[K, V](maxEntries: Int = 256,
           lastHit = SupersetHit
           return slice(key, e.value)
         case None =>
+      }
+      val partials = entries.filter { case (k2, e) => partialOf(k2, key) && fresh(e) }
+      if (partials.nonEmpty) {
+        val (_, best) = partials.maxBy { case (k2, _) => partialRank(k2) }
+        extend(key, best.value) match {
+          case Some(extended) =>
+            lastHit = PartialHit
+            entries.put(key, Entry(extended, now(), stable))
+            while (entries.size > maxEntries) entries.remove(entries.head._1)
+            return extended
+          case None =>
+        }
       }
     }
     // in-flight dedup outside the lock: first caller computes, the rest

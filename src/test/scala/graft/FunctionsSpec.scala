@@ -110,4 +110,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r1.forall(b => b >= 0 && b < 16))
     assert(r1(0) !== r1(1)) // opposite vectors land in complementary buckets
   }
+
+  test("kmeansLloyd separates well-formed clusters deterministically") {
+    import graft.functions.VectorFns
+    // two tight blobs in 4-d: around (0,0,0,0) and (10,10,10,10)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) 0.0f else 10.0f
+      (i.toLong, Seq(base + i % 3 * 0.1f, base, base + 0.05f * (i % 2), base))
+    }.toDF("vec_id", "embedding")
+    val (assigned, centroids) = VectorFns.kmeansLloyd(
+      vecs, "vec_id", "embedding", k = 2, iters = 2, dim = 4)
+    val byCluster = assigned.select("vec_id", "cluster").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // the two blobs must be exactly the two clusters
+    assert(byCluster.values.toSet == Set((0L until 10L).toSet, (10L until 20L).toSet))
+    // centroids land near the blob centers (stable-rounded)
+    assert(centroids.size == 2)
+    val means = centroids.map(_._2.head).sorted
+    assert(math.abs(means.head - 0.1) < 0.2 && math.abs(means(1) - 10.1) < 0.2)
+    // rerun → identical assignment (deterministic seeding + rounding)
+    val (again, _) = VectorFns.kmeansLloyd(
+      vecs, "vec_id", "embedding", k = 2, iters = 2, dim = 4)
+    assert(again.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      .sameElements(assigned.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted))
+  }
 }

@@ -48,6 +48,42 @@ class QueryServiceSpec extends SparkSpec {
     assert(cache.lastHitType == cache.SupersetHit)
   }
 
+  test("result cache: partial hit extends the window and stores the merge (service.py:444-471,1902-1960)") {
+    // key = (end, limit) over a bar list; a smaller-limit entry for the
+    // same end is a partial → only the missing head is computed
+    val cache = new ResultCache[(String, Int), Seq[Int]]()
+    val computed = scala.collection.mutable.ArrayBuffer[String]()
+    def load(end: String, limit: Int): Seq[Int] =
+      cache.getOrCompute((end, limit), stable = true,
+        partialOf = (k2, k1) => k2._1 == k1._1 && k2._2 < k1._2,
+        partialRank = k2 => k2._2.toLong,
+        extend = (k1, partial) => {
+          computed += s"extend-missing-${k1._2 - partial.size}"
+          val head = (1 to (k1._2 - partial.size)).map(i => partial.min - i).reverse
+          Some((head ++ partial).takeRight(k1._2))
+        }) {
+        computed += s"full-$limit"
+        (1 to limit).map(i => 100 + i)
+      }
+
+    assert(load("e1", 2) == Seq(101, 102) && computed.toSeq == Seq("full-2"))
+    // limit=4 with a limit=2 entry cached: extend computes only 2 bars
+    assert(load("e1", 4) == Seq(99, 100, 101, 102))
+    assert(cache.lastHitType == cache.PartialHit)
+    assert(computed.toSeq == Seq("full-2", "extend-missing-2"))
+    // the merged result is stored under the requested key → exact hit now
+    assert(load("e1", 4) == Seq(99, 100, 101, 102))
+    assert(cache.lastHitType == cache.ExactHit)
+    assert(computed.size == 2)
+    // larger cached limits are preferred among partials: both (2) and (4)
+    // exist; limit=5 extends from the 4-bar entry, computing 1 bar
+    assert(load("e1", 5) == Seq(98, 99, 100, 101, 102))
+    assert(computed.last == "extend-missing-1")
+    // a different end window never partial-matches
+    assert(load("e2", 3) == Seq(101, 102, 103))
+    assert(computed.last == "full-3")
+  }
+
   test("serializeFrame: aliases, internal scrub, ISO-8601 ms timestamps (utils.py:73-110)") {
     val df = Seq((ts("2026-01-15T10:00:00Z"), 100.5, 0.01, 7.0))
       .toDF("timestamp", "vwap_1m", "realized_vol_1m", "_internal")
