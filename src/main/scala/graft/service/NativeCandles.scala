@@ -93,15 +93,24 @@ object NativeCandles {
                                    barMs: Long, notePrefix: String,
                                    notes: scala.collection.mutable.Buffer[String]): DataFrame = {
     val targets = valueMap.map(_._2)
-    val exact = alignOnce(bars, series, seriesTs, valueMap, barMs, exact = true)
+    // each stage is persisted: the populated-count actions and every
+    // subsequent enrichment series build on this frame, and without the
+    // cache each count would recompute the whole upstream chain
+    // (quadratic job work across the 9 series)
+    val exact = alignOnce(bars, series, seriesTs, valueMap, barMs, exact = true).persist()
     notes += s"${notePrefix}_alignment_exact_timestamp"
 
-    val height = exact.count()
-    val populated = populatedCount(exact, targets)
+    // height + populated in ONE job
+    val allSet = targets.map(col(_).isNotNull).reduce(_ && _)
+    val m = exact.agg(count(lit(1)), count(when(allSet, 1))).collect()(0)
+    val height = m.getLong(0)
+    val populated = m.getLong(1)
     if (populated >= height) return exact
 
-    val fallback = alignOnce(exact, series, seriesTs, valueMap, barMs, exact = false)
-    if (populatedCount(fallback, targets) > populated)
+    val fallback = alignOnce(exact, series, seriesTs, valueMap, barMs, exact = false).persist()
+    val fallbackPopulated = populatedCount(fallback, targets)
+    exact.unpersist()
+    if (fallbackPopulated > populated)
       notes += s"${notePrefix}_alignment_asof_backward_max_age_1bar"
     fallback
   }
