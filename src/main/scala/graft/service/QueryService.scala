@@ -219,6 +219,43 @@ object QueryService {
     IndicatorPayload(emaTf, emaLength, emaVal, emaTs, pivotTf, pivots)
   }
 
+  /** Per-timeframe result as the payload assembler consumes it —
+    * serialized rows (one JSON object per bar) + response metadata
+    * (reference `service.py:1984-2010` TimeframeCandleResult.metadata). */
+  final case class TimeframeResult(rows: Seq[String], source: String,
+                                   fetchMode: String, fallbackUsed: Boolean,
+                                   notes: Seq[String], latencySecs: Double)
+
+  /** The flagship response envelope (reference `service.py:2174-2197`):
+    * per-timeframe thread fan-out, then payload assembly — data map,
+    * timeframe metadata map, mixed-source detection, usage-tracker log
+    * fields. `fetch` runs once per timeframe on a fan-out thread with
+    * the request's usage tracker installed. */
+  final case class PerpetualPayload(symbol: String, timeframes: Seq[String],
+                                    limit: Int, endTime: String, source: String,
+                                    timeframeMetadata: Map[String, TimeframeResult],
+                                    data: Map[String, Seq[String]],
+                                    usage: Map[String, Any])
+
+  def perpetualPayload(symbol: String, timeframes: Seq[String], limit: Int,
+                       endTime: java.time.Instant,
+                       fetch: String => TimeframeResult): PerpetualPayload =
+    UsageTracker.scope(s"/api/v1/perpetual-data") { tracker =>
+      val fetched = graft.sources.RestClient.fanOut(
+        timeframes.map(tf => () =>
+          tf -> UsageTracker.withTracker(tracker)(fetch(tf)))).toMap
+      val sources = fetched.values.map(_.source).toSet
+      PerpetualPayload(
+        symbol = symbol,
+        timeframes = timeframes,
+        limit = limit,
+        endTime = endTime.toString.replace("+00:00", "Z"),
+        source = if (sources.size > 1) "mixed" else sources.headOption.getOrElse("none"),
+        timeframeMetadata = fetched,
+        data = fetched.map { case (tf, r) => tf -> r.rows },
+        usage = tracker.asLogFields)
+    }
+
   /** Serialization (reference `utils.py:73-110`): timeframe-neutral
     * aliases (vwap_1m → vwap_bar, realized_vol_1m → realized_vol_bar),
     * `_`-prefixed internal-column scrub, ISO-8601 timestamps with

@@ -13,10 +13,17 @@ package graft.sources
 object RestClient {
 
   /** Transport abstraction: returns the response body, or throws
-    * [[HttpError]] with a status + optional Retry-After seconds. */
+    * [[HttpError]] with a status + optional Retry-After seconds.
+    * Override [[Transport.getResponse]] when the transport can surface
+    * status + headers (weight accounting reads `x-mbx-used-weight*`). */
   trait Transport {
     def get(path: String, params: Map[String, String]): String
+    def getResponse(path: String, params: Map[String, String]): HttpResponse =
+      HttpResponse(get(path, params))
   }
+
+  final case class HttpResponse(body: String, status: Int = 200,
+                                headers: Map[String, String] = Map.empty)
 
   final case class HttpError(status: Int, retryAfterSeconds: Option[Long] = None)
     extends RuntimeException(s"HTTP $status")
@@ -66,10 +73,17 @@ object RestClient {
         attempt += 1
         attempts += 1
         lastRequestAt = now()
-        try return transport.get(path, params)
-        catch {
+        try {
+          val resp = transport.getResponse(path, params)
+          graft.service.UsageTracker.recordRestResponse(
+            path, resp.status, resp.headers, params)
+          return resp.body
+        } catch {
           case e: HttpError if attempt <= maxRetries &&
             (e.status == 429 || e.status >= 500) =>
+            graft.service.UsageTracker.recordRestResponse(path, e.status,
+              e.retryAfterSeconds.map(s => "retry-after" -> s.toString).toMap, params)
+            graft.service.UsageTracker.recordRetry()
             val delay = e.retryAfterSeconds.map(_ * 1000L)
               .getOrElse(math.min(backoff, maxBackoffMs)) + jitterMs()
             sleep(delay)

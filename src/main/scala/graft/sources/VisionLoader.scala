@@ -148,6 +148,28 @@ object VisionLoader {
     StructField("best_ask_qty", DoubleType), StructField("transaction_time", LongType),
     StructField("event_time", LongType)))
 
+  /** Metrics-ZIP inspector (reference `sources/metrics_inspector.py`):
+    * header row of the first CSV inside a daily ZIP — driver-side, used
+    * to diagnose schema drift before a load. */
+  def listZipCsvColumns(zipPath: String): Seq[String] = {
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entries = zf.entries()
+      var csv: Option[java.util.zip.ZipEntry] = None
+      while (csv.isEmpty && entries.hasMoreElements) {
+        val e = entries.nextElement()
+        if (e.getName.endsWith(".csv")) csv = Some(e)
+      }
+      val entry = csv.getOrElse(
+        throw new IllegalArgumentException(s"No CSV file found inside $zipPath"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(zf.getInputStream(entry), "UTF-8"))
+      val header = Option(reader.readLine()).getOrElse(
+        throw new IllegalArgumentException(s"CSV in $zipPath is empty"))
+      header.split(",", -1).toSeq
+    } finally zf.close()
+  }
+
   /** bookTicker stream loader (reference `vision_loader.py:157-182`). */
   def bookTickerFromZips(spark: SparkSession, zipGlob: String,
                          startMs: Long, endMs: Long, hasHeader: Boolean = false): DataFrame =

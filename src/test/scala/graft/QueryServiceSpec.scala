@@ -179,6 +179,68 @@ class QueryServiceSpec extends SparkSpec {
     assert(bars.columns.contains("cvd_btc") && bars.columns.contains("vwap_bar"))
   }
 
+  test("usage tracker: weight estimation, header progression, retry wiring (binance_usage.py)") {
+    import graft.service.UsageTracker
+    import graft.sources.RestClient.{HttpError, HttpResponse, RetryingClient, Transport}
+    assert(UsageTracker.estimateKlineWeight("/fapi/v1/klines", Map("limit" -> "1500")).contains(10))
+    assert(UsageTracker.estimateKlineWeight("/fapi/v1/klines", Map("limit" -> "99")).contains(1))
+    assert(UsageTracker.estimateKlineWeight("/fapi/v1/aggTrades", Map("limit" -> "1000")).isEmpty)
+    assert(UsageTracker.estimateKlineWeight("/fapi/v1/klines", Map.empty).isEmpty)
+
+    var calls = 0
+    val transport = new Transport {
+      def get(p: String, q: Map[String, String]): String = ""
+      override def getResponse(p: String, q: Map[String, String]): HttpResponse = {
+        calls += 1
+        if (calls == 1) throw HttpError(429, retryAfterSeconds = Some(3))
+        HttpResponse("[]", 200, Map("x-mbx-used-weight-1m" -> (calls * 10).toString))
+      }
+    }
+    val client = new RetryingClient(transport, minIntervalMs = 0,
+      sleep = _ => (), jitterMs = () => 0, now = () => 0)
+    val fields = UsageTracker.scope("/api/v1/perpetual-data") { tracker =>
+      client.get("/fapi/v1/klines", Map("limit" -> "500", "symbol" -> "BTCUSDT"))
+      client.get("/fapi/v1/klines", Map("limit" -> "500", "symbol" -> "BTCUSDT"))
+      tracker.asLogFields
+    }
+    assert(fields("binance_rest_call_count") == 3) // 429 + 2 successes
+    assert(fields("binance_retry_count") == 1)
+    assert(fields("binance_429_count") == 1)
+    assert(fields("binance_max_retry_after_seconds") == Some(3.0))
+    assert(fields("binance_estimated_kline_weight_total") == 15) // 3 × weight 5
+    assert(fields("binance_estimated_kline_weight_remaining_1m") == 2400 - 15)
+    val progress = fields("binance_observed_weight_headers")
+      .asInstanceOf[Map[String, Map[String, Any]]]("x-mbx-used-weight-1m")
+    assert(progress("first") == Some(20) && progress("last") == Some(30) &&
+      progress("delta_after_first") == 10)
+    // outside a scope: recording is a no-op
+    UsageTracker.recordRetry()
+    assert(UsageTracker.currentTracker.isEmpty)
+  }
+
+  test("perpetual payload assembly: fan-out, mixed-source, usage block (service.py:2174-2197)") {
+    import graft.service.QueryService.TimeframeResult
+    val payload = QueryService.perpetualPayload(
+      "BTCUSDT", Seq("1m", "5m"), limit = 2,
+      endTime = instant("2026-01-15T10:00:00Z"),
+      fetch = {
+        case "1m" =>
+          graft.service.UsageTracker.recordCacheEvent("timeframe_cache_hit_exact")
+          TimeframeResult(Seq("""{"t":1}""", """{"t":2}"""), "local",
+            "aggregate_from_1m", fallbackUsed = false, Seq("n1"), 0.01)
+        case "5m" =>
+          TimeframeResult(Seq("""{"t":3}"""), "binance_native",
+            "direct_tf", fallbackUsed = false, Nil, 0.02)
+      })
+    assert(payload.source == "mixed")
+    assert(payload.data("1m").size == 2 && payload.data("5m").size == 1)
+    assert(payload.timeframeMetadata("1m").notes == Seq("n1"))
+    assert(payload.endTime == "2026-01-15T10:00:00Z")
+    // cache events recorded on fan-out threads land in the request tracker
+    assert(payload.usage("binance_cache_events")
+      .asInstanceOf[Map[String, Int]]("timeframe_cache_hit_exact") == 1)
+  }
+
   test("native route: klines→frame, enrichment joins, derived fields (service.py:1136-1551)") {
     import graft.service.{Capabilities, NativeCandles}
     val h = 3600000L

@@ -111,6 +111,16 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq(1, 2, 3))
   }
 
+  test("metrics inspector lists the first CSV's header columns (metrics_inspector.py)") {
+    val dir = Files.createTempDirectory("vision-insp").toString
+    writeZip(dir, "metrics.zip", "create_time,symbol,sum_open_interest\n1,BTCUSDT,2.0")
+    assert(VisionLoader.listZipCsvColumns(s"$dir/metrics.zip") ==
+      Seq("create_time", "symbol", "sum_open_interest"))
+    writeZip(dir, "empty.zip", "")
+    assertThrows[IllegalArgumentException](
+      VisionLoader.listZipCsvColumns(s"$dir/empty.zip"))
+  }
+
   test("aggTrades + bookTicker Vision loaders: renames and window filters (vision_loader.py:96-182)") {
     val dir = Files.createTempDirectory("vision3").toString
     val t0 = ms("2026-01-15T10:00:00Z")
