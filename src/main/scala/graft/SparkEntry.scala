@@ -534,6 +534,35 @@ object SparkEntry {
         .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // DEDUP at 100 TB: the same inverted-index Jaccard with a
+    // document-frequency cap on the join key — shingles appearing in
+    // more than `dfCap` docs per source generate O(df²) candidate pairs
+    // and carry no near-dup signal, so they are dropped from the index
+    // and the set sizes BEFORE the self-join (bounding the hottest key,
+    // the residual skew risk of dedup_ngram_jaccard).
+    "dedup_ngram_jaccard_capped" -> ((s, dir) => {
+      val dfCap = 20
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                explode(TextFns.shingleHashesFromText("text", 3)).as("h"))
+      val hot = ex.groupBy("source", "h").agg(count(lit(1)).as("df"))
+        .where(col("df") > dfCap).select("source", "h")
+      val kept = ex.join(hot, Seq("source", "h"), "left_anti")
+      val sizes = kept.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
+      val withSz = kept.join(sizes, Seq("source", "doc_id"))
+      val a = withSz.select(col("source"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"), col("h"))
+      val b = withSz.select(col("source"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b"), col("h"))
+      val i = count(lit(1)).cast("double")
+      a.join(b, Seq("source", "h"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("source", "id_a", "id_b", "sz_a", "sz_b")
+        .agg(round(i / (col("sz_a") + col("sz_b") - i), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.06)
+        .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
     // DEDUP: MinHash signatures + LSH band buckets (16 perms, 8 bands ×
     // 2 rows) — the shingle→minhash→band pipeline; band buckets are the
     // LSH join keys at scale. Permutations are arithmetic universal
@@ -885,6 +914,34 @@ object SparkEntry {
         .select(col("label"), col("id_a"), col("id_b"), col("cos"))
     }),
 
+    // DEDUP at 100 TB: near-dup pairs through LSH band buckets instead
+    // of label blocks — 2 bands × 4 hyperplanes, candidates = same-band
+    // same-bucket pairs (union of bands, deduped), exact cosine on the
+    // candidates only. The label-blocked variant (dedup_embed_cosine)
+    // stays as the small-scale exact baseline; this is the plan whose
+    // candidate count stays bounded as the table grows.
+    "dedup_embed_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
+      val bucketed = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
+        emb.select(col("vec_id"), col("embedding"), col("nrm"),
+          lit(bi).as("band"),
+          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 4, seed = seed)
+            .as("bucket"))
+      }.reduce(_ unionByName _)
+      val a = bucketed.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = bucketed.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(b, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("cos",
+          round(VectorFns.dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 5))
+        .where(col("cos") >= 0.42)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }),
+
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
     // against the full embedding table; one narrow pass + per-query
     // top-k (the baseline; LSH/IVF prune candidates at scale).
@@ -1228,6 +1285,29 @@ object SparkEntry {
         |  SELECT source, id_a, id_b, round(i / (s - i), 6) AS jaccard FROM p)
         |WHERE jaccard >= 0.06""".stripMargin,
 
+    "dedup_ngram_jaccard_capped" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(tk) - 2, 0)),
+        |           i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))) AS h
+        |  FROM w),
+        |hot AS (SELECT source, h FROM ex GROUP BY source, h HAVING count(*) > 20),
+        |kept AS (SELECT ex.* FROM ex ANTI JOIN hot ON ex.source = hot.source AND ex.h = hot.h),
+        |sizes AS (SELECT source, doc_id, count(*) AS sz FROM kept GROUP BY source, doc_id),
+        |k AS (SELECT kept.source, kept.doc_id, kept.h, sizes.sz
+        |      FROM kept JOIN sizes ON sizes.source = kept.source AND sizes.doc_id = kept.doc_id),
+        |p AS (
+        |  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.sz AS sz_a, b.sz AS sz_b, CAST(count(*) AS DOUBLE) AS i
+        |  FROM k a JOIN k b ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT * FROM (
+        |  SELECT source, id_a, id_b, round(i / (sz_a + sz_b - i), 6) AS jaccard FROM p)
+        |WHERE jaccard >= 0.06""".stripMargin,
+
     "dedup_minhash_pairs" -> {
       val shingles =
         """list_distinct(list_transform(
@@ -1498,6 +1578,36 @@ object SparkEntry {
         s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $planes AS bucket FROM embeddings"
+    },
+
+    "dedup_embed_lsh" -> {
+      def bucketExpr(seed: Int): String = (0 until 4).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"CAST(embedding[d] AS DOUBLE) * " +
+          s"((('0x' || substr(md5('$seed:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, 0 AS band, ${bucketExpr(11)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, ${bucketExpr(23)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket
+         |    AND a.vec_id < bb.vec_id),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |         round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+         |           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+         |           (ea.nrm * eb.nrm), 5) AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |            JOIN e eb ON eb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42""".stripMargin
     },
 
     "ann_ivf_probe" ->
