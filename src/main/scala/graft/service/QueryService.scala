@@ -144,6 +144,66 @@ object QueryService {
     serializeFrame(QueryAggregator.addDeltaFields(agg))
   }
 
+  /** BTC local-only route result (reference `service.py:1729-1831`). */
+  final case class BtcLocalResult(frame: DataFrame, source: String,
+                                  sourceStrategy: String, fetchMode: String,
+                                  notes: Seq[String])
+
+  /** The BTC local-only path (§3.1 step 5a — reference
+    * `service.py:1729-1831`): for timeframes above 3m, try the HTF lake
+    * directly; if it can't fill the limit, aggregate the local 1m lake;
+    * if neither covers, serve the best partial frame — never a Binance
+    * fallback. Notes follow the reference vocabulary. */
+  def btcLocalOnlyBars(spark: SparkSession, minuteReader: MinuteLakeReader,
+                       htfReader: graft.sources.HtfLakeReader,
+                       symbol: String, timeframe: String,
+                       resolvedEnd: Instant, limit: Int): BtcLocalResult = {
+    val spec = Timeframes.parse(timeframe)
+    val start = spec.addBuckets(resolvedEnd, -limit)
+    val notes = scala.collection.mutable.Buffer[String]()
+
+    var htfFrame: Option[DataFrame] = None
+    if (spec.fixedMinutes.forall(_ > 3)) {
+      htfFrame = htfReader.readWindow(spark, spec.name, symbol, start, resolvedEnd)
+        .map(_.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp").persist())
+      val htfCount = htfFrame.map(_.count()).getOrElse(0L)
+      if (htfCount >= limit)
+        return BtcLocalResult(htfFrame.get, "local", "local_higher_timeframe_lake",
+          "direct_local_higher_tf", Seq("using_local_btc_higher_timeframe_lake"))
+      notes += (if (htfCount > 0) "btc_higher_tf_local_lake_partial_window"
+                else "btc_higher_tf_local_lake_missing_required_window")
+      notes += "btc_higher_tf_local_minute_aggregation_fallback"
+    }
+
+    val (window, _) = loadCanonicalWindow(spark, minuteReader, symbol, start, resolvedEnd)
+    val aggregate = QueryAggregator
+      .aggregateCanonicalFrame(window, spec, limit).persist()
+    val aggCount = aggregate.count()
+    if (aggCount >= limit) {
+      notes += "using_local_btc_minute_lake"
+      notes += "btc_local_path_selected"
+      return BtcLocalResult(aggregate, "local", "local_minute_lake_preferred",
+        "aggregate_from_1m", notes.toSeq)
+    }
+
+    // best partial frame, no Binance fallback (service.py:1696,1806-1831)
+    val htfCount = htfFrame.map(_.count()).getOrElse(0L)
+    val useAgg = aggCount >= htfCount
+    val partial = if (useAgg) aggregate else htfFrame.get
+    val partialCount = math.max(aggCount, htfCount)
+    if (aggCount > 0) notes += "using_local_btc_minute_lake"
+    notes += "local_btc_missing_required_window"
+    notes += "btc_local_only_no_binance_fallback"
+    BtcLocalResult(partial,
+      source = if (partialCount > 0) "local" else "local_unavailable",
+      sourceStrategy = if (useAgg) "local_minute_lake_preferred"
+                       else "local_higher_timeframe_lake",
+      fetchMode =
+        if (partialCount == 0) "local_only_unavailable"
+        else if (useAgg) "aggregate_from_1m" else "direct_local_higher_tf",
+      notes = notes.toSeq)
+  }
+
   /** The native candle route (§3.1 step 5c — reference
     * `service.py:1833-2078`): capability-planned direct-timeframe bars
     * from typed kline records, enriched with the auxiliary series, then

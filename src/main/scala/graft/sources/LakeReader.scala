@@ -18,6 +18,33 @@ import graft.schema.CanonicalSchema
   * same I/O, no path math (SURVEY §4). Timestamp predicates additionally
   * push into parquet row-group statistics.
   */
+/** HTF-lake reader (S4's higher-timeframe half — reference
+  * `live_data_api_service/repository.py:79-122`): bucket-window read
+  * with the complete-bucket filter and latest-wins dedup, bucket_start
+  * re-keyed as `timestamp` so downstream consumes HTF bars and 1m bars
+  * through the same column. Partition pruning comes from the Hive
+  * layout + timestamp predicates (no manual path math). */
+class HtfLakeReader(root: String) {
+
+  private def dir(timeframe: String, symbol: String) =
+    s"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
+
+  def readWindow(spark: SparkSession, timeframe: String, symbol: String,
+                 start: Instant, end: Instant,
+                 completeOnly: Boolean = true): Option[DataFrame] = {
+    val d = dir(timeframe, symbol)
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(d))) return None
+    var df = spark.read.parquet(d)
+      .where(col("bucket_start").between(
+        java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
+    if (completeOnly) df = df.where(col("bucket_complete"))
+    Some(Ops.dedupKeepLast(df, Seq("bucket_start"), Seq(col("bucket_start")))
+      .drop("year", "month", "day")
+      .withColumnRenamed("bucket_start", "timestamp"))
+  }
+}
+
 class MinuteLakeReader(root: String) {
 
   private def lakeDir = s"$root/futures/um/minute"

@@ -179,6 +179,59 @@ class QueryServiceSpec extends SparkSpec {
     assert(bars.columns.contains("cvd_btc") && bars.columns.contains("vwap_bar"))
   }
 
+  test("BTC local-only route: HTF direct, 1m fallback, best-partial (service.py:1729-1831)") {
+    import java.nio.file.Files
+    import graft.operators.{AggregatorRunner, MinuteBuilder}
+    import graft.sources.{HtfLakeReader, HtfLakeWriter, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+    val dir = Files.createTempDirectory("graft-btc").toString
+    val mw = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"))
+    val reader = new MinuteLakeReader(dir)
+    val hw = new HtfLakeWriter(s"$dir/htf")
+    val hr = new HtfLakeReader(s"$dir/htf")
+
+    // 2 hours of minutes → backfill 5m HTF buckets
+    val start = instant("2026-01-15T08:00:00Z")
+    val rows = (0 until 120).map { i =>
+      (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+        100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1.0, 100000.0)
+    }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+    val canonical = MinuteBuilder.finalizeSchema(rows
+      .withColumn("trade_count", lit(10L))
+      .withColumn("mark_price_open", lit(100.0))
+      .withColumn("mark_price_close", lit(100.5))
+      .withColumn("index_price_open", lit(100.0))
+      .withColumn("index_price_close", lit(100.4)))
+    // backfill HTF from hour 1 only, THEN land hour 2 minutes — the HTF
+    // lake lags the minute lake by an hour (12 vs 24 complete buckets)
+    mw.writeHourPartition("BTCUSDT", start, canonical.where(
+      col("timestamp") < java.sql.Timestamp.from(start.plusSeconds(3600))))
+    AggregatorRunner.runBackfill(spark, reader, hw,
+      new AggregatorRunner.AggregatorStateStore(s"$dir/_agg"),
+      s"$dir/htf", "BTCUSDT", graft.schema.Timeframes.parse("5m"))
+    mw.writeHourPartition("BTCUSDT", start.plusSeconds(3600), canonical.where(
+      col("timestamp") >= java.sql.Timestamp.from(start.plusSeconds(3600))))
+
+    val end = instant("2026-01-15T10:00:00Z")
+    // HTF lake covers the 08:40-09:00 window for limit=4 → direct read
+    val direct = QueryService.btcLocalOnlyBars(spark, reader, hr,
+      "BTCUSDT", "5m", instant("2026-01-15T09:00:00Z"), limit = 4)
+    assert(direct.fetchMode == "direct_local_higher_tf")
+    assert(direct.notes == Seq("using_local_btc_higher_timeframe_lake"))
+    assert(direct.frame.count() == 4)
+    // limit=20 exceeds the 12 HTF buckets but not the 24 from 1m agg
+    val viaMinutes = QueryService.btcLocalOnlyBars(spark, reader, hr,
+      "BTCUSDT", "5m", end, limit = 20)
+    assert(viaMinutes.fetchMode == "aggregate_from_1m")
+    assert(viaMinutes.notes.contains("btc_higher_tf_local_lake_partial_window"))
+    assert(viaMinutes.notes.contains("btc_local_path_selected"))
+    // limit=100 exceeds everything → best partial, no Binance fallback
+    val partial = QueryService.btcLocalOnlyBars(spark, reader, hr,
+      "BTCUSDT", "5m", end, limit = 100)
+    assert(partial.source == "local")
+    assert(partial.notes.contains("btc_local_only_no_binance_fallback"))
+    assert(partial.frame.count() == 24) // all complete 5m buckets from 1m agg
+  }
+
   test("usage tracker: weight estimation, header progression, retry wiring (binance_usage.py)") {
     import graft.service.UsageTracker
     import graft.sources.RestClient.{HttpError, HttpResponse, RetryingClient, Transport}
