@@ -24,7 +24,9 @@ object PlanCheck {
       "htf_aggregate_1h", "qagg_aggregate_15m", "j1_spine_left_join",
       "j2_asof_tolerance", "ann_cosine_topk", "dedup_ngram_jaccard",
       "dedup_minhash_pairs", "dedup_embed_cosine", "a8_indicator_ohlc",
-      "s14_top200_recent", "w5_bounded_ffill")
+      "s14_top200_recent", "w5_bounded_ffill",
+      "native_enrich_route", "ivf_kmeans_train", "dedup_embed_lsh",
+      "dedup_ngram_jaccard_capped")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -177,4 +177,65 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(last.getDouble(idx("liqUnfilledRatio")) - 0.25) < 1e-12)
     } finally query.stop()
   }
+
+  test("WS payload processor: depth/liquidation/trade/markPrice parsing and gates (test_websocket_payload_processor.py)") {
+    import graft.streaming.WsPayloadProcessor
+    import graft.streaming.LiveCollector.LiquidationEvent
+    val depths = scala.collection.mutable.Buffer[(DepthDiffEvent, Option[Long], Option[Long])]()
+    val liqs = scala.collection.mutable.Buffer[LiquidationEvent]()
+    val trades = scala.collection.mutable.Buffer[(String, Option[Long], Option[Long], Option[Long])]()
+    val fundings = scala.collection.mutable.Buffer[(Long, Option[Double], Option[Long])]()
+    val collector = new WsPayloadProcessor.Collector {
+      def ingestDepthDiff(e: DepthDiffEvent, t: Option[Long], a: Option[Long]): Unit =
+        depths += ((e, t, a))
+      def ingestLiquidation(e: LiquidationEvent): Unit = liqs += e
+      def ingestTrade(s: String, e: Option[Long], t: Option[Long], a: Option[Long]): Unit =
+        trades += ((s, e, t, a))
+      def ingestPredictedFunding(e: Long, pf: Option[Double], nft: Option[Long],
+                                 a: Option[Long]): Unit = fundings += ((e, pf, nft))
+    }
+    val p = new WsPayloadProcessor.Processor(collector, "btcusdt")
+    val m = ms("2026-01-15T10:00:00Z")
+
+    p.processStreamPayload("btcusdt@depth@100ms",
+      s"""{"e":"depthUpdate","E":${m + 5000},"T":${m + 4990},"s":"BTCUSDT",
+         |"U":101,"u":105,"pu":100,"b":[["99.5","12.0"]],"a":[["100.5","15.0"]]}"""
+        .stripMargin.replace("\n", ""), Some(m + 5020))
+    assert(depths.size == 1)
+    val (d, dt, da) = depths.head
+    assert(d.firstUpdateId == 101 && d.finalUpdateId == 105 &&
+      d.previousFinalUpdateId.contains(100L))
+    assert(d.bidDeltas == Seq((99.5, 12.0)) && d.askDeltas == Seq((100.5, 15.0)))
+    assert(dt.contains(m + 4990) && da.contains(m + 5020))
+
+    // liquidation: executed qty (l) preferred over original, E absent →
+    // o.T fallback; SELL forceOrder = long liquidation downstream
+    p.processStreamPayload("btcusdt@forceOrder",
+      s"""{"e":"forceOrder","o":{"s":"BTCUSDT","S":"SELL","p":"100.0",
+         |"ap":"100.0","q":"3.0","l":"2.5","T":${m + 10000}}}"""
+        .stripMargin.replace("\n", ""), Some(m + 10050))
+    assert(liqs.size == 1)
+    assert(liqs.head.quantity == 2.5 && liqs.head.origQuantity.contains(3.0))
+    assert(liqs.head.eventTime == m + 10000) // o.T fallback
+    // invalid side dropped
+    p.processStreamPayload("btcusdt@forceOrder",
+      """{"e":"forceOrder","o":{"S":"HOLD","p":"1","q":"1","T":1}}""")
+    assert(liqs.size == 1)
+
+    // combined-stream envelope routes by stream name; symbol from prefix
+    p.processCombinedPayload(
+      s"""{"stream":"ethusdt@aggTrade","data":{"e":"aggTrade","E":${m + 20000},"T":${m + 19980}}}""",
+      Some(m + 20030))
+    assert(trades.size == 1 && trades.head._1 == "ETHUSDT")
+    assert(trades.head._2.contains(m + 20000) && trades.head._4.contains(m + 20030))
+
+    p.processStreamPayload("btcusdt@markPrice@1s",
+      s"""{"e":"markPriceUpdate","E":${m + 30000},"r":"0.0001","T":${m + 8 * 3600 * 1000}}""")
+    assert(fundings.size == 1)
+    assert(fundings.head._2.contains(0.0001) &&
+      fundings.head._3.contains(m + 8 * 3600 * 1000L))
+    // unknown stream → ignored
+    p.processStreamPayload("btcusdt@kline_1m", """{"e":"kline"}""")
+    assert(depths.size + liqs.size + trades.size + fundings.size == 4)
+  }
 }
