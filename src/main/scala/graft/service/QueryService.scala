@@ -144,6 +144,43 @@ object QueryService {
     serializeFrame(QueryAggregator.addDeltaFields(agg))
   }
 
+  /** Cache-fronted candle loading (reference `load_candle_bars`'s cache
+    * front, `service.py:1877-1960`): exact → superset-slice →
+    * partial-extend → in-flight dedup → compute, keyed by
+    * (symbol, timeframe, limit, resolved end). Values are materialized
+    * (timestamp-ms, serialized-row) pairs, so slicing and extension are
+    * driver-side list ops; `stable` when the window is fully in the
+    * past (reference `_canonical_patch_cache_ttl_seconds`). */
+  final class CachedCandleService(
+      cache: ResultCache[(String, String, Int, Long), Seq[(Long, String)]],
+      lastCompletedMinute: () => Instant = () => Instant.now.truncatedTo(ChronoUnit.MINUTES)) {
+
+    /** @param compute (limit, endExclusiveMs) → trailing bars ascending */
+    def candleBars(symbol: String, timeframe: String, limit: Int, endMs: Long)
+                  (compute: (Int, Long) => Seq[(Long, String)]): Seq[(Long, String)] = {
+      val key = (symbol, timeframe, limit, endMs)
+      val stable = endMs < lastCompletedMinute().toEpochMilli
+      cache.getOrCompute(key, stable,
+        supersetOf = (k2, k1) => k2._1 == k1._1 && k2._2 == k1._2 &&
+          k2._4 == k1._4 && k2._3 >= k1._3,
+        slice = (k1, v) => v.takeRight(k1._3),
+        partialOf = (k2, k1) => k2._1 == k1._1 && k2._2 == k1._2 &&
+          k2._4 == k1._4 && k2._3 < k1._3,
+        partialRank = k2 => k2._3.toLong,
+        extend = (k1, partial) =>
+          partial.headOption.map { case (earliestMs, _) =>
+            val missing = compute(k1._3 - partial.size, earliestMs)
+            (missing ++ partial).sortBy(_._1)
+              .foldRight(List.empty[(Long, String)]) { (r, acc) =>
+                if (acc.headOption.exists(_._1 == r._1)) acc else r :: acc
+              } // dedup keep-last on collision (cached side wins)
+              .takeRight(k1._3)
+          }) {
+        compute(limit, endMs + 1)
+      }
+    }
+  }
+
   /** BTC local-only route result (reference `service.py:1729-1831`). */
   final case class BtcLocalResult(frame: DataFrame, source: String,
                                   sourceStrategy: String, fetchMode: String,

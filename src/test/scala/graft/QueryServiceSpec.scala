@@ -84,6 +84,38 @@ class QueryServiceSpec extends SparkSpec {
     assert(computed.last == "full-3")
   }
 
+  test("cached candle service: exact/superset/partial front over compute (service.py:1877-1960)") {
+    import graft.service.QueryService.CachedCandleService
+    val cache = new ResultCache[(String, String, Int, Long), Seq[(Long, String)]]()
+    val svc = new CachedCandleService(cache,
+      lastCompletedMinute = () => Instant.parse("2026-01-15T12:00:00Z"))
+    val computes = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    def compute(limit: Int, endExclusive: Long): Seq[(Long, String)] = {
+      computes += ((limit, endExclusive))
+      // bars at 1-minute spacing ending just before endExclusive
+      val lastBar = (endExclusive - 1) / 60000 * 60000
+      (0 until limit).reverse.map(i => (lastBar - i * 60000L, s"bar@${lastBar - i * 60000L}"))
+    }
+    val end = ms("2026-01-15T10:00:00Z")
+
+    val r1 = svc.candleBars("BTCUSDT", "1m", 3, end)(compute)
+    assert(r1.size == 3 && r1.last._1 == end && computes.size == 1)
+    // exact hit
+    assert(svc.candleBars("BTCUSDT", "1m", 3, end)(compute) == r1 && computes.size == 1)
+    // superset slice: limit 2 served from the limit-3 entry
+    val r2 = svc.candleBars("BTCUSDT", "1m", 2, end)(compute)
+    assert(r2 == r1.takeRight(2) && computes.size == 1)
+    assert(cache.lastHitType == cache.SupersetHit)
+    // partial extension: limit 5 computes ONLY the 2 missing older bars
+    val r5 = svc.candleBars("BTCUSDT", "1m", 5, end)(compute)
+    assert(r5.size == 5 && computes.size == 2)
+    assert(computes.last == ((2, r1.head._1))) // missing head before earliest
+    assert(r5.map(_._1) == (0 until 5).reverse.map(i => end - i * 60000L))
+    assert(cache.lastHitType == cache.PartialHit)
+    // stored under the requested key → exact hit next time
+    assert(svc.candleBars("BTCUSDT", "1m", 5, end)(compute) == r5 && computes.size == 2)
+  }
+
   test("serializeFrame: aliases, internal scrub, ISO-8601 ms timestamps (utils.py:73-110)") {
     val df = Seq((ts("2026-01-15T10:00:00Z"), 100.5, 0.01, 7.0))
       .toDF("timestamp", "vwap_1m", "realized_vol_1m", "_internal")
