@@ -66,6 +66,32 @@ object LakeDemo {
       endTime = h.plusSeconds(10 * 60))
     println(s"INDICATORS ema=${ind.ema.map(v => f"$v%.2f")} pivots=" +
       ind.pivots.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(","))
+
+    // round-2 routes: BTC local-only (HTF-first) and the native candle
+    // path with enrichment, through the planner-gated wrapper
+    val htfReader = new graft.sources.HtfLakeReader(s"$dir/htf")
+    val local = graft.service.QueryService.btcLocalOnlyBars(spark, reader, htfReader,
+      "BTCUSDT", "5m", h.plusSeconds(10 * 60), limit = 2)
+    println(s"BTC_LOCAL mode=${local.fetchMode} rows=${local.frame.count()} " +
+      s"notes=${local.notes.mkString(",")}")
+
+    val t0 = h.toEpochMilli
+    val klines = Seq(
+      (t0, 100.0, 101.0, 99.0, 100.5, 2.0, 200.0, 20L, 1.0, 100.0),
+      (t0 + 300000L, 100.5, 102.0, 100.0, 101.5, 3.0, 303.0, 30L, 1.5, 151.5))
+      .toDF("open_time", "open", "high", "low", "close", "volume_btc",
+        "volume_usdt", "trade_count", "taker_buy_vol_btc", "taker_buy_vol_usdt")
+    val aux = graft.service.NativeCandles.AuxSeries(
+      markPriceKlines = Some(Seq((t0, 100.1, 100.6), (t0 + 300000L, 100.6, 101.6))
+        .toDF("open_time", "mark_price_open", "mark_price_close")),
+      fundingRate = Some(Seq((t0 - 3600000L, 0.0001))
+        .toDF("funding_time", "funding_rate")))
+    val (nativeBars, notes) = graft.service.QueryService.nativeCandleBars(
+      klines, aux, "5m", limit = 2)
+    println("NATIVE=" + nativeBars
+      .select("timestamp", "close", "mark_price_close", "funding_rate")
+      .collect().map(_.toString).mkString(" | "))
+    println(s"NATIVE_NOTES=${notes.take(4).mkString(",")}")
     spark.stop()
   }
 }
