@@ -182,6 +182,62 @@ object SparkEntry {
              count(lit(1)).as("cnt"))
     }),
 
+    // P3/A2 through the REAL operator: book-ticker snapshots synthesized
+    // from events (bid/ask derived from value and k), fed to
+    // MinuteBuilder.bookTickerFrame — spread, imbalance, spread_pct,
+    // microprice-last per minute (minute_builder.py:261-296). Snapshots
+    // are deduped per event_time first so "last" has a unique order key.
+    "p3_book_ticker_exprs" -> ((s, dir) => {
+      val snaps = Ops.dedupKeepLast(
+        eventsK(s, dir).where(col("value") > 0 && col("k").isNotNull)
+          .select(unix_millis(col("ts")).as("event_time"),
+            col("value").as("bid_price"),
+            (col("value") + (col("k") % 10 + 1).cast("double") / 100.0).as("ask_price"),
+            (col("k") % 5 + 1).cast("double").as("bid_qty"),
+            (col("k") % 7 + 1).cast("double").as("ask_qty"),
+            col("event_id")),
+        Seq("event_time"), Seq(col("event_id"))).drop("event_id")
+      graft.operators.MinuteBuilder.bookTickerFrame(snaps)
+        .select(col("timestamp"),
+          round(col("avg_spread_usdt"), 6).as("avg_spread_usdt"),
+          round(col("bid_ask_imbalance"), 6).as("bid_ask_imbalance"),
+          round(col("avg_bid_depth"), 6).as("avg_bid_depth"),
+          round(col("avg_ask_depth"), 6).as("avg_ask_depth"),
+          round(col("spread_pct"), 6).as("spread_pct"),
+          round(col("micro_price_close"), 4).as("micro_price_close"))
+    }),
+
+    // J8: live-overlay merge policy — left join on the time key, bool
+    // coverage flags OR-merged, value columns coalesce-prefer-live
+    // (service.py:968-1034, same family as S11's preserve-merge).
+    "j8_overlay_merge" -> ((s, dir) => {
+      val base = eventsK(s, dir).where(col("event_type") === "purchase")
+        .groupBy("minute")
+        .agg(round(sum(col("value")), 4).as("base_vol"))
+        .withColumn("has_live", lit(false))
+      val live = eventsK(s, dir).where(col("event_type") === "error")
+        .groupBy("minute")
+        .agg(round(sum(col("value")), 4).as("live_vol"))
+        .withColumn("live_flag", lit(true))
+      base.join(live, Seq("minute"), "left")
+        .select(col("minute"),
+          (coalesce(col("has_live"), lit(false)) ||
+            coalesce(col("live_flag"), lit(false))).as("has_live"),
+          coalesce(col("live_vol"), col("base_vol")).as("vol"),
+          col("base_vol"))
+    }),
+
+    // A13: ratio-row dedup by data_time keep-last
+    // (binance_provider.py:643-651) — the REST ratio-page dedup as a
+    // relational plan (row_number window, WindowGroupLimit).
+    "a13_ratio_dedup" -> ((s, dir) => {
+      val rows = eventsK(s, dir).where(col("event_type") === "signup")
+        .select((unix_millis(col("ts")) - unix_millis(col("ts")) % 60000L).as("data_time"),
+          col("value").as("ratio"), col("event_id"))
+      Ops.dedupKeepLast(rows, Seq("data_time"), Seq(col("event_id")))
+        .select(col("data_time"), round(col("ratio"), 4).as("ratio"), col("event_id"))
+    }),
+
     // P4/P5: null-gated derivations + coalesce fallback chains
     // (minute_builder.py:545-621, 491-498).
     "p5_null_gated_derived" -> ((s, dir) => {
@@ -997,6 +1053,68 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS whale_cnt,
         |       count(*) AS cnt
         |FROM e GROUP BY event_type""".stripMargin,
+
+    "p3_book_ticker_exprs" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+        |           FROM events),
+        |s0 AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS event_time,
+        |         value AS bid_price,
+        |         value + CAST(k % 10 + 1 AS DOUBLE) / 100.0 AS ask_price,
+        |         CAST(k % 5 + 1 AS DOUBLE) AS bid_qty,
+        |         CAST(k % 7 + 1 AS DOUBLE) AS ask_qty,
+        |         event_id
+        |  FROM e WHERE value > 0 AND k IS NOT NULL),
+        |s1 AS (SELECT * FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY event_time
+        |                                      ORDER BY event_id DESC) AS rn
+        |         FROM s0) WHERE rn = 1),
+        |d AS (
+        |  SELECT date_trunc('minute', epoch_ms(event_time)) AS minute, event_time,
+        |         ask_price - bid_price AS spread,
+        |         (bid_qty - ask_qty) / (bid_qty + ask_qty) AS imbalance,
+        |         (ask_price - bid_price) / ((ask_price + bid_price) / 2.0) AS spread_pct,
+        |         (bid_price * ask_qty + ask_price * bid_qty) / (bid_qty + ask_qty) AS micro,
+        |         bid_qty, ask_qty
+        |  FROM s1),
+        |lastm AS (SELECT minute, micro FROM (
+        |            SELECT minute, micro, row_number() OVER
+        |              (PARTITION BY minute ORDER BY event_time DESC) AS rn
+        |            FROM d) WHERE rn = 1)
+        |SELECT d.minute AS timestamp,
+        |       round(avg(spread), 6) AS avg_spread_usdt,
+        |       round(avg(imbalance), 6) AS bid_ask_imbalance,
+        |       round(avg(bid_qty), 6) AS avg_bid_depth,
+        |       round(avg(ask_qty), 6) AS avg_ask_depth,
+        |       round(avg(spread_pct), 6) AS spread_pct,
+        |       round(any_value(lastm.micro), 4) AS micro_price_close
+        |FROM d JOIN lastm ON lastm.minute = d.minute
+        |GROUP BY d.minute""".stripMargin,
+
+    "j8_overlay_merge" ->
+      """WITH base AS (
+        |  SELECT date_trunc('minute', ts) AS minute, round(sum(value), 4) AS base_vol,
+        |         false AS has_live
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |live AS (
+        |  SELECT date_trunc('minute', ts) AS minute, round(sum(value), 4) AS live_vol,
+        |         true AS live_flag
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT base.minute,
+        |       coalesce(base.has_live, false) OR coalesce(live.live_flag, false)
+        |         AS has_live,
+        |       coalesce(live.live_vol, base.base_vol) AS vol,
+        |       base.base_vol
+        |FROM base LEFT JOIN live ON live.minute = base.minute""".stripMargin,
+
+    "a13_ratio_dedup" ->
+      """SELECT data_time, round(ratio, 4) AS ratio, event_id FROM (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000 AS data_time,
+        |         value AS ratio, event_id,
+        |         row_number() OVER (
+        |           PARTITION BY (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000
+        |           ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'signup') WHERE rn = 1""".stripMargin,
 
     "p5_null_gated_derived" ->
       """SELECT l_linestatus,
