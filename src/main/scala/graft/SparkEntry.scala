@@ -238,6 +238,78 @@ object SparkEntry {
         .select(col("data_time"), round(col("ratio"), 4).as("ratio"), col("event_id"))
     }),
 
+    // The canonical minute builder END TO END (minute_builder.py:75-123):
+    // spine → kline/aggTrade/funding/premium source joins → derived
+    // columns with the deliberate 0-vs-NULL gates → bounded 60-minute
+    // ffill → finalize, over a 3h window derived from the data. Source
+    // records synthesized from event classes; snapshot sources are
+    // pre-deduped per minute so every "last" has a unique order key.
+    "mb_canonical_build" -> ((s, dir) => {
+      val e = eventsK(s, dir)
+      val ord = struct(col("ts"), col("event_id"))
+      // window bound: driver-side derivation mirrors the oracle's scalar
+      // subquery (harness-only action, engine API takes bounds as params)
+      val start0 = e.agg(date_trunc("hour", min(col("ts"))))
+        .first().getTimestamp(0).toInstant
+      val endMin = start0.plus(179, java.time.temporal.ChronoUnit.MINUTES)
+
+      val klineRecs = e.where(col("event_type") === "purchase")
+        .groupBy("minute").agg(
+          Ops.firstByOrd(col("value"), ord).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          Ops.lastByOrd(col("value"), ord).as("close"),
+          sum(col("value")).as("volume_btc"),
+          sum(col("value") * col("k")).as("volume_usdt"),
+          count(lit(1)).as("trade_count"),
+          sum(when(col("k") % 2 === 0, col("value")).otherwise(0.0))
+            .as("taker_buy_vol_btc"),
+          sum(when(col("k") % 2 === 0, col("value") * col("k")).otherwise(0.0))
+            .as("taker_buy_vol_usdt"))
+        .withColumn("open_time", unix_millis(col("minute"))).drop("minute")
+
+      val tradeRecs = e
+        .where(col("event_type") === "error" && col("value") > 0 && col("k").isNotNull)
+        .select(col("event_id").as("agg_trade_id"), col("value").as("price"),
+          ((col("k") % 5 + 1).cast("double") / 10.0).as("qty"),
+          col("event_id").as("first_trade_id"), col("event_id").as("last_trade_id"),
+          unix_millis(col("ts")).as("transact_time"),
+          (col("k") % 2 === 0).as("is_buyer_maker"))
+
+      val fundingRecs = Ops.dedupKeepLast(
+        e.where(col("event_type") === "signup" && col("k") % 20 === 0),
+        Seq("minute"), Seq(col("ts"), col("event_id")))
+        .select(unix_millis(col("ts")).as("funding_time"),
+          (col("k").cast("double") / 1000000.0).as("funding_rate"))
+
+      val premiumRecs = Ops.dedupKeepLast(
+        e.where(col("event_type") === "view"),
+        Seq("minute"), Seq(col("ts"), col("event_id")))
+        .select(unix_millis(col("ts")).as("event_time"),
+          (col("k").cast("double") / 100000.0).as("predicted_funding"),
+          (unix_millis(col("ts")) + 28800000L).as("next_funding_time"),
+          (col("k").cast("double") / 1000000.0).as("last_funding_rate"))
+
+      graft.operators.MinuteBuilder.buildCanonicalFrame(s, start0, endMin,
+        klines = Some(klineRecs), aggTrades = Some(tradeRecs),
+        fundingRates = Some(fundingRecs),
+        premiumIndexSnapshots = Some(premiumRecs))
+        .select(col("timestamp"),
+          round(col("open"), 4).as("open"), round(col("close"), 4).as("close"),
+          round(col("vwap_1m"), 4).as("vwap_1m"),
+          round(col("volume_btc"), 4).as("volume_btc"),
+          col("trade_count"),
+          round(col("net_taker_vol_btc"), 4).as("net_taker_vol_btc"),
+          col("count_buy_trades"),
+          round(col("vol_buy_retail_btc"), 4).as("vol_buy_retail_btc"),
+          round(col("avg_trade_size_btc"), 6).as("avg_trade_size_btc"),
+          round(col("taker_buy_ratio"), 6).as("taker_buy_ratio"),
+          round(col("realized_vol_1m"), 6).as("realized_vol_1m"),
+          round(col("funding_rate"), 6).as("funding_rate"),
+          round(col("predicted_funding"), 6).as("predicted_funding"),
+          col("has_liq"))
+    }),
+
     // P4/P5: null-gated derivations + coalesce fallback chains
     // (minute_builder.py:545-621, 491-498).
     "p5_null_gated_derived" -> ((s, dir) => {
@@ -1053,6 +1125,86 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS whale_cnt,
         |       count(*) AS cnt
         |FROM e GROUP BY event_type""".stripMargin,
+
+    "mb_canonical_build" ->
+      """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+        |                  date_trunc('minute', ts) AS minute FROM events),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0 FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |    (SELECT h0 + INTERVAL 179 MINUTE FROM bounds), INTERVAL 1 MINUTE)) AS m),
+        |kw AS (
+        |  SELECT minute, ts, event_id, value, k,
+        |         first_value(value) OVER w AS fo, last_value(value) OVER w AS fc
+        |  FROM e WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY minute ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |kl AS (
+        |  SELECT minute, any_value(fo) AS open, any_value(fc) AS close,
+        |         sum(value) AS volume_btc, count(*) AS trade_count
+        |  FROM kw GROUP BY minute),
+        |tr1 AS (
+        |  SELECT minute, value AS price, CAST(k % 5 + 1 AS DOUBLE) / 10.0 AS qty,
+        |         k % 2 = 0 AS ibm,
+        |         value * (CAST(k % 5 + 1 AS DOUBLE) / 10.0) AS notional,
+        |         ln(value) - ln(lag(value) OVER
+        |           (PARTITION BY minute
+        |            ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)) AS lr
+        |  FROM e WHERE event_type = 'error' AND value > 0 AND k IS NOT NULL),
+        |tr AS (
+        |  SELECT minute, sum(notional) / sum(qty) AS vwap_1m,
+        |         sum(CASE WHEN NOT ibm THEN qty ELSE 0 END) AS abq,
+        |         sum(CASE WHEN ibm THEN qty ELSE 0 END) AS asq,
+        |         CAST(sum(CASE WHEN NOT ibm THEN 1 ELSE 0 END) AS BIGINT) AS cnt_buy,
+        |         sum(CASE WHEN NOT ibm AND notional <= 1000.0 THEN qty ELSE 0 END)
+        |           AS vol_buy_retail,
+        |         sqrt(sum(pow(coalesce(lr, 0.0), 2))) AS rv
+        |  FROM tr1 GROUP BY minute),
+        |fu AS (
+        |  SELECT minute, CAST(k AS DOUBLE) / 1000000.0 AS funding_rate FROM (
+        |    SELECT minute, k, row_number() OVER
+        |      (PARTITION BY minute ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'signup' AND k % 20 = 0) WHERE rn = 1),
+        |pr AS (
+        |  SELECT minute, CAST(k AS DOUBLE) / 100000.0 AS predicted_funding,
+        |         CAST(k AS DOUBLE) / 1000000.0 AS premium_last FROM (
+        |    SELECT minute, k, row_number() OVER
+        |      (PARTITION BY minute ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |j AS (
+        |  SELECT m, kl.open, kl.close,
+        |         kl.volume_btc,
+        |         CAST(kl.trade_count AS BIGINT) AS trade_count,
+        |         tr.vwap_1m,
+        |         coalesce(tr.abq, 0.0) AS abq, coalesce(tr.asq, 0.0) AS asq,
+        |         CAST(coalesce(tr.cnt_buy, 0) AS BIGINT) AS count_buy_trades,
+        |         coalesce(tr.vol_buy_retail, 0.0) AS vol_buy_retail_btc,
+        |         coalesce(tr.rv, 0.0) AS realized_vol_1m,
+        |         coalesce(fu.funding_rate, pr.premium_last) AS funding_raw,
+        |         pr.predicted_funding
+        |  FROM spine LEFT JOIN kl ON kl.minute = m
+        |             LEFT JOIN tr ON tr.minute = m
+        |             LEFT JOIN fu ON fu.minute = m
+        |             LEFT JOIN pr ON pr.minute = m),
+        |ff AS (
+        |  SELECT *, last_value(funding_raw IGNORE NULLS) OVER
+        |    (ORDER BY m ROWS BETWEEN 60 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM j)
+        |SELECT m AS timestamp, round(open, 4) AS open, round(close, 4) AS close,
+        |  round(CASE WHEN vwap_1m IS NULL THEN close ELSE vwap_1m END, 4) AS vwap_1m,
+        |  round(volume_btc, 4) AS volume_btc, trade_count,
+        |  round(abq - asq, 4) AS net_taker_vol_btc,
+        |  count_buy_trades,
+        |  round(vol_buy_retail_btc, 4) AS vol_buy_retail_btc,
+        |  round(CASE WHEN coalesce(trade_count, 0) > 0 THEN volume_btc / trade_count
+        |             ELSE 0.0 END, 6) AS avg_trade_size_btc,
+        |  round(CASE WHEN abq + asq > 0 THEN abq / (abq + asq) END, 6)
+        |    AS taker_buy_ratio,
+        |  round(realized_vol_1m, 6) AS realized_vol_1m,
+        |  round(fr, 6) AS funding_rate,
+        |  round(predicted_funding, 6) AS predicted_funding,
+        |  false AS has_liq
+        |FROM ff""".stripMargin,
 
     "p3_book_ticker_exprs" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k
