@@ -98,21 +98,57 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
     finalDir
   }
 
-  /** Bulk path: write a multi-hour canonical frame in one job. Requires
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` so only touched
-    * partitions are replaced. */
-  def writePartitionedBulk(frame: DataFrame, symbol: String): Unit = {
-    frame.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    frame
+  /** Bulk path: write a multi-hour canonical frame in one
+    * dynamic-partition-overwrite job. With `merge = true` the touched
+    * hour partitions are first read back (semi-join on the inferred
+    * partition columns so Catalyst prunes the scan) and merged with the
+    * same last-wins + LIVE_ONLY-preserve policy as
+    * [[writeHourPartition]], staged through `.tmp` because the plan
+    * reads the directory it overwrites — O(1) Spark jobs in the number
+    * of hours either way. */
+  def writePartitionedBulk(frame: DataFrame, symbol: String,
+                           merge: Boolean = false): Unit = {
+    val spark = frame.sparkSession
+    val lakeDir = s"$root/futures/um/minute"
+    val symbolDir = s"$lakeDir/symbol=${symbol.toUpperCase}"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withPartCols(df: DataFrame): DataFrame = df
       .withColumn("symbol", lit(symbol.toUpperCase))
       .withColumn("year", date_format(col("timestamp"), "yyyy"))
       .withColumn("month", date_format(col("timestamp"), "MM"))
       .withColumn("day", date_format(col("timestamp"), "dd"))
       .withColumn("hour", date_format(col("timestamp"), "HH"))
+
+    val hasExisting = merge && fs.exists(new HPath(symbolDir)) &&
+      fs.listStatus(new HPath(symbolDir)).nonEmpty
+    val tmp =
+      if (!hasExisting) None
+      else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val effective = tmp match {
+      case None => frame
+      case Some(t) =>
+        val touched = withPartCols(frame)
+          .select(col("year").cast("int").as("year"),
+                  col("month").cast("int").as("month"),
+                  col("day").cast("int").as("day"),
+                  col("hour").cast("int").as("hour"))
+          .distinct()
+        val existingTouched = spark.read.parquet(symbolDir)
+          .join(broadcast(touched), Seq("year", "month", "day", "hour"), "left_semi")
+          .drop("year", "month", "day", "hour")
+        mergePartitionFrames(existingTouched, frame)
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+        spark.read.parquet(t)
+    }
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    withPartCols(effective)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("symbol", "year", "month", "day", "hour")
       .option("compression", "zstd")
-      .parquet(s"$root/futures/um/minute")
+      .parquet(lakeDir)
+    tmp.foreach(t => fs.delete(new HPath(t), true))
   }
 }
 

@@ -238,4 +238,68 @@ class StreamingSpec extends SparkSpec {
     p.processStreamPayload("btcusdt@kline_1m", """{"e":"kline"}""")
     assert(depths.size + liqs.size + trades.size + fundings.size == 4)
   }
+
+  test("WS worker: reconnect-on-failure loop with read timeouts (websocket.py:2081-2118)") {
+    import graft.streaming.WsManager
+    val messages = scala.collection.mutable.Buffer[String]()
+    val connections = scala.collection.mutable.Buffer[Boolean]()
+    val sleeps = scala.collection.mutable.Buffer[Long]()
+    var attempts = 0
+    var workerRef: WsManager.Worker = null
+    def connect(): WsManager.Connection = {
+      attempts += 1
+      attempts match {
+        case 1 => throw new RuntimeException("connect refused")
+        case 2 => new WsManager.Connection {
+          private var i = 0
+          def recv(): Option[String] = {
+            i += 1
+            i match {
+              case 1 => None // read timeout → loop continues
+              case 2 => Some("payload-a")
+              case _ => throw new RuntimeException("broken pipe") // → reconnect
+            }
+          }
+        }
+        case _ => new WsManager.Connection {
+          def recv(): Option[String] = { workerRef.requestStop(); Some("payload-b") }
+        }
+      }
+    }
+    workerRef = new WsManager.Worker("test", connect _, (m, _) => messages += m,
+      onConnectionChange = connections += _, reconnectMs = 7,
+      sleep = sleeps += _, now = () => 0L)
+    workerRef.runLoop()
+    assert(messages.toSeq == Seq("payload-a", "payload-b"))
+    assert(attempts == 3) // refused, broken, then stopped
+    assert(connections.toSeq == Seq(false, true, false, true, false))
+    assert(sleeps.count(_ == 7) == 2) // reconnect delay after each failure
+  }
+
+  test("symbol WS manager: touch/LRU cap/idle eviction (ws_manager.py:76-190)") {
+    import graft.streaming.WsManager.SymbolWsManager
+    var clock = 0L
+    val stopped = scala.collection.mutable.Buffer[String]()
+    val mgr = new SymbolWsManager[String](
+      create = sym => (s"collector-$sym", () => stopped += sym),
+      maxSubscriptions = 2, idleTimeoutMs = 100, now = () => clock)
+    assert(mgr.touch("btcusdt") == "collector-BTCUSDT")
+    clock = 10
+    assert(mgr.touch("ETHUSDT") == "collector-ETHUSDT")
+    // re-touch refreshes the idle timer and reuses the collector
+    clock = 20
+    assert(mgr.touch("BTCUSDT") == "collector-BTCUSDT" && stopped.isEmpty)
+    // cap reached → least-recently-touched (ETHUSDT@10) is evicted
+    clock = 30
+    mgr.touch("SOLUSDT")
+    assert(stopped.toSeq == Seq("ETHUSDT"))
+    assert(mgr.activeSymbols.toSet == Set("BTCUSDT", "SOLUSDT"))
+    // idle eviction: BTCUSDT last touched at 20 → idle at 121+
+    clock = 125
+    assert(mgr.cleanupIdle() == Seq("BTCUSDT"))
+    assert(mgr.getCollector("BTCUSDT").isEmpty)
+    assert(mgr.getCollector("SOLUSDT").contains("collector-SOLUSDT"))
+    mgr.stopAll()
+    assert(stopped.toSet == Set("ETHUSDT", "BTCUSDT", "SOLUSDT"))
+  }
 }
