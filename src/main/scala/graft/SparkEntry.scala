@@ -609,6 +609,18 @@ object SparkEntry {
              count(lit(1)).as("n_docs"))
     }),
 
+    // TXT: BPE-style token counting (GPT-2 pre-tokenizer pattern family)
+    // alongside the whitespace count — the token-budget accounting a
+    // training-data pipeline actually runs.
+    "txt_token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(TextFns.bpeTokens(col("text")))).as("total_bpe_tokens"),
+             round(avg(size(TextFns.bpeTokens(col("text")))), 6).as("avg_bpe_tokens"),
+             sum(size(TextFns.tokens(col("text")))).as("total_ws_tokens"),
+             count(lit(1)).as("n_docs"))
+    }),
+
     // TXT: n-gram-heuristic language ID (deterministic stopword scoring,
     // first-listed language wins ties).
     "txt_langid" -> ((s, dir) => {
@@ -1506,6 +1518,19 @@ object SparkEntry {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |         AS total_tokens,
         |       round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "txt_token_count_bpe" ->
+      """SELECT source,
+        |       CAST(sum(len(regexp_extract_all(text,
+        |         '''\p{L}{1,2}| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+        |         AS BIGINT) AS total_bpe_tokens,
+        |       round(avg(len(regexp_extract_all(text,
+        |         '''\p{L}{1,2}| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))), 6)
+        |         AS avg_bpe_tokens,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |         AS total_ws_tokens,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
 

@@ -19,6 +19,17 @@ object TextFns {
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** BPE-style pre-tokenization (GPT-2 pattern family, RE2-safe — no
+    * lookahead): simplified contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs, whitespace runs. Leftmost-first
+    * alternation matches identically under Java regex and RE2, so token
+    * counts are engine-portable. */
+  val BpePattern: String =
+    "'\\p{L}{1,2}| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   // -------------------------------------------------- expression binding
   //
   // Catalyst substitutes aliased expressions into predicates it pushes
