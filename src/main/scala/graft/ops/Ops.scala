@@ -114,4 +114,26 @@ object Ops {
     * reference `aggregator/validator.py:45-52`). */
   def antiByKeys(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Salted equi-join for skewed keys (SURVEY §4 shuffle notes): the
+    * skewed (large) side gets a deterministic salt derived from a
+    * stable row expression, the small side is replicated across all
+    * `saltBuckets` salt values, and the join runs on (keys…, salt) so
+    * one hot key fans out over `saltBuckets` tasks instead of one.
+    * AQE's skew-join split handles moderate skew on its own; this is
+    * the explicit form for pathological keys (a viral symbol, a
+    * hot shingle) where even one AQE sub-partition stays hot.
+    *
+    * @param saltSource stable per-row expression on `large` (e.g. a
+    *                   monotonic id or event id) — hashed, not random,
+    *                   so retries/replays salt identically
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, saltBuckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val l = large.withColumn("__salt", pmod(hash(saltSource), lit(saltBuckets)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -124,4 +124,27 @@ class OpsSpec extends SparkSpec {
       Ops.firstNonNullByOrd(col("v"), col("t")).as("f")).head
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 10.0)
   }
+
+  test("saltedJoin equals the plain join and spreads a hot key across salts") {
+    // 1000 rows of ONE hot key + a few cold ones, joined to a small dim
+    val large = ((1 to 1000).map(i => ("HOT", i.toLong)) ++
+      Seq(("c1", 2000L), ("c2", 3000L))).toDF("k", "id")
+    val small = Seq(("HOT", 10.0), ("c1", 20.0), ("c3", 99.0)).toDF("k", "w")
+    val salted = Ops.saltedJoin(large, small, Seq("k"), col("id"), saltBuckets = 8)
+    val plain = large.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum(col("w"))).head.getDouble(0) ==
+      plain.agg(sum(col("w"))).head.getDouble(0))
+    // the hot key's rows really are spread over multiple salt values
+    val saltSpread = large.where(col("k") === "HOT")
+      .select(pmod(hash(col("id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(saltSpread > 4)
+    // left join keeps unmatched large rows exactly once
+    val left = Ops.saltedJoin(large, small, Seq("k"), col("id"),
+      saltBuckets = 8, joinType = "left")
+    assert(left.count() == large.count())
+    assert(left.where(col("k") === "c2").head.isNullAt(
+      left.columns.indexOf("w")))
+  }
 }
