@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live-collector streaming operators (SURVEY §2.9): minute-keyed
@@ -171,6 +171,50 @@ object LiveCollector {
   }
 
   // --------------------------------------------------------- streaming path
+
+  /** The declarative Structured Streaming form of the liquidation
+    * accumulator (ST5/ST6): event-time watermark at the reference's
+    * 3-minute safety lag (`core/config.py:19`) + a tumbling 1-minute
+    * window aggregation. Append mode: a bar is emitted exactly once,
+    * when the watermark passes its close — the windowed counterpart to
+    * [[liquidationMinuteFeaturesStream]]'s update-mode accumulator
+    * (which re-emits per micro-batch). The weighted fill price and
+    * side splits are the same expressions as the batch replay;
+    * the order-sensitive unfilled-ratio bookkeeping is sum-based and
+    * commutes, so no in-window ordering is needed. */
+  def liquidationMinuteFeaturesWindowed(events: Dataset[LiquidationEvent],
+                                        unfilledSupported: Boolean = true,
+                                        watermarkDelay: String = "3 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val notional = col("price") * col("quantity")
+    events.toDF()
+      .withColumn("event_ts", timestamp_millis(col("eventTime")))
+      .withWatermark("event_ts", watermarkDelay)
+      .groupBy(col("symbol"), window(col("event_ts"), "1 minute").as("w"))
+      .agg(
+        sum(when(col("side") === "SELL", notional).otherwise(0.0)).as("liqLongVolUsdt"),
+        sum(when(col("side") === "BUY", notional).otherwise(0.0)).as("liqShortVolUsdt"),
+        sum(when(col("side") === "SELL", 1L).otherwise(0L)).as("liqLongCount"),
+        sum(when(col("side") === "BUY", 1L).otherwise(0L)).as("liqShortCount"),
+        (sum(notional) / sum(col("quantity"))).as("liqAvgFillPrice"),
+        // support demotes when ANY event lacks orig/exec (accumulator
+        // parity); totals clamp exec into [0, orig] like addLiquidation
+        expr("bool_and(origQuantity IS NOT NULL AND executedQuantity IS NOT NULL)")
+          .as("_all_present"),
+        sum(greatest(coalesce(col("origQuantity"), lit(0.0)), lit(0.0))).as("_orig"),
+        sum(least(greatest(coalesce(col("executedQuantity"), lit(0.0)), lit(0.0)),
+          greatest(coalesce(col("origQuantity"), lit(0.0)), lit(0.0)))).as("_exec"))
+      .select(col("symbol"),
+        unix_millis(col("w.start")).as("timestampMs"),
+        lit(true).as("hasLiq"),
+        col("liqLongVolUsdt"), col("liqShortVolUsdt"),
+        col("liqLongCount"), col("liqShortCount"),
+        col("liqAvgFillPrice"),
+        when(lit(unfilledSupported) && col("_all_present") && col("_orig") > 0,
+          greatest(lit(0.0), (col("_orig") - col("_exec")) / col("_orig")))
+          .as("liqUnfilledRatio"),
+        (lit(unfilledSupported) && col("_all_present")).as("liqUnfilledSupported"))
+  }
 
   /** Serializable accumulator state for streaming groups. */
   final case class LiqState(

@@ -239,6 +239,38 @@ class StreamingSpec extends SparkSpec {
     assert(depths.size + liqs.size + trades.size + fundings.size == 4)
   }
 
+  test("windowed streaming liq features match the batch accumulator (ST5/ST6)") {
+    import graft.streaming.LiveCollector
+    import graft.streaming.LiveCollector.LiquidationEvent
+    import spark.implicits._
+    val m = ms("2026-01-15T10:00:00Z")
+    val events = Seq(
+      LiquidationEvent("BTCUSDT", m + 1000, "SELL", 100.0, 2.0,
+        origQuantity = Some(4.0), executedQuantity = Some(2.0)),
+      LiquidationEvent("BTCUSDT", m + 2000, "BUY", 101.0, 1.0,
+        origQuantity = Some(1.0), executedQuantity = Some(1.0)),
+      LiquidationEvent("BTCUSDT", m + 61000, "SELL", 99.0, 3.0,
+        origQuantity = None, executedQuantity = None)) // demotes minute 2
+    // batch reference
+    val batch = LiveCollector.liquidationMinuteFeaturesBatch(events.toDS())
+      .collect().map(f => (f.timestampMs, f)).toMap
+    // windowed declarative form on the same (bounded) data
+    val win = LiveCollector.liquidationMinuteFeaturesWindowed(events.toDS())
+      .collect().map(r => (r.getLong(r.fieldIndex("timestampMs")), r)).toMap
+    assert(win.keySet == batch.keySet)
+    val w1 = win(m); val b1 = batch(m)
+    assert(w1.getDouble(w1.fieldIndex("liqLongVolUsdt")) == b1.liqLongVolUsdt.get)
+    assert(w1.getDouble(w1.fieldIndex("liqShortVolUsdt")) == b1.liqShortVolUsdt.get)
+    assert(w1.getDouble(w1.fieldIndex("liqAvgFillPrice")) == b1.liqAvgFillPrice.get)
+    assert(w1.getDouble(w1.fieldIndex("liqUnfilledRatio")) == b1.liqUnfilledRatio.get)
+    assert(w1.getBoolean(w1.fieldIndex("liqUnfilledSupported")))
+    // minute 2: missing orig/exec demotes support in both forms
+    val w2 = win(m + 60000); val b2 = batch(m + 60000)
+    assert(!w2.getBoolean(w2.fieldIndex("liqUnfilledSupported")) &&
+      !b2.liqUnfilledSupported.get)
+    assert(w2.isNullAt(w2.fieldIndex("liqUnfilledRatio")) && b2.liqUnfilledRatio.isEmpty)
+  }
+
   test("WS worker: reconnect-on-failure loop with read timeouts (websocket.py:2081-2118)") {
     import graft.streaming.WsManager
     val messages = scala.collection.mutable.Buffer[String]()
