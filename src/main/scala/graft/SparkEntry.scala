@@ -734,9 +734,11 @@ object SparkEntry {
       val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
       a.join(b, Seq("bucket"))
         .where(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_shared_bands"),
-             first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+        // sig_a/sig_b are functionally dependent on (id_a, id_b): group
+        // on them too instead of picking with order-nondeterministic
+        // first() — same result, explicitly deterministic
+        .groupBy("id_a", "id_b", "sig_a", "sig_b")
+        .agg(count(lit(1)).as("n_shared_bands"))
         .withColumn("est_jaccard", round(
           expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1 else 0 end), 0, (a, x) -> a + x)")
             .cast("double") / 16.0, 6))
