@@ -74,8 +74,9 @@ object AggregatorRunner {
   }
 
   /** Coalesce consecutive missing buckets into contiguous repair windows
-    * (gaps-and-islands — reference `validator.py:55-72`); the missing
-    * set is collected (small by construction) and folded driver-side. */
+    * (gaps-and-islands — reference `validator.py:55-72`). Public utility
+    * for window-oriented callers; the backfill itself now bounds its
+    * scan with min/max + a distributed semi-join instead. */
   def coalesceBucketWindows(bucketStarts: Seq[Instant], spec: TimeframeSpec): Seq[Window] =
     bucketStarts.sorted(Ordering.by[Instant, Long](_.toEpochMilli))
       .foldLeft(Vector.empty[Window]) { (acc, b) =>
@@ -137,7 +138,7 @@ object AggregatorRunner {
         val total = m.getLong(0)
         val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
         val written = if (allowIncomplete) total else nComplete
-        val skipped = total - nComplete
+        val skipped = if (allowIncomplete) 0L else total - nComplete
 
         var repaired = 0L
         if (written > 0) {
@@ -197,7 +198,7 @@ object AggregatorRunner {
             Seq("bucket_start"), "left_semi").count()
           writer.writeBucketsBulk(spark, spec.name, symbol, kept)
         }
-        (total, nKept, total - nComplete, rep)
+        (total, nKept, if (allowIncomplete) 0L else total - nComplete, rep)
       } finally aggregated.unpersist()
 
     val lastCompleted = scanExistingIndex(spark, htfRoot, spec.name, symbol)

@@ -131,6 +131,10 @@ object Ops {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltSource: Column, saltBuckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // replication makes right/full joins emit unmatched small-side rows
+    // once PER SALT — only large-side-preserving shapes are sound
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val l = large.withColumn("__salt", pmod(hash(saltSource), lit(saltBuckets)))
     val s = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))

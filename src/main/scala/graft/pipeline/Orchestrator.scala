@@ -132,10 +132,6 @@ object Orchestrator {
         bands += band
 
         val frame = collectAndTransform(windowStart, windowEnd, band)
-        if (frame.isEmpty)
-          throw new DataQualityError(
-            s"No rows produced for window $windowStart..$windowEnd")
-
         writer.writeHourPartition(settings.symbol, hourStart, frame)
         current = windowEnd
         watermarks.set(settings.symbol, current)
@@ -148,9 +144,15 @@ object Orchestrator {
 
     /** Band collection + canonical build (`orchestrator.py:321-502`):
       * COLD = Vision with per-stream REST fallback; HOT/WARM = REST with
-      * live aggTrade substitution (REST fallback only in HOT). */
+      * live aggTrade substitution (REST fallback only in HOT). The
+      * no-data gate (`orchestrator.py:159-163`) fires here when EVERY
+      * stream came back empty — the builder itself always emits spine
+      * rows, so a frame-level emptiness check could never trigger. */
     def collectAndTransform(windowStart: Instant, windowEnd: Instant,
                             band: Band): DataFrame = {
+      // one minute past the window end, mirroring the reference's
+      // window_end_inclusive fetch bound (orchestrator.py:331); the
+      // spine join drops the extra minute's records
       val endInclusive = windowEnd.plus(1, ChronoUnit.MINUTES)
 
       def nonEmpty(o: Option[DataFrame]): Option[DataFrame] =
@@ -176,14 +178,30 @@ object Orchestrator {
             fundingRates = nonEmpty(v.fundingRates).orElse(nonEmpty(r.fundingRates)),
             topTraderRatioRows = nonEmpty(v.topTraderRatioRows)
               .orElse(nonEmpty(r.topTraderRatioRows)),
-            globalRatioRows = nonEmpty(v.globalRatioRows).orElse(nonEmpty(r.globalRatioRows)))
+            globalRatioRows = nonEmpty(v.globalRatioRows).orElse(nonEmpty(r.globalRatioRows)),
+            bookTickerSnapshots = nonEmpty(v.bookTickerSnapshots),
+            liveFeatures = nonEmpty(v.liveFeatures))
         case Band.Hot | Band.Warm =>
           val r = collector.rest(windowStart, endInclusive)
           val live = nonEmpty(collector.liveAggTrades(windowStart, endInclusive))
           val aggTrades = live.orElse(
             if (band == Band.Hot) nonEmpty(r.aggTrades) else None)
-          r.copy(aggTrades = aggTrades)
+          r.copy(aggTrades = aggTrades,
+            klines = nonEmpty(r.klines),
+            markPriceKlines = nonEmpty(r.markPriceKlines),
+            indexPriceKlines = nonEmpty(r.indexPriceKlines),
+            bookTickerSnapshots = nonEmpty(r.bookTickerSnapshots),
+            premiumIndexSnapshots = nonEmpty(r.premiumIndexSnapshots),
+            metricsRows = nonEmpty(r.metricsRows),
+            fundingRates = nonEmpty(r.fundingRates),
+            topTraderRatioRows = nonEmpty(r.topTraderRatioRows),
+            globalRatioRows = nonEmpty(r.globalRatioRows),
+            liveFeatures = nonEmpty(r.liveFeatures))
       }
+
+      if (batch.productIterator.forall(_ == None))
+        throw new DataQualityError(
+          s"No source rows for window $windowStart..$windowEnd")
 
       MinuteBuilder.buildCanonicalFrame(spark, windowStart, windowEnd,
         klines = batch.klines,

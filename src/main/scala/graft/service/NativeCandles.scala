@@ -182,6 +182,12 @@ object NativeCandles {
         s"native enrichment needs a fixed-length timeframe, got ${spec.name}")) * 60000L
     val notes = scala.collection.mutable.Buffer[String]()
     var result = bars
+    // the newest persisted stage caches everything upstream, so each
+    // superseded stage can release its storage once the next stage's
+    // populated-count has materialized (no persisted-frame leak across
+    // repeated API requests); the LAST stage stays cached for the
+    // caller's materialization
+    var prevPersisted: Option[DataFrame] = None
 
     def exactOrFallback(series: Option[DataFrame], seriesTs: String,
                         valueMap: Seq[(String, String)], prefix: String,
@@ -189,6 +195,8 @@ object NativeCandles {
       case Some(s) =>
         result = alignExactWithOneBarFallback(result, s, seriesTs, valueMap,
           barMs, prefix, notes)
+        prevPersisted.foreach(_.unpersist())
+        prevPersisted = Some(result)
       case None => notes += noRowsNote
     }
 

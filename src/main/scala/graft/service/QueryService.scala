@@ -201,7 +201,11 @@ object QueryService {
 
     var htfFrame: Option[DataFrame] = None
     if (spec.fixedMinutes.forall(_ > 3)) {
-      htfFrame = htfReader.readWindow(spark, spec.name, symbol, start, resolvedEnd)
+      // end bound EXCLUSIVE of the bucket opening at resolvedEnd: that
+      // bar's minutes extend past the requested end, so the 1m path can
+      // never serve it — both strategies must return the same bar set
+      htfFrame = htfReader.readWindow(spark, spec.name, symbol, start,
+          resolvedEnd.minus(1, ChronoUnit.MINUTES))
         .map(_.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp").persist())
       val htfCount = htfFrame.map(_.count()).getOrElse(0L)
       if (htfCount >= limit)
@@ -217,6 +221,7 @@ object QueryService {
       .aggregateCanonicalFrame(window, spec, limit).persist()
     val aggCount = aggregate.count()
     if (aggCount >= limit) {
+      htfFrame.foreach(_.unpersist()) // losing frame
       notes += "using_local_btc_minute_lake"
       notes += "btc_local_path_selected"
       return BtcLocalResult(aggregate, "local", "local_minute_lake_preferred",
@@ -227,6 +232,7 @@ object QueryService {
     val htfCount = htfFrame.map(_.count()).getOrElse(0L)
     val useAgg = aggCount >= htfCount
     val partial = if (useAgg) aggregate else htfFrame.get
+    (if (useAgg) htfFrame else Some(aggregate)).foreach(_.unpersist())
     val partialCount = math.max(aggCount, htfCount)
     if (aggCount > 0) notes += "using_local_btc_minute_lake"
     notes += "local_btc_missing_required_window"

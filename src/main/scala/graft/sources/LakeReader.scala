@@ -39,7 +39,10 @@ class HtfLakeReader(root: String) {
       .where(col("bucket_start").between(
         java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
     if (completeOnly) df = df.where(col("bucket_complete"))
-    Some(Ops.dedupKeepLast(df, Seq("bucket_start"), Seq(col("bucket_start")))
+    // duplicate bucket rows should not exist, but if a repair ever
+    // leaves one, prefer the complete / most-observed row deterministically
+    Some(Ops.dedupKeepLast(df, Seq("bucket_start"),
+        Seq(col("bucket_complete"), col("observed_minutes_in_bucket")))
       .drop("year", "month", "day")
       .withColumnRenamed("bucket_start", "timestamp"))
   }

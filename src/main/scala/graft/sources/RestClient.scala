@@ -88,6 +88,13 @@ object RestClient {
               .getOrElse(math.min(backoff, maxBackoffMs)) + jitterMs()
             sleep(delay)
             backoff = math.min(backoff * 2, maxBackoffMs)
+          case e: HttpError =>
+            // terminal: non-retryable status (418 ban, 403, 4xx) or
+            // retries exhausted — record it so ban/throttle counters see
+            // exactly the failures that matter, then propagate
+            graft.service.UsageTracker.recordRestResponse(path, e.status,
+              e.retryAfterSeconds.map(s => "retry-after" -> s.toString).toMap, params)
+            throw e
         }
       }
       throw new IllegalStateException("unreachable")

@@ -158,10 +158,9 @@ class OrchestratorSpec extends SparkSpec {
       tradeRecords("2026-01-10T00:00:00Z", 0, qty = 1.0))
     val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
     wm.set("BTCUSDT", instant("2026-01-09T23:59:00Z"))
-    // the spine still yields rows (defaults), so the build is non-empty —
-    // this asserts the wiring rather than an impossible fixture: OHLC
-    // rows exist but are all-null → DQ validation inside the writer fails
-    assertThrows[Exception](pipe.runUntilTarget(
+    // every stream comes back empty → the no-data gate fires BEFORE the
+    // build (the spine-joined frame itself is never empty)
+    assertThrows[Orchestrator.DataQualityError](pipe.runUntilTarget(
       instant("2026-01-10T00:59:00Z"), nowForBand = instant("2026-01-10T01:00:00Z")))
   }
 }
