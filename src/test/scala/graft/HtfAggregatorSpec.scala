@@ -57,6 +57,39 @@ class HtfAggregatorSpec extends SparkSpec {
     assert(v("timeframe") == "5m" && v("symbol") == "BTCUSDT")
   }
 
+  test("multi-symbol aggregation in ONE job matches per-symbol runs (byCols)") {
+    val aMinutes = Seq(
+      m("2026-01-01T00:00:00Z", "open" -> 100.0, "close" -> 104.0),
+      m("2026-01-01T00:01:00Z", "open" -> 104.0, "close" -> 99.0, "low" -> 95.0),
+      m("2026-01-01T00:02:00Z"), m("2026-01-01T00:03:00Z"), m("2026-01-01T00:04:00Z"))
+    val bMinutes = Seq(
+      m("2026-01-01T00:00:00Z", "open" -> 500.0, "close" -> 510.0, "high" -> 512.0),
+      m("2026-01-01T00:01:00Z"), m("2026-01-01T00:02:00Z"),
+      m("2026-01-01T00:03:00Z"), m("2026-01-01T00:04:00Z"))
+    val combined = minuteFrame(aMinutes).withColumn("symbol", lit("AAA"))
+      .unionByName(minuteFrame(bMinutes).withColumn("symbol", lit("BBB")))
+    // ONE aggregation keyed by (symbol, bucket) — the 1000-symbol plan
+    val multi = HtfAggregator.aggregateMinutes(combined, Timeframes.parse("5m"),
+      symbol = "", byCols = Seq("symbol"))
+    val cols = multi.columns
+    def row(df: org.apache.spark.sql.DataFrame, sym: String) =
+      df.where(col("symbol") === sym).collect().head
+    val perA = HtfAggregator.aggregateMinutes(minuteFrame(aMinutes),
+      Timeframes.parse("5m"), "AAA").collect().head
+    val perB = HtfAggregator.aggregateMinutes(minuteFrame(bMinutes),
+      Timeframes.parse("5m"), "BBB").collect().head
+    for (c <- Seq("open", "high", "low", "close", "volume_btc", "vwap",
+                  "observed_minutes_in_bucket", "bucket_complete")) {
+      assert(row(multi, "AAA").get(cols.indexOf(c)) ==
+        perA.get(HtfAggregator.targetColumns.indexOf(c)), s"AAA col $c")
+      assert(row(multi, "BBB").get(cols.indexOf(c)) ==
+        perB.get(HtfAggregator.targetColumns.indexOf(c)), s"BBB col $c")
+    }
+    // no cross-symbol bleed: distinct buckets, per-symbol OHLC
+    assert(multi.count() == 2)
+    assert(row(multi, "AAA").get(cols.indexOf("high")) != 512.0)
+  }
+
   test("volume-weighted average with simple-mean fallback (test_aggregator.py:292-308)") {
     val frame = minuteFrame(Seq(
       m("2026-01-01T00:00:00Z", "volume_usdt" -> 100.0, "avg_spread_usdt" -> 1.0, "price_impact_100k" -> 2.0),
