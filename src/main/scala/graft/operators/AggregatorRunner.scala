@@ -154,6 +154,92 @@ object AggregatorRunner {
     } finally missing.unpersist()
   }
 
+  /** Whole-lake startup backfill: EVERY symbol in ONE pipeline —
+    * missing (symbol, bucket) detection, a single multi-symbol
+    * aggregation (`byCols = symbol`), and one all-symbols
+    * dynamic-partition-overwrite write. This is the 1000-symbol plan:
+    * the driver never loops symbols; per-symbol watermarks are the only
+    * O(symbols) driver state (collected as one small result). */
+  def runBackfillAll(spark: SparkSession, reader: MinuteLakeReader,
+                     writer: HtfLakeWriter, state: AggregatorStateStore,
+                     htfRoot: String, spec: TimeframeSpec,
+                     allowIncomplete: Boolean = false): BackfillResult = {
+    val minutesOpt = reader.scanAllSymbols(spark)
+    if (minutesOpt.isEmpty) return BackfillResult(0, 0, 0, 0)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val tfDir = s"$htfRoot/timeframe=${spec.name}"
+    val existing =
+      if (fs.exists(new HPath(tfDir)))
+        spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("symbol",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bucket_start",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("bucket_complete",
+              org.apache.spark.sql.types.BooleanType))))
+
+    val available = minutesOpt.get.select("symbol", "timestamp")
+      .withColumn("bucket_start", spec.bucketStart(col("timestamp")))
+      .groupBy("symbol", "bucket_start")
+      .agg(count(lit(1)).as("observed"))
+      .where(col("observed") === spec.expectedMinutes(col("bucket_start")))
+      .select("symbol", "bucket_start")
+    val missing = Ops.antiByKeys(available,
+      existing.where(col("bucket_complete")), Seq("symbol", "bucket_start")).persist()
+    try {
+      val bounds = missing
+        .agg(count(lit(1)).as("n"), min("bucket_start").as("lo"), max("bucket_start").as("hi"))
+        .collect()(0)
+      if (bounds.getLong(0) == 0L) return BackfillResult(0, 0, 0, 0)
+      val nMissing = bounds.getLong(0)
+      val lo = bounds.getTimestamp(1).toInstant
+      val hiExclusive = spec.addBuckets(bounds.getTimestamp(2).toInstant)
+
+      val source = reader
+        .readWindowAllSymbols(spark, lo, hiExclusive.minus(1, ChronoUnit.MINUTES)).get
+        .withColumn("__bucket", spec.bucketStart(col("timestamp")))
+        .join(missing.withColumnRenamed("bucket_start", "__bucket"),
+              Seq("symbol", "__bucket"), "left_semi")
+        .drop("__bucket")
+      val aggregated = HtfAggregator
+        .aggregateMinutes(source, spec, symbol = "", byCols = Seq("symbol"))
+        .persist()
+      try {
+        val kept =
+          if (allowIncomplete) aggregated
+          else aggregated.where(col("bucket_complete"))
+        val m = aggregated.agg(
+          count(lit(1)).as("total"),
+          sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("n_complete"))
+          .collect()(0)
+        val total = m.getLong(0)
+        val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
+        val written = if (allowIncomplete) total else nComplete
+        val skipped = if (allowIncomplete) 0L else total - nComplete
+
+        var repaired = 0L
+        if (written > 0) {
+          repaired = kept.join(
+            existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
+            Seq("symbol", "bucket_start"), "left_semi").count()
+          writer.writeBucketsBulkAllSymbols(spark, spec.name, kept)
+          // per-symbol watermarks: one O(symbols) collect
+          aggregated.where(col("bucket_complete"))
+            .groupBy("symbol").agg(max("bucket_start").as("wm"))
+            .collect()
+            .foreach(r => state.set(r.getString(0), spec.name,
+              r.getTimestamp(1).toInstant))
+        }
+        BackfillResult(nMissing, written, skipped, repaired)
+      } finally aggregated.unpersist()
+    } finally missing.unpersist()
+  }
+
   /** Continuous incremental run: recompute from
     * min(next-after-last-completed, now - repair_lookback) so late
     * minutes repair recent buckets idempotently (reference

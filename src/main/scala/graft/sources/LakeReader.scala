@@ -65,6 +65,26 @@ class MinuteLakeReader(root: String) {
       spark.read.parquet(lakeDir).where(col("symbol") === symbol.toUpperCase)
         .drop("symbol", "year", "month", "day", "hour")
 
+  /** Whole-lake scan keeping the `symbol` partition column — the input
+    * to all-symbols-in-one-job processing (1000-symbol plans never loop
+    * the driver over symbols). */
+  def scanAllSymbols(spark: SparkSession): Option[DataFrame] =
+    if (!hasData(spark)) None
+    else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
+
+  /** Whole-lake windowed read with per-(symbol, minute) latest-wins
+    * dedup — the multi-symbol form of [[readWindow]]. */
+  def readWindowAllSymbols(spark: SparkSession, start: Instant,
+                           end: Instant): Option[DataFrame] =
+    scanAllSymbols(spark).map { df =>
+      Ops.dedupKeepLast(
+        df.where(col("timestamp").between(
+          java.sql.Timestamp.from(start), java.sql.Timestamp.from(end))),
+        Seq("symbol", "timestamp"),
+        Seq(col("arrival_time"), col("event_time"), col("transact_time"),
+          col("update_id_end")))
+    }
+
   /** min/max timestamp — parquet footer statistics make this a
     * metadata-only scan (S2). */
   def inspectRange(spark: SparkSession, symbol: String): (Option[Instant], Option[Instant]) = {

@@ -251,6 +251,54 @@ class HtfLakeWriter(root: String) {
     tmp.foreach(t => fs.delete(new HPath(t), true))
   }
 
+  /** All-symbols bulk path: `buckets` carries a `symbol` column; ONE
+    * dynamic-partition-overwrite job rewrites every touched
+    * (symbol, day) partition across the whole timeframe — the shape a
+    * 1000-symbol backfill needs (no per-symbol driver loop). Merge
+    * semantics match [[writeBucketsBulk]], with the semi-join keyed by
+    * (symbol, year, month, day). */
+  def writeBucketsBulkAllSymbols(spark: SparkSession, timeframe: String,
+                                 buckets: DataFrame): Unit = {
+    val dir = s"$root/timeframe=$timeframe"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withPartCols(df: DataFrame): DataFrame = df
+      .withColumn("year", date_format(col("bucket_start"), "yyyy"))
+      .withColumn("month", date_format(col("bucket_start"), "MM"))
+      .withColumn("day", date_format(col("bucket_start"), "dd"))
+
+    val hasExisting = fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty
+    val tmp =
+      if (!hasExisting) None
+      else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val stage = tmp match {
+      case None => buckets
+      case Some(t) =>
+        val touched = withPartCols(buckets)
+          .select(col("symbol"),
+                  col("year").cast("int").as("year"),
+                  col("month").cast("int").as("month"),
+                  col("day").cast("int").as("day"))
+          .distinct()
+        val existingTouched = spark.read.parquet(dir)
+          .join(broadcast(touched), Seq("symbol", "year", "month", "day"), "left_semi")
+          .drop("year", "month", "day")
+        Ops.dedupKeepLast(
+          existingTouched.withColumn("__src", lit(0))
+            .unionByName(buckets.withColumn("__src", lit(1)), allowMissingColumns = true),
+          Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src")
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+        spark.read.parquet(t)
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    withPartCols(stage)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("symbol", "year", "month", "day")
+      .option("compression", "zstd")
+      .parquet(dir)
+    tmp.foreach(t => fs.delete(new HPath(t), true))
+  }
+
   def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
                    day: java.time.LocalDate, buckets: DataFrame): String = {
     val dir = partitionDir(timeframe, symbol, day)

@@ -116,6 +116,32 @@ class AggregatorRunnerSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("whole-lake backfill aggregates every symbol in one pipeline") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10, baseOpen = 100.0))
+    mw.writeHourPartition("ETHUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 7, baseOpen = 2000.0)) // 1 complete + dangle
+    val res = AggregatorRunner.runBackfillAll(spark, reader, hw, state,
+      s"$dir/htf", Timeframes.parse("5m"))
+    assert(res.bucketsScanned == 3 && res.bucketsWritten == 3)
+    val htf = spark.read.parquet(s"$dir/htf/timeframe=5m")
+    assert(htf.where(col("symbol") === "BTCUSDT").count() == 2)
+    assert(htf.where(col("symbol") === "ETHUSDT").count() == 1)
+    // no cross-symbol bleed and per-symbol watermarks advanced
+    assert(htf.where(col("symbol") === "ETHUSDT")
+      .select("open").head.getDouble(0) == 2000.0)
+    assert(state.get("BTCUSDT", "5m").contains(instant("2026-01-01T00:05:00Z")))
+    assert(state.get("ETHUSDT", "5m").contains(instant("2026-01-01T00:00:00Z")))
+    // idempotent rerun
+    val res2 = AggregatorRunner.runBackfillAll(spark, reader, hw, state,
+      s"$dir/htf", Timeframes.parse("5m"))
+    assert(res2.bucketsScanned == 0 && res2.bucketsWritten == 0)
+    // the per-symbol reader sees the same lake (interop with single paths)
+    assert(AggregatorRunner.scanExistingIndex(spark, s"$dir/htf", "5m", "BTCUSDT")
+      .count() == 2)
+  }
+
   test("bulk write preserves sibling buckets in a partially-rewritten day") {
     val (dir, _, _, hw, _) = newEnv()
     def bucketRow(iso: String, close: Double) =
