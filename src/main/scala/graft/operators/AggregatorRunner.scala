@@ -300,6 +300,98 @@ object AggregatorRunner {
     IncrementalResult(scanned, written, skipped, repaired, lag)
   }
 
+  /** Whole-lake incremental run: EVERY symbol's repair window in ONE
+    * pipeline. Each symbol's window starts at
+    * min(next-after-its-watermark, its-latest-minute − lookback) — the
+    * per-symbol bounds are a tiny broadcast frame joined against the
+    * lake scan, so the driver never loops symbols; only the per-symbol
+    * watermark map (already O(symbols) state) crosses the driver. */
+  def runIncrementalAll(spark: SparkSession, reader: MinuteLakeReader,
+                        writer: HtfLakeWriter, state: AggregatorStateStore,
+                        htfRoot: String, spec: TimeframeSpec,
+                        allowIncomplete: Boolean = false,
+                        repairLookbackMinutes: Long = 120): IncrementalResult = {
+    import spark.implicits._
+    val minutesOpt = reader.scanAllSymbols(spark)
+    if (minutesOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
+
+    // per-symbol latest minute (one small aggregation)
+    val latest = minutesOpt.get.groupBy("symbol")
+      .agg(max("timestamp").as("latest")).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+    if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
+
+    val bounds = latest.toSeq.map { case (sym, latestMinute) =>
+      val repairStart = spec.floorInstant(
+        latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
+      val start = state.get(sym, spec.name) match {
+        case Some(lastCompleted) =>
+          val next = spec.addBuckets(lastCompleted)
+          if (next.isBefore(repairStart)) next else repairStart
+        case None => repairStart
+      }
+      (sym, java.sql.Timestamp.from(start), java.sql.Timestamp.from(latestMinute))
+    }.toDF("symbol", "__start", "__latest")
+
+    val globalLo = bounds.agg(min("__start")).collect()(0).getTimestamp(0).toInstant
+    val globalHi = latest.values.maxBy(_.toEpochMilli)
+    val source = reader.readWindowAllSymbols(spark, globalLo, globalHi).get
+      .join(broadcast(bounds), Seq("symbol"))
+      .where(col("timestamp").between(col("__start"), col("__latest")))
+      .drop("__start", "__latest")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val tfDir = s"$htfRoot/timeframe=${spec.name}"
+    val existing =
+      if (fs.exists(new HPath(tfDir)))
+        spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
+      else bounds.limit(0).select(col("symbol"),
+        col("__start").as("bucket_start"), lit(true).as("bucket_complete"))
+
+    val aggregated = HtfAggregator
+      .aggregateMinutes(source, spec, symbol = "", byCols = Seq("symbol"))
+      .persist()
+    try {
+      val kept =
+        if (allowIncomplete) aggregated else aggregated.where(col("bucket_complete"))
+      val m = aggregated.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("n_complete"))
+        .collect()(0)
+      val total = m.getLong(0)
+      val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
+      val nKept = if (allowIncomplete) total else nComplete
+      var repaired = 0L
+      if (nKept > 0) {
+        repaired = kept.join(
+          existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
+          Seq("symbol", "bucket_start"), "left_semi").count()
+        writer.writeBucketsBulkAllSymbols(spark, spec.name, kept)
+        aggregated.where(col("bucket_complete"))
+          .groupBy("symbol").agg(max("bucket_start").as("wm"))
+          .collect()
+          .foreach { r =>
+            // monotone advance: an incremental window never moves a
+            // watermark backward past buckets completed earlier
+            val candidate = r.getTimestamp(1).toInstant
+            val current = state.get(r.getString(0), spec.name)
+            if (current.forall(_.isBefore(candidate)))
+              state.set(r.getString(0), spec.name, candidate)
+          }
+      }
+      // lag = worst symbol's distance from its own latest minute
+      val lag = latest.toSeq.flatMap { case (sym, lm) =>
+        state.get(sym, spec.name).map { lc =>
+          math.max((lm.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L)
+            / 60000L, 0L)
+        }
+      }.maxOption
+      IncrementalResult(total, nKept,
+        if (allowIncomplete) 0L else total - nComplete, repaired, lag)
+    } finally aggregated.unpersist()
+  }
+
   /** Partition-change detection (reference `aggregator/main.py:102-137`):
     * diff of partition-directory snapshots; any change re-triggers
     * backfill. */

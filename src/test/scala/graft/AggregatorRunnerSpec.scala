@@ -142,6 +142,37 @@ class AggregatorRunnerSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("whole-lake incremental repairs every symbol in one pipeline") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 5, baseOpen = 100.0))
+    mw.writeHourPartition("ETHUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 5, baseOpen = 2000.0))
+    AggregatorRunner.runBackfillAll(spark, reader, hw, state,
+      s"$dir/htf", Timeframes.parse("5m"))
+    // new minutes land for BOTH symbols; BTC also gets a late correction
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10, baseOpen = 100.0))
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:04:00Z", 1, baseOpen = 900.0))
+    mw.writeHourPartition("ETHUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10, baseOpen = 2000.0))
+    val inc = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", Timeframes.parse("5m"))
+    assert(inc.bucketsWritten >= 3) // repaired 00:00 ×2 + new 00:05 ×2 (≥)
+    assert(inc.repaired >= 2)       // both symbols' 00:00 rewritten
+    assert(inc.lagMinutes.contains(0L))
+    val htf = spark.read.parquet(s"$dir/htf/timeframe=5m")
+    assert(htf.where(col("symbol") === "BTCUSDT").count() == 2)
+    assert(htf.where(col("symbol") === "ETHUSDT").count() == 2)
+    // the late correction reached BTC's first bucket; ETH untouched by it
+    assert(htf.where(col("symbol") === "BTCUSDT" &&
+      col("bucket_start") === ts("2026-01-01T00:00:00Z"))
+      .select("close").head.getDouble(0) == 900.5)
+    assert(state.get("BTCUSDT", "5m").contains(instant("2026-01-01T00:05:00Z")))
+    assert(state.get("ETHUSDT", "5m").contains(instant("2026-01-01T00:05:00Z")))
+  }
+
   test("bulk write preserves sibling buckets in a partially-rewritten day") {
     val (dir, _, _, hw, _) = newEnv()
     def bucketRow(iso: String, close: Double) =
