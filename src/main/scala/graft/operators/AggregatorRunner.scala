@@ -41,6 +41,14 @@ object AggregatorRunner {
       wm.set(s"$symbol|$timeframe", lastCompleted)
   }
 
+  /** Monotone watermark advance: repairing an OLD gap must never move a
+    * symbol's watermark backward (that would make the next incremental
+    * re-scan the lake from the gap to now). */
+  private def advanceWatermark(state: AggregatorStateStore, symbol: String,
+                               spec: TimeframeSpec, candidate: Instant): Unit =
+    if (state.get(symbol, spec.name).forall(_.isBefore(candidate)))
+      state.set(symbol, spec.name, candidate)
+
   /** HTF lake index scan: (bucket_start, bucket_complete) only —
     * columnar parquet makes this a 2-column metadata-light scan. */
   def scanExistingIndex(spark: SparkSession, htfRoot: String,
@@ -140,16 +148,15 @@ object AggregatorRunner {
         val written = if (allowIncomplete) total else nComplete
         val skipped = if (allowIncomplete) 0L else total - nComplete
 
-        var repaired = 0L
-        if (written > 0) {
-          repaired = kept.join(
-            existing.where(col("bucket_complete")).select("bucket_start"),
-            Seq("bucket_start"), "left_semi").count()
+        // repaired is 0 BY CONSTRUCTION: kept ⊆ missing, and missing was
+        // anti-joined against the existing-complete set — backfill only
+        // writes buckets the lake didn't have (repairs are incremental's
+        // job), so no join is spent computing a constant
+        if (written > 0)
           writer.writeBucketsBulk(spark, spec.name, symbol, kept)
-        }
         if (!m.isNullAt(2))
-          state.set(symbol, spec.name, m.getTimestamp(2).toInstant)
-        BackfillResult(nMissing, written, skipped, repaired)
+          advanceWatermark(state, symbol, spec, m.getTimestamp(2).toInstant)
+        BackfillResult(nMissing, written, skipped, repaired = 0)
       } finally aggregated.unpersist()
     } finally missing.unpersist()
   }
@@ -183,7 +190,10 @@ object AggregatorRunner {
             org.apache.spark.sql.types.StructField("bucket_complete",
               org.apache.spark.sql.types.BooleanType))))
 
-    val available = minutesOpt.get.select("symbol", "timestamp")
+    // distinct BEFORE counting — duplicate row versions for one minute
+    // must not inflate/deflate the observed-minutes completeness check
+    // (mirrors scanAvailableMinutes().distinct() on the per-symbol path)
+    val available = minutesOpt.get.select("symbol", "timestamp").distinct()
       .withColumn("bucket_start", spec.bucketStart(col("timestamp")))
       .groupBy("symbol", "bucket_start")
       .agg(count(lit(1)).as("observed"))
@@ -222,20 +232,18 @@ object AggregatorRunner {
         val written = if (allowIncomplete) total else nComplete
         val skipped = if (allowIncomplete) 0L else total - nComplete
 
-        var repaired = 0L
+        // repaired is 0 by construction (kept ⊆ missing, which excluded
+        // every existing-complete bucket) — see runBackfill
         if (written > 0) {
-          repaired = kept.join(
-            existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
-            Seq("symbol", "bucket_start"), "left_semi").count()
           writer.writeBucketsBulkAllSymbols(spark, spec.name, kept)
-          // per-symbol watermarks: one O(symbols) collect
+          // per-symbol watermarks: one O(symbols) collect, monotone
           aggregated.where(col("bucket_complete"))
             .groupBy("symbol").agg(max("bucket_start").as("wm"))
             .collect()
-            .foreach(r => state.set(r.getString(0), spec.name,
+            .foreach(r => advanceWatermark(state, r.getString(0), spec,
               r.getTimestamp(1).toInstant))
         }
-        BackfillResult(nMissing, written, skipped, repaired)
+        BackfillResult(nMissing, written, skipped, repaired = 0)
       } finally aggregated.unpersist()
     } finally missing.unpersist()
   }
@@ -321,7 +329,7 @@ object AggregatorRunner {
       .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
     if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
 
-    val bounds = latest.toSeq.map { case (sym, latestMinute) =>
+    val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
       val repairStart = spec.floorInstant(
         latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
       val start = state.get(sym, spec.name) match {
@@ -330,10 +338,15 @@ object AggregatorRunner {
           if (next.isBefore(repairStart)) next else repairStart
         case None => repairStart
       }
-      (sym, java.sql.Timestamp.from(start), java.sql.Timestamp.from(latestMinute))
-    }.toDF("symbol", "__start", "__latest")
+      (sym, start, latestMinute)
+    }
+    val bounds = boundsSeq
+      .map { case (s, st, lt) =>
+        (s, java.sql.Timestamp.from(st), java.sql.Timestamp.from(lt)) }
+      .toDF("symbol", "__start", "__latest")
 
-    val globalLo = bounds.agg(min("__start")).collect()(0).getTimestamp(0).toInstant
+    // global bounds come from the driver-local seq — no Spark job needed
+    val globalLo = boundsSeq.map(_._2).minBy(_.toEpochMilli)
     val globalHi = latest.values.maxBy(_.toEpochMilli)
     val source = reader.readWindowAllSymbols(spark, globalLo, globalHi).get
       .join(broadcast(bounds), Seq("symbol"))
@@ -371,22 +384,22 @@ object AggregatorRunner {
         aggregated.where(col("bucket_complete"))
           .groupBy("symbol").agg(max("bucket_start").as("wm"))
           .collect()
-          .foreach { r =>
-            // monotone advance: an incremental window never moves a
-            // watermark backward past buckets completed earlier
-            val candidate = r.getTimestamp(1).toInstant
-            val current = state.get(r.getString(0), spec.name)
-            if (current.forall(_.isBefore(candidate)))
-              state.set(r.getString(0), spec.name, candidate)
-          }
+          .foreach(r => advanceWatermark(state, r.getString(0), spec,
+            r.getTimestamp(1).toInstant))
       }
-      // lag = worst symbol's distance from its own latest minute
-      val lag = latest.toSeq.flatMap { case (sym, lm) =>
+      // lag = worst symbol's distance from its own latest minute; a
+      // symbol with minutes but NO completed bucket yet has unbounded
+      // lag, so the fleet metric is unknown (None), not a healthy number
+      // computed only from caught-up symbols
+      val perSymbolLag = latest.toSeq.map { case (sym, lm) =>
         state.get(sym, spec.name).map { lc =>
           math.max((lm.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L)
             / 60000L, 0L)
         }
-      }.maxOption
+      }
+      val lag =
+        if (perSymbolLag.exists(_.isEmpty)) None
+        else perSymbolLag.flatten.maxOption
       IncrementalResult(total, nKept,
         if (allowIncomplete) 0L else total - nComplete, repaired, lag)
     } finally aggregated.unpersist()

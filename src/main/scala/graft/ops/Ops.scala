@@ -133,8 +133,12 @@ object Ops {
                  joinType: String = "inner"): DataFrame = {
     // replication makes right/full joins emit unmatched small-side rows
     // once PER SALT — only large-side-preserving shapes are sound
-    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
-      s"saltedJoin supports inner/left joins only, got $joinType")
+    // (semi/anti included: a large row's (key, salt) matches iff its key
+    // exists on the replicated small side)
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin requires a large-side-preserving join type, got $joinType")
     val l = large.withColumn("__salt", pmod(hash(saltSource), lit(saltBuckets)))
     val s = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))

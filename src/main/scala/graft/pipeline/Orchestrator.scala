@@ -184,9 +184,13 @@ object Orchestrator {
         case Band.Hot | Band.Warm =>
           val r = collector.rest(windowStart, endInclusive)
           val live = nonEmpty(collector.liveAggTrades(windowStart, endInclusive))
-          val aggTrades = live.orElse(
-            if (band == Band.Hot) nonEmpty(r.aggTrades) else None)
-          r.copy(aggTrades = aggTrades,
+          val rawAggTrades = live.orElse(nonEmpty(r.aggTrades))
+          // WARM never falls back to REST trades — but the no-data gate
+          // below must see what the SOURCES returned, not the policy's
+          // discard, so the drop happens after normalization
+          val aggTrades =
+            if (band == Band.Hot) rawAggTrades else live
+          val normalized = r.copy(aggTrades = rawAggTrades,
             klines = nonEmpty(r.klines),
             markPriceKlines = nonEmpty(r.markPriceKlines),
             indexPriceKlines = nonEmpty(r.indexPriceKlines),
@@ -197,6 +201,10 @@ object Orchestrator {
             topTraderRatioRows = nonEmpty(r.topTraderRatioRows),
             globalRatioRows = nonEmpty(r.globalRatioRows),
             liveFeatures = nonEmpty(r.liveFeatures))
+          if (normalized.productIterator.forall(_ == None))
+            throw new DataQualityError(
+              s"No source rows for window $windowStart..$windowEnd")
+          normalized.copy(aggTrades = aggTrades)
       }
 
       if (batch.productIterator.forall(_ == None))

@@ -45,7 +45,13 @@ object NativeCandles {
                              topTraderLsPositionRatio: Option[DataFrame] = None,
                              fundingRate: Option[DataFrame] = None)
 
-  final case class Enriched(frame: DataFrame, notes: Seq[String])
+  /** @param release unpersists the final cached enrichment stage — call
+    *                 it once the frame has been materialized (long-lived
+    *                 services would otherwise accumulate one cache entry
+    *                 per request; intermediate stages are already
+    *                 released as the chain advances) */
+  final case class Enriched(frame: DataFrame, notes: Seq[String],
+                            release: () => Unit = () => ())
 
   /** Native kline records → canonical-shaped bar frame
     * (`service.py:1136-1171`): null-safe zero coalescing, vwap with
@@ -183,10 +189,9 @@ object NativeCandles {
     val notes = scala.collection.mutable.Buffer[String]()
     var result = bars
     // the newest persisted stage caches everything upstream, so each
-    // superseded stage can release its storage once the next stage's
-    // populated-count has materialized (no persisted-frame leak across
-    // repeated API requests); the LAST stage stays cached for the
-    // caller's materialization
+    // superseded stage releases its storage once the next stage's
+    // populated-count has materialized; the LAST stage stays cached for
+    // the caller's materialization and is released via Enriched.release
     var prevPersisted: Option[DataFrame] = None
 
     def exactOrFallback(series: Option[DataFrame], seriesTs: String,
@@ -255,7 +260,8 @@ object NativeCandles {
     notes += "next_funding_time_current_snapshot_only"
     notes += "predicted_funding_live_ws_only"
 
-    Enriched(addNativeDerivedFields(result, partitionCols), notes.toSeq)
+    Enriched(addNativeDerivedFields(result, partitionCols), notes.toSeq,
+      release = () => prevPersisted.foreach(_.unpersist()))
   }
 
   /** Derived/delta fields appended to the enriched native frame

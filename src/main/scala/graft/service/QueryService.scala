@@ -201,11 +201,13 @@ object QueryService {
 
     var htfFrame: Option[DataFrame] = None
     if (spec.fixedMinutes.forall(_ > 3)) {
-      // end bound EXCLUSIVE of the bucket opening at resolvedEnd: that
-      // bar's minutes extend past the requested end, so the 1m path can
-      // never serve it — both strategies must return the same bar set
-      htfFrame = htfReader.readWindow(spark, spec.name, symbol, start,
-          resolvedEnd.minus(1, ChronoUnit.MINUTES))
+      // end bound = last bucket whose FULL span fits inside the request
+      // (latestCompleteBucketStart) — a later bucket's minutes extend
+      // past resolvedEnd, so the 1m path could never serve it and the
+      // two strategies must agree on the bar set (also correct for
+      // non-bucket-aligned ends)
+      htfFrame = spec.latestCompleteBucketStart(resolvedEnd).flatMap(htfEnd =>
+        htfReader.readWindow(spark, spec.name, symbol, start, htfEnd))
         .map(_.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp").persist())
       val htfCount = htfFrame.map(_.count()).getOrElse(0L)
       if (htfCount >= limit)
