@@ -165,7 +165,7 @@ object Orchestrator {
           val aggTrades = nonEmpty(v.aggTrades)
             .orElse(nonEmpty(collector.liveAggTrades(windowStart, endInclusive)))
             .orElse(nonEmpty(r.aggTrades))
-          v.copy(
+          val merged = v.copy(
             klines = nonEmpty(v.klines).orElse(nonEmpty(r.klines)),
             markPriceKlines = nonEmpty(v.markPriceKlines).orElse(nonEmpty(r.markPriceKlines)),
             indexPriceKlines = nonEmpty(v.indexPriceKlines).orElse(nonEmpty(r.indexPriceKlines)),
@@ -181,6 +181,10 @@ object Orchestrator {
             globalRatioRows = nonEmpty(v.globalRatioRows).orElse(nonEmpty(r.globalRatioRows)),
             bookTickerSnapshots = nonEmpty(v.bookTickerSnapshots),
             liveFeatures = nonEmpty(v.liveFeatures))
+          if (merged.productIterator.forall(_ == None))
+            throw new DataQualityError(
+              s"No source rows for window $windowStart..$windowEnd")
+          merged
         case Band.Hot | Band.Warm =>
           val r = collector.rest(windowStart, endInclusive)
           val live = nonEmpty(collector.liveAggTrades(windowStart, endInclusive))
@@ -204,12 +208,12 @@ object Orchestrator {
           if (normalized.productIterator.forall(_ == None))
             throw new DataQualityError(
               s"No source rows for window $windowStart..$windowEnd")
+          // NOTE: no gate after the WARM discard — a WARM window whose only
+          // source rows were REST aggTrades already passed the source-level
+          // gate above; re-checking the post-policy batch would stall the
+          // watermark on data the sources DID return.
           normalized.copy(aggTrades = aggTrades)
       }
-
-      if (batch.productIterator.forall(_ == None))
-        throw new DataQualityError(
-          s"No source rows for window $windowStart..$windowEnd")
 
       MinuteBuilder.buildCanonicalFrame(spark, windowStart, windowEnd,
         klines = batch.klines,

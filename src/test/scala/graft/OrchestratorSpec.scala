@@ -151,6 +151,34 @@ class OrchestratorSpec extends SparkSpec {
     assert(got.count() == 60)
   }
 
+  test("WARM window whose only source rows are REST aggTrades passes the " +
+    "no-data gate (gate sees sources, not the post-policy discard)") {
+    val (dir, writer, _, wm) = env()
+    // every stream empty EXCEPT REST aggTrades; no live trades -> after the
+    // WARM discard the batch is all-None, but the sources DID return data,
+    // so the source-level no-data gate must NOT fire. The window still
+    // can't commit (klines are HARD_REQUIRED at write time, matching the
+    // reference's dq.py:54-63), but the error must be the writer's
+    // accurate null-violation, not a bogus "No source rows".
+    val collector = new FakeCollector(
+      klineRecords("2026-01-10T00:00:00Z", 0),
+      p => auxKlineRecords("2026-01-10T00:00:00Z", 0, p),
+      tradeRecords("2026-01-10T00:00:00Z", 60, qty = 2.0))
+    val pipe = new MinutePipeline(spark, Settings("BTCUSDT"), collector, writer, wm)
+
+    // the gate itself: build succeeds, spine rows come back
+    val frame = pipe.collectAndTransform(instant("2026-01-10T00:00:00Z"),
+      instant("2026-01-10T00:59:00Z"), Band.Warm)
+    assert(frame.count() == 60)
+
+    // full run: the failure surfaces at the DQ write layer with the
+    // accurate diagnosis, not the orchestrator's no-data error
+    wm.set("BTCUSDT", instant("2026-01-09T23:59:00Z"))
+    val ex = intercept[graft.validation.DataQualityException](pipe.runUntilTarget(
+      instant("2026-01-10T00:59:00Z"), nowForBand = instant("2026-01-12T00:00:00Z")))
+    assert(ex.getMessage.contains("HARD_REQUIRED"))
+  }
+
   test("empty window raises a data-quality error (orchestrator.py:159-163)") {
     val (dir, writer, _, wm) = env()
     val empty = klineRecords("2026-01-10T00:00:00Z", 0)
