@@ -26,10 +26,12 @@ import graft.schema.TimeframeSpec
   *    sentiment net longs, and bar-over-bar deltas.
   *
   * All alignment is the as-of/window composition from [[graft.ops.AsOf]]
-  * — still no Catalyst extension. Frames on this path are API-bounded
-  * (≤ max_limit bars + a few aux rows per bar), so the per-series
-  * populated-count action that decides the fallback is cheap; at lake
-  * scale the same merges run per-symbol via `partitionCols`.
+  * — still no Catalyst extension. Unlike the reference's eager per-series
+  * populated counts, both alignment passes compose into ONE lazy plan;
+  * the exact-vs-fallback decision is a per-partition window gate and the
+  * note flags resolve in a single deferred aggregation. At lake scale
+  * every join, dedup, as-of, and gate is keyed by `partitionCols`, so a
+  * multi-symbol frame enriches per symbol in the same single job.
   */
 object NativeCandles {
 
@@ -85,89 +87,95 @@ object NativeCandles {
     MinuteBuilder.finalizeSchema(bars)
   }
 
-  /** Align one auxiliary series onto the bars via exact bucket-floored
-    * equi-join; where that leaves gaps, fall back to as-of backward at
-    * bar close with max-age = one bar (`service.py:1259-1301`). The
-    * aligned value coalesces over any existing target column (aligned
-    * wins — `alignment.py:96-103`).
+  /** Align one auxiliary series onto the bars — BOTH passes composed in
+    * one lazy plan (no driver actions here):
+    *
+    *  - exact: series ts floored to the bar bucket, keep-last per
+    *    (partition, bucket), left equi-join on (partition, bar open);
+    *  - fallback: as-of backward from bar CLOSE over the bucket-floored
+    *    series, gated to the matched row's ORIGINAL timestamp being ≤
+    *    one bar old (`alignment.py:77-92`; age is measured against
+    *    `_source_ts`, not the floored key).
+    *
+    * The reference decides per frame: if the exact pass populated every
+    * bar the exact values stand; otherwise the fallback pass runs and
+    * its values WIN wherever the as-of matched (aligned wins —
+    * `alignment.py:96-103`, including exact-matched bars: that override
+    * is how period-END-stamped series attach at bucket boundaries).
+    * Here that whole-frame gate is a per-partition window min, so a
+    * multi-symbol frame gates each symbol independently.
+    *
+    * `flagCol` is left on the result: true on rows the fallback
+    * populated that the exact pass could not — `max(flagCol)` is the
+    * reference's `fallbackPopulated > populated` note condition,
+    * evaluated later in ONE deferred aggregation over all series.
     *
     * @param valueMap (source column in `series`, target column on bars)
     */
-  def alignExactWithOneBarFallback(bars: DataFrame, series: DataFrame,
-                                   seriesTs: String,
-                                   valueMap: Seq[(String, String)],
-                                   barMs: Long, notePrefix: String,
-                                   notes: scala.collection.mutable.Buffer[String]): DataFrame = {
-    val targets = valueMap.map(_._2)
-    // each stage is persisted: the populated-count actions and every
-    // subsequent enrichment series build on this frame, and without the
-    // cache each count would recompute the whole upstream chain
-    // (quadratic job work across the 9 series)
-    val exact = alignOnce(bars, series, seriesTs, valueMap, barMs, exact = true).persist()
-    notes += s"${notePrefix}_alignment_exact_timestamp"
-
-    // height + populated in ONE job
-    val allSet = targets.map(col(_).isNotNull).reduce(_ && _)
-    val m = exact.agg(count(lit(1)), count(when(allSet, 1))).collect()(0)
-    val height = m.getLong(0)
-    val populated = m.getLong(1)
-    if (populated >= height) return exact
-
-    val fallback = alignOnce(exact, series, seriesTs, valueMap, barMs, exact = false).persist()
-    val fallbackPopulated = populatedCount(fallback, targets)
-    exact.unpersist()
-    if (fallbackPopulated > populated)
-      notes += s"${notePrefix}_alignment_asof_backward_max_age_1bar"
-    fallback
-  }
-
-  /** One alignment pass. Exact: series ts floored to the bar bucket,
-    * keep-last per bucket, left equi-join. Fallback: as-of backward from
-    * bar CLOSE over the bucket-floored series, gated to the matched
-    * row's ORIGINAL timestamp being ≤ one bar old (`alignment.py:77-92`;
-    * age is measured against `_source_ts`, not the floored key). Both
-    * coalesce the aligned value over any existing target column. */
-  private def alignOnce(bars: DataFrame, series: DataFrame, seriesTs: String,
-                        valueMap: Seq[(String, String)], barMs: Long,
-                        exact: Boolean): DataFrame = {
+  private def alignSeriesLazy(bars: DataFrame, series: DataFrame,
+                              seriesTs: String,
+                              valueMap: Seq[(String, String)],
+                              barMs: Long, partitionCols: Seq[String],
+                              flagCol: String): DataFrame = {
     val srcOrig = "__src_orig_ms"
-    val tmpCols = valueMap.map { case (_, tgt) => s"__aligned_$tgt" }
+    val tmpE = valueMap.map { case (_, tgt) => s"__exact_$tgt" }
+    val tmpA = valueMap.map { case (_, tgt) => s"__asof_$tgt" }
     val tsMs = epochMs(series, seriesTs)
     val floorTs = timestamp_millis((tsMs - pmod(tsMs, lit(barMs))).cast("long"))
-    val prepped = series.select(
-      (floorTs.as("__aux_ts") +: tsMs.as(srcOrig) +:
-        valueMap.zip(tmpCols).map { case ((src, _), tmp) => col(src).as(tmp) }): _*)
-    val deduped = Ops.dedupKeepLast(prepped, Seq("__aux_ts"), Seq(col(srcOrig)))
 
-    val merged =
-      if (exact)
-        bars.join(deduped.drop(srcOrig), col("timestamp") === col("__aux_ts"), "left")
-          .drop("__aux_ts")
-      else {
-        val closeKey = "__bar_close"
-        val withClose = bars.withColumn(closeKey,
-          timestamp_millis(unix_millis(col("timestamp")) + barMs))
-        val joined = AsOf.asofJoinBackwardBucketed(
-          withClose, deduped.withColumnRenamed("__aux_ts", "__aux_join_ts"),
-          leftOn = closeKey, rightOn = "__aux_join_ts",
-          valueCols = tmpCols :+ srcOrig, toleranceMs = barMs)
-        // age gate vs the matched row's original timestamp
-        val fresh = unix_millis(col(closeKey)) - col(srcOrig) <= barMs
-        tmpCols.foldLeft(joined) { (df, tmp) =>
-          df.withColumn(tmp, when(fresh, col(tmp)))
-        }.drop(closeKey, srcOrig)
-      }
+    // exact pass: renamed partition keys avoid join ambiguity
+    val xp = partitionCols.map(c => s"__xp_$c")
+    val exactPrep = series.select(
+      (partitionCols.zip(xp).map { case (c, x) => col(c).as(x) } ++
+        (floorTs.as("__aux_ts") :: tsMs.as(srcOrig) :: Nil) ++
+        valueMap.zip(tmpE).map { case ((src, _), t) => col(src).as(t) }): _*)
+    val exactDedup = Ops.dedupKeepLast(exactPrep, xp :+ "__aux_ts", Seq(col(srcOrig)))
+      .drop(srcOrig)
+    val exactCond = (partitionCols.zip(xp).map { case (c, x) => col(c) === col(x) } :+
+      (col("timestamp") === col("__aux_ts"))).reduce(_ && _)
+    val exactJoined = bars.join(exactDedup, exactCond, "left")
+      .drop(("__aux_ts" +: xp): _*)
 
-    valueMap.zip(tmpCols).foldLeft(merged) { case (df, ((_, tgt), tmp)) =>
-      val out =
-        if (df.columns.contains(tgt)) df.withColumn(tgt, coalesce(col(tmp), col(tgt)))
-        else df.withColumn(tgt, col(tmp))
-      out.drop(tmp)
+    // fallback pass: bucketed as-of backward at bar close, per partition
+    val asofPrep = series.select(
+      (partitionCols.map(col) ++ (floorTs.as("__aux_join_ts") :: tsMs.as(srcOrig) :: Nil) ++
+        valueMap.zip(tmpA).map { case ((src, _), t) => col(src).as(t) }): _*)
+    val asofDedup = Ops.dedupKeepLast(asofPrep, partitionCols :+ "__aux_join_ts",
+      Seq(col(srcOrig)))
+    val closeKey = "__bar_close"
+    val withClose = exactJoined.withColumn(closeKey,
+      timestamp_millis(unix_millis(col("timestamp")) + barMs))
+    val joined = AsOf.asofJoinBackwardBucketed(
+      withClose, asofDedup,
+      leftOn = closeKey, rightOn = "__aux_join_ts",
+      valueCols = tmpA :+ srcOrig, toleranceMs = barMs,
+      partitionBy = partitionCols)
+    // age gate vs the matched row's original timestamp
+    val fresh = unix_millis(col(closeKey)) - col(srcOrig) <= barMs
+
+    // merged candidates: exact (over any existing target) and
+    // asof-wins-over-exact (the fallback-frame semantics)
+    val evCols = valueMap.map { case (_, tgt) => s"__ev_$tgt" }
+    val avCols = valueMap.map { case (_, tgt) => s"__av_$tgt" }
+    val merged = valueMap.zip(tmpE).zip(tmpA).foldLeft(joined) {
+      case (df, (((_, tgt), te), ta)) =>
+        val exactVal =
+          if (df.columns.contains(tgt)) coalesce(col(te), col(tgt)) else col(te)
+        df.withColumn(s"__ev_$tgt", exactVal)
+          .withColumn(s"__av_$tgt", coalesce(when(fresh, col(ta)), exactVal))
     }
+    val exactAllSet = evCols.map(col(_).isNotNull).reduce(_ && _)
+    val finalAllSet = avCols.map(col(_).isNotNull).reduce(_ && _)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+    val gated = merged.withColumn("__exact_full",
+      min(when(exactAllSet, 1).otherwise(0)).over(w) === 1)
+    val out = valueMap.foldLeft(gated) { case (df, (_, tgt)) =>
+      df.withColumn(tgt,
+        when(col("__exact_full"), col(s"__ev_$tgt")).otherwise(col(s"__av_$tgt")))
+    }.withColumn(flagCol, !col("__exact_full") && finalAllSet && !exactAllSet)
+    out.drop((tmpE ++ tmpA ++ evCols ++ avCols ++
+      Seq(closeKey, srcOrig, "__exact_full")): _*)
   }
-
-  private def populatedCount(df: DataFrame, targets: Seq[String]): Long =
-    df.where(targets.map(col(_).isNotNull).reduce(_ && _)).count()
 
   /** Record timestamps arrive as epoch-ms longs from the REST parsers
     * but as TimestampType from lake reads — accept both. */
@@ -186,23 +194,27 @@ object NativeCandles {
     val barMs = spec.fixedMinutes.getOrElse(
       throw new IllegalArgumentException(
         s"native enrichment needs a fixed-length timeframe, got ${spec.name}")) * 60000L
-    val notes = scala.collection.mutable.Buffer[String]()
+    // notes are assembled AFTER the single deferred flag aggregation;
+    // Fixed entries are unconditional, FallbackIf entries depend on the
+    // series' fallback flag (the reference's populated-count condition)
+    sealed trait NoteEntry
+    final case class Fixed(note: String) extends NoteEntry
+    final case class FallbackIf(flagCol: String, note: String) extends NoteEntry
+    val plan = scala.collection.mutable.Buffer[NoteEntry]()
+    val flagCols = scala.collection.mutable.Buffer[String]()
     var result = bars
-    // the newest persisted stage caches everything upstream, so each
-    // superseded stage releases its storage once the next stage's
-    // populated-count has materialized; the LAST stage stays cached for
-    // the caller's materialization and is released via Enriched.release
-    var prevPersisted: Option[DataFrame] = None
 
     def exactOrFallback(series: Option[DataFrame], seriesTs: String,
                         valueMap: Seq[(String, String)], prefix: String,
                         noRowsNote: String): Unit = series match {
       case Some(s) =>
-        result = alignExactWithOneBarFallback(result, s, seriesTs, valueMap,
-          barMs, prefix, notes)
-        prevPersisted.foreach(_.unpersist())
-        prevPersisted = Some(result)
-      case None => notes += noRowsNote
+        val flagCol = s"__fb_used_$prefix"
+        result = alignSeriesLazy(result, s, seriesTs, valueMap, barMs,
+          partitionCols, flagCol)
+        flagCols += flagCol
+        plan += Fixed(s"${prefix}_alignment_exact_timestamp")
+        plan += FallbackIf(flagCol, s"${prefix}_alignment_asof_backward_max_age_1bar")
+      case None => plan += Fixed(noRowsNote)
     }
 
     exactOrFallback(aux.markPriceKlines, "open_time",
@@ -253,15 +265,36 @@ object NativeCandles {
         result = aligned
           .withColumn("funding_rate", coalesce(col("__f_rate"), col("funding_rate")))
           .drop(closeKey, "__f_rate")
-        notes += "funding_rate_aligned_asof_backward"
-        notes += "funding_rate_event_series_aligned_not_native_tf"
-      case None => notes += "funding_rate_no_prior_event_found"
+        plan += Fixed("funding_rate_aligned_asof_backward")
+        plan += Fixed("funding_rate_event_series_aligned_not_native_tf")
+      case None => plan += Fixed("funding_rate_no_prior_event_found")
     }
-    notes += "next_funding_time_current_snapshot_only"
-    notes += "predicted_funding_live_ws_only"
+    plan += Fixed("next_funding_time_current_snapshot_only")
+    plan += Fixed("predicted_funding_live_ws_only")
 
-    Enriched(addNativeDerivedFields(result, partitionCols), notes.toSeq,
-      release = () => prevPersisted.foreach(_.unpersist()))
+    // ONE deferred action resolves every series' fallback note — the
+    // reference runs ~2 eager populated-counts per series
+    // (service.py:1259-1301); composing both passes lazily collapses
+    // ~18 sequential Spark jobs into this single aggregation plus the
+    // caller's materialization (which reuses the persisted stage)
+    if (flagCols.isEmpty) {
+      val notes = plan.collect { case Fixed(n) => n }
+      Enriched(addNativeDerivedFields(result, partitionCols), notes.toSeq)
+    } else {
+      val persisted = result.persist()
+      val aggs = flagCols.toSeq.map(f =>
+        (max(when(col(f), 1).otherwise(0)) === 1).as(f))
+      val row = persisted.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val used: Map[String, Boolean] = flagCols.toSeq.zipWithIndex.map { case (f, i) =>
+        f -> (!row.isNullAt(i) && row.getBoolean(i))
+      }.toMap
+      val notes = plan.flatMap {
+        case Fixed(n) => Some(n)
+        case FallbackIf(f, n) => if (used(f)) Some(n) else None
+      }
+      Enriched(addNativeDerivedFields(persisted.drop(flagCols.toSeq: _*), partitionCols),
+        notes.toSeq, release = () => { persisted.unpersist(); () })
+    }
   }
 
   /** Derived/delta fields appended to the enriched native frame

@@ -402,4 +402,52 @@ class QueryServiceSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       QueryService.nativeCandleBars(klines, aux, "2h"))
   }
+
+  test("multi-symbol enrichment: alignment and exact/fallback gate are keyed " +
+    "by partitionCols (no cross-symbol bleed)") {
+    import graft.service.NativeCandles
+    import spark.implicits._
+    val t0 = ms("2026-01-15T10:00:00Z")
+    val h = 3600000L
+
+    def symBars(sym: String) = {
+      val klines = Seq(
+        (t0, 100.0, 110.0, 95.0, 105.0, 10.0, 1050000.0, 100L, 6.0, 630000.0),
+        (t0 + h, 105.0, 112.0, 101.0, 101.0, 10.0, 1010000.0, 100L, 6.0, 606000.0),
+        (t0 + 2 * h, 101.0, 120.0, 100.0, 118.0, 10.0, 1180000.0, 100L, 6.0, 708000.0))
+        .toDF("open_time", "open", "high", "low", "close", "volume_btc",
+          "volume_usdt", "trade_count", "taker_buy_vol_btc", "taker_buy_vol_usdt")
+      NativeCandles.nativeKlinesToFrame(klines).withColumn("symbol", lit(sym))
+    }
+    val bars = symBars("A").unionByName(symBars("B"))
+
+    // A covers every bucket exactly → A must keep EXACT values: if the
+    // gate were frame-global (B is incomplete), A's bars would flip to
+    // the as-of-at-close values (bar0 → the t0+1h row). B misses bar 1
+    // → B's fallback must pull B's own t0+2h close-boundary row, never
+    // A's t0+1h value.
+    val mark = Seq(
+      ("A", t0, 1.0, 101.0), ("A", t0 + h, 2.0, 102.0), ("A", t0 + 2 * h, 3.0, 103.0),
+      ("B", t0, 10.0, 110.0), ("B", t0 + 2 * h, 20.0, 120.0))
+      .toDF("symbol", "open_time", "mark_price_open", "mark_price_close")
+    val aux = NativeCandles.AuxSeries(markPriceKlines = Some(mark))
+
+    val enriched = NativeCandles.enrichNativeFrame(
+      bars, aux, graft.schema.Timeframes.parse("1h"), "1h",
+      partitionCols = Seq("symbol"))
+    val rows = enriched.frame.orderBy("symbol", "timestamp").collect()
+    val iClose = enriched.frame.columns.indexOf("mark_price_close")
+    // A: exact values survive (per-symbol gate)
+    assert(rows(0).getDouble(iClose) == 101.0)
+    assert(rows(1).getDouble(iClose) == 102.0)
+    assert(rows(2).getDouble(iClose) == 103.0)
+    // B: bar0 exact/asof, bar1 via B's own close-boundary fallback row
+    assert(rows(3).getDouble(iClose) == 110.0)
+    assert(rows(4).getDouble(iClose) == 120.0)
+    assert(rows(5).getDouble(iClose) == 120.0)
+    // B used the fallback → the note fires; A alone would not
+    assert(enriched.notes.contains("mark_price_alignment_asof_backward_max_age_1bar"))
+    assert(enriched.notes.contains("mark_price_alignment_exact_timestamp"))
+    enriched.release()
+  }
 }
