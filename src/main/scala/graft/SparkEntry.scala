@@ -1063,21 +1063,30 @@ object SparkEntry {
     // stays as the small-scale exact baseline; this is the plan whose
     // candidate count stays bounded as the table grows.
     "dedup_embed_lsh" -> ((s, dir) => {
+      // candidate generation is IDS-ONLY: the band-bucket self-join and
+      // the pair dedup shuffle two longs per row — re-attaching the two
+      // 64-dim embeddings happens AFTER dedup via two equi-joins back to
+      // the vector table (~30x fewer shuffle bytes than deduping pairs
+      // with embeddings attached)
       val emb = t(s, dir, "embeddings")
         .withColumn("nrm", VectorFns.l2Norm("embedding"))
-      val bucketed = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
-        emb.select(col("vec_id"), col("embedding"), col("nrm"),
+      val ids = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
+        t(s, dir, "embeddings").select(col("vec_id"),
           lit(bi).as("band"),
           VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 4, seed = seed)
             .as("bucket"))
       }.reduce(_ unionByName _)
-      val a = bucketed.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-      val b = bucketed.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-      a.join(b, Seq("band", "bucket"))
+      val pairs = ids.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+        .join(ids.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+          Seq("band", "bucket"))
         .where(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b")
+      pairs
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("nrm").as("nrm_b")), Seq("id_b"))
         .withColumn("cos",
           round(VectorFns.dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 5))
         .where(col("cos") >= 0.42)

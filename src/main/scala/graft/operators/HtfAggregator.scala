@@ -70,9 +70,15 @@ object HtfAggregator {
     * @param byCols extra grouping keys (e.g. "symbol") for multi-symbol
     *               lake-scale aggregation; the `symbol` argument is only
     *               used as a literal when `byCols` is empty.
+    * @param sorted opt-in global bucket_start ordering for small API
+    *               results. Default OFF: every lake-scale caller
+    *               repartitions by partition columns right before the
+    *               write, so a trailing sort would be a wasted full
+    *               range-exchange over the entire HTF output.
     */
   def aggregateMinutes(minutes: DataFrame, spec: TimeframeSpec, symbol: String,
-                       byCols: Seq[String] = Nil): DataFrame = {
+                       byCols: Seq[String] = Nil,
+                       sorted: Boolean = false): DataFrame = {
     val ts = col("timestamp")
     val groupKeys = byCols :+ "bucket_start"
 
@@ -179,7 +185,8 @@ object HtfAggregator {
       enriched = enriched.withColumn(c, e)
 
     val outCols = (byCols.filterNot(targetColumns.contains) ++ targetColumns).distinct
-    enriched.select(outCols.map(col): _*).orderBy("bucket_start")
+    val out = enriched.select(outCols.map(col): _*)
+    if (sorted) out.orderBy("bucket_start") else out
   }
 
   /** Missing-bucket detection: complete buckets available in the minute
