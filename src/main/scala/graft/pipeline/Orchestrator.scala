@@ -142,14 +142,25 @@ object Orchestrator {
         bands.result())
     }
 
-    /** Band collection + canonical build (`orchestrator.py:321-502`):
-      * COLD = Vision with per-stream REST fallback; HOT/WARM = REST with
-      * live aggTrade substitution (REST fallback only in HOT). The
-      * no-data gate (`orchestrator.py:159-163`) fires here when EVERY
-      * stream came back empty — the builder itself always emits spine
-      * rows, so a frame-level emptiness check could never trigger. */
+    /** See [[Orchestrator.collectAndBuild]]. */
     def collectAndTransform(windowStart: Instant, windowEnd: Instant,
-                            band: Band): DataFrame = {
+                            band: Band): DataFrame =
+      collectAndBuild(spark, collector, windowStart, windowEnd, band)
+  }
+
+  /** Band collection + canonical build (`orchestrator.py:321-502`):
+    * COLD = Vision with per-stream REST fallback; HOT/WARM = REST with
+    * live aggTrade substitution (REST fallback only in HOT). The
+    * no-data gate (`orchestrator.py:159-163`) fires here when EVERY
+    * stream came back empty — the builder itself always emits spine
+    * rows, so a frame-level emptiness check could never trigger.
+    *
+    * Standalone so the API service's on-demand rebuild path
+    * (`live_data_api_service/service.py:1036-1117`) can run one bounded
+    * build through the same band/fallback policy without a pipeline. */
+  def collectAndBuild(spark: SparkSession, collector: BandCollector,
+                      windowStart: Instant, windowEnd: Instant,
+                      band: Band): DataFrame = {
       // one minute past the window end, mirroring the reference's
       // window_end_inclusive fetch bound (orchestrator.py:331); the
       // spine join drops the extra minute's records
@@ -227,6 +238,5 @@ object Orchestrator {
         topTraderRatioRows = batch.topTraderRatioRows,
         globalRatioRows = batch.globalRatioRows,
         liveFeatures = batch.liveFeatures)
-    }
   }
 }

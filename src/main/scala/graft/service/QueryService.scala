@@ -133,6 +133,155 @@ object QueryService {
     (df, WindowCoverage(expected, observed))
   }
 
+  /** End-time resolution (reference `service.py:944-966`): an explicit
+    * end is floored to the minute; an omitted end resolves to the last
+    * completed UTC minute, clamped down to the lake's watermark when the
+    * lag is within tolerance (within tolerance the lake is the freshest
+    * consistent view; beyond it the watermark is assumed stale and the
+    * wall-clock end wins). */
+  def resolveEndTime(requested: Option[Instant], lastCompleted: Instant,
+                     watermark: Option[Instant] = None,
+                     toleranceMinutes: Option[Long] = None): Instant =
+    requested match {
+      case Some(t) => t.truncatedTo(ChronoUnit.MINUTES)
+      case None =>
+        val resolved = lastCompleted.truncatedTo(ChronoUnit.MINUTES)
+        watermark match {
+          case None => resolved
+          case Some(wm) =>
+            val effective = if (resolved.isBefore(wm)) resolved else wm
+            toleranceMinutes match {
+              case None => effective
+              case Some(tol) =>
+                if (ChronoUnit.MINUTES.between(effective, resolved) <= tol) effective
+                else resolved
+            }
+        }
+    }
+
+  /** ISO-string form (reference: `parse_iso_datetime(end_time) or
+    * last_completed_utc_minute()` — an unparsable string falls back to
+    * the last completed minute UNfloored-parse semantics). */
+  def resolveEndTime(endTime: String, lastCompleted: Instant): Instant =
+    scala.util.Try(Instant.parse(endTime)).toOption.getOrElse(
+      lastCompleted.truncatedTo(ChronoUnit.MINUTES))
+
+  /** Canonical window with provenance (reference
+    * `CanonicalWindowResult`, `service.py:1036-1117`). */
+  /** @param release unpersists the cached patch stage once the caller
+    *                 has materialized `frame` (no-op when no patch ran) */
+  final case class CanonicalWindowResult(symbol: String, start: Instant,
+                                         end: Instant, source: String,
+                                         frame: DataFrame,
+                                         coverage: WindowCoverage,
+                                         notes: Seq[String],
+                                         release: () => Unit = () => ())
+
+  /** The on-demand rebuild path (reference `load_canonical_window`,
+    * `service.py:1036-1117` + persist-back `:694-751`): when the local
+    * lake cannot serve the full window, fetch the missing minutes
+    * through a [[graft.pipeline.Orchestrator.BandCollector]], run the
+    * minute builder over the window, overlay the patch UNDER the local
+    * rows (local wins on timestamp collisions —
+    * `merge_canonical_frames`, `utils.py:59-70`), and persist the
+    * genuinely-new rows back through the atomic hour writer so the next
+    * request is served locally.
+    *
+    * Patch windows are bounded by `onDemandMaxMinutes` (reference
+    * `_on_demand_max_minutes`), so the per-hour persist loop and the
+    * patch build are driver-bounded API work, not lake-scale jobs. */
+  def loadCanonicalWindowWithRebuild(
+      spark: SparkSession, reader: MinuteLakeReader, symbol: String,
+      start: Instant, end: Instant,
+      collector: graft.pipeline.Orchestrator.BandCollector,
+      persistTo: Option[graft.sources.MinuteLakeWriter] = None,
+      nowForBand: Instant = Instant.now,
+      onDemandMaxMinutes: Long = 1440,
+      allowBinancePatch: Boolean = true): CanonicalWindowResult = {
+    import graft.pipeline.Orchestrator
+    require(!end.isBefore(start), "end_time must be on or after start_time")
+    val (local, coverage) = loadCanonicalWindow(spark, reader, symbol, start, end)
+    if (coverage.complete || !allowBinancePatch)
+      return CanonicalWindowResult(symbol, start, end, "local", local, coverage, Nil)
+    if (coverage.expectedMinutes > onDemandMaxMinutes) {
+      if (coverage.observedMinutes == 0)
+        throw new IllegalArgumentException(
+          "Requested window is not available locally and is too large for " +
+            "on-demand retrieval. Reduce limit or materialize the symbol " +
+            "into the minute lake first.")
+      return CanonicalWindowResult(symbol, start, end, "local", local, coverage,
+        Seq("window_too_large_for_on_demand_patch"))
+    }
+
+    val notes = scala.collection.mutable.Buffer[String]()
+    val band = Orchestrator.chooseBand(nowForBand, end)
+    val patch =
+      try Some(Orchestrator.collectAndBuild(spark, collector, start, end, band).persist())
+      catch {
+        case _: Orchestrator.DataQualityError =>
+          notes += "binance_patch_no_source_rows"
+          None
+      }
+
+    val (combined0, source) = patch match {
+      case Some(p) if coverage.observedMinutes > 0 =>
+        // merge_canonical_frames(remote, local): local wins per minute
+        val merged = graft.ops.Ops.dedupKeepLast(
+          p.withColumn("__pri", lit(0))
+            .unionByName(local.withColumn("__pri", lit(1)), allowMissingColumns = true),
+          Seq("timestamp"), Seq(col("__pri"))).drop("__pri")
+        (merged, "local+binance")
+      case Some(p) => (p, "binance")
+      case None => (local, "local")
+    }
+    // pin the served frame BEFORE persist-back: its lineage reads the
+    // very lake files the atomic writer is about to replace, so it must
+    // be fully materialized into the cache first (eager count — the
+    // reference's frames are eager by construction)
+    val combined = if (patch.isDefined) combined0.persist() else combined0
+    if (patch.isDefined) combined.count()
+
+    // persist-back (service.py:694-751): only rows the lake does not
+    // already have, hour by hour through the atomic writer (which
+    // itself merges LIVE_ONLY columns with any existing partition)
+    patch.foreach { p =>
+      persistTo.foreach { writer =>
+        try {
+          // eager count, not isEmpty: the hour loop below re-reads this
+          // frame after the writer starts replacing the backing files
+          val freshRows = p.join(local.select("timestamp"), Seq("timestamp"), "left_anti")
+            .persist()
+          if (freshRows.count() > 0) {
+            var written = 0
+            var hour = start.truncatedTo(ChronoUnit.HOURS)
+            while (!hour.isAfter(end)) {
+              val next = hour.plus(1, ChronoUnit.HOURS)
+              val hourFrame = freshRows.where(
+                col("timestamp") >= java.sql.Timestamp.from(hour) &&
+                  col("timestamp") < java.sql.Timestamp.from(next))
+              if (!hourFrame.isEmpty) {
+                writer.writeHourPartition(symbol, hour, hourFrame)
+                written += 1
+              }
+              hour = next
+            }
+            if (written > 0) notes += s"binance_patch_persisted_partitions:$written"
+          }
+          freshRows.unpersist()
+        } catch {
+          // reference logs and serves anyway — persistence is best-effort
+          case e: Exception => notes += s"binance_patch_persist_failed:${e.getMessage}"
+        }
+      }
+    }
+
+    val observedAfter = combined.select(countDistinct(col("timestamp")))
+      .collect().head.getLong(0)
+    CanonicalWindowResult(symbol, start, end, source, combined,
+      WindowCoverage(coverage.expectedMinutes, observedAfter), notes.toSeq,
+      release = () => patch.foreach { p => p.unpersist(); combined.unpersist(); () })
+  }
+
   /** One timeframe of the flagship query: aggregate the canonical
     * window, add lag deltas, serialize (reference `service.py:1553-1693`). */
   def candleBars(spark: SparkSession, reader: MinuteLakeReader, symbol: String,

@@ -403,6 +403,114 @@ class QueryServiceSpec extends SparkSpec {
       QueryService.nativeCandleBars(klines, aux, "2h"))
   }
 
+  test("resolve_end_time: explicit floor, watermark clamp within tolerance (service.py:944-966)") {
+    val last = instant("2026-01-15T10:07:00Z")
+    // explicit end: floored to the minute, watermark ignored
+    assert(QueryService.resolveEndTime(Some(instant("2026-01-15T09:30:45Z")), last,
+      Some(instant("2026-01-15T09:00:00Z")), Some(5L)) == instant("2026-01-15T09:30:00Z"))
+    // ISO-string form: parsed as-is; garbage falls back to last completed
+    assert(QueryService.resolveEndTime("2026-01-15T09:30:00Z", last) ==
+      instant("2026-01-15T09:30:00Z"))
+    assert(QueryService.resolveEndTime("not-a-time", last) == last)
+    // omitted end, no watermark → last completed minute
+    assert(QueryService.resolveEndTime(None, last) == last)
+    // watermark within tolerance → clamp down to the watermark
+    assert(QueryService.resolveEndTime(None, last,
+      Some(instant("2026-01-15T10:04:00Z")), Some(5L)) == instant("2026-01-15T10:04:00Z"))
+    // watermark beyond tolerance → assumed stale, wall-clock end wins
+    assert(QueryService.resolveEndTime(None, last,
+      Some(instant("2026-01-15T09:00:00Z")), Some(5L)) == last)
+    // no tolerance configured → always the effective min
+    assert(QueryService.resolveEndTime(None, last,
+      Some(instant("2026-01-15T09:00:00Z")), None) == instant("2026-01-15T09:00:00Z"))
+    // watermark ahead of wall clock → wall clock wins the min
+    assert(QueryService.resolveEndTime(None, last,
+      Some(instant("2026-01-15T11:00:00Z")), Some(5L)) == last)
+  }
+
+  test("on-demand rebuild: incomplete coverage fetches via the collector, " +
+    "local rows win the merge, patch persists back (service.py:1036-1117,694-751)") {
+    import java.nio.file.Files
+    import graft.pipeline.Orchestrator
+    import graft.pipeline.Orchestrator.{Band, BandCollector, SourceBatch}
+    import graft.sources.{MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+    import spark.implicits._
+
+    def klines(startIso: String, minutes: Int, base: Double) = {
+      val t0 = ms(startIso)
+      (0 until minutes).map { i =>
+        (t0 + 60000L * i, base + i, base + i + 1.0, base + i - 1.0, base + i + 0.5,
+          2.0, 200.0, 10L, 1.0, 100.0)
+      }.toDF("open_time", "open", "high", "low", "close", "volume_btc",
+        "volume_usdt", "trade_count", "taker_buy_vol_btc", "taker_buy_vol_usdt")
+    }
+    def aux(startIso: String, minutes: Int, prefix: String) = {
+      val t0 = ms(startIso)
+      (0 until minutes).map(i => (t0 + 60000L * i, 100.0 + i, 100.5 + i))
+        .toDF("open_time", s"${prefix}_open", s"${prefix}_close")
+    }
+    class Fake(startIso: String, minutes: Int, base: Double) extends BandCollector {
+      var restCalls = 0
+      def vision(s: Instant, e: Instant): SourceBatch = SourceBatch()
+      def rest(s: Instant, e: Instant): SourceBatch = {
+        restCalls += 1
+        SourceBatch(klines = Some(klines(startIso, minutes, base)),
+          markPriceKlines = Some(aux(startIso, minutes, "mark_price")),
+          indexPriceKlines = Some(aux(startIso, minutes, "index_price")))
+      }
+      def liveAggTrades(s: Instant, e: Instant): Option[org.apache.spark.sql.DataFrame] = None
+    }
+
+    val dir = Files.createTempDirectory("graft-rebuild").toString
+    val writer = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"))
+    val reader = new MinuteLakeReader(dir)
+    val h10 = instant("2026-01-15T10:00:00Z")
+
+    // seed the lake with ONLY minute 10:00 (open=100)
+    writer.writeHourPartition("BTCUSDT", h10,
+      Orchestrator.collectAndBuild(spark,
+        new Fake("2026-01-15T10:00:00Z", 1, base = 100.0), h10, h10, Band.Hot))
+
+    // request 10:00..10:01 — 10:01 is missing → patch via the collector
+    // (patch klines use base=900 so provenance is visible per minute)
+    val patcher = new Fake("2026-01-15T10:00:00Z", 2, base = 900.0)
+    val res = QueryService.loadCanonicalWindowWithRebuild(
+      spark, reader, "BTCUSDT", h10, instant("2026-01-15T10:01:00Z"),
+      patcher, persistTo = Some(writer),
+      nowForBand = instant("2026-01-15T10:05:00Z"))
+    assert(res.source == "local+binance")
+    assert(res.coverage.complete)
+    assert(res.notes.contains("binance_patch_persisted_partitions:1"))
+    val rows = res.frame.orderBy("timestamp").select("open").collect()
+    assert(rows(0).getDouble(0) == 100.0) // local row WINS over the patch
+    assert(rows(1).getDouble(0) == 901.0) // patched minute
+    res.release()
+
+    // persisted rows must avoid another patch (reference GuardProvider)
+    object Guard extends BandCollector {
+      def vision(s: Instant, e: Instant) = throw new AssertionError(
+        "persisted missing rows should avoid another Binance patch")
+      def rest(s: Instant, e: Instant) = throw new AssertionError(
+        "persisted missing rows should avoid another Binance patch")
+      def liveAggTrades(s: Instant, e: Instant) = throw new AssertionError(
+        "persisted missing rows should avoid another Binance patch")
+    }
+    val res2 = QueryService.loadCanonicalWindowWithRebuild(
+      spark, reader, "BTCUSDT", h10, instant("2026-01-15T10:01:00Z"),
+      Guard, persistTo = Some(writer),
+      nowForBand = instant("2026-01-15T10:05:00Z"))
+    assert(res2.source == "local")
+    assert(res2.coverage.complete)
+    val rows2 = res2.frame.orderBy("timestamp").select("open").collect()
+    assert(rows2(0).getDouble(0) == 100.0)
+    assert(rows2(1).getDouble(0) == 901.0)
+
+    // a too-large fully-missing window refuses on-demand retrieval
+    assertThrows[IllegalArgumentException](QueryService.loadCanonicalWindowWithRebuild(
+      spark, reader, "ETHUSDT", h10, instant("2026-03-01T00:00:00Z"),
+      Guard, onDemandMaxMinutes = 60))
+  }
+
   test("multi-symbol enrichment: alignment and exact/fallback gate are keyed " +
     "by partitionCols (no cross-symbol bleed)") {
     import graft.service.NativeCandles
