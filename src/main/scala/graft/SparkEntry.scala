@@ -866,7 +866,7 @@ object SparkEntry {
         markPriceKlines = Some(auxKlines("view", "mark_price_open", "mark_price_close")),
         indexPriceKlines = Some(auxKlines("click", "index_price_open", "index_price_close")),
         fundingRate = Some(funding))
-      val (bars, _) = QueryService.nativeCandleBars(klines, aux, "15m", limit = 200)
+      val bars = QueryService.nativeCandleBars(klines, aux, "15m", limit = 200).frame
       bars.select(col("timestamp"),
         round(col("open"), 4).as("open"), round(col("close"), 4).as("close"),
         round(col("volume_btc"), 4).as("volume_btc"),

@@ -61,7 +61,11 @@ final class ResultCache[K, V](maxEntries: Int = 256,
                    partialOf: (K, K) => Boolean = (_: K, _: K) => false,
                    partialRank: K => Long = (_: K) => 0L,
                    extend: (K, V) => Option[V] = (_: K, _: V) => None)(compute: => V): V = {
-    synchronized {
+    // Under the lock: answer exact/superset hits (pure driver-side list
+    // ops) and CAPTURE the best partial. `extend` may run a Spark job,
+    // so it must not execute while holding the monitor — it runs below,
+    // outside the lock, through the same in-flight dedup as a miss.
+    val bestPartial: Option[V] = synchronized {
       entries.get(key).filter(fresh) match {
         case Some(e) =>
           lastHit = ExactHit
@@ -76,20 +80,12 @@ final class ResultCache[K, V](maxEntries: Int = 256,
         case None =>
       }
       val partials = entries.filter { case (k2, e) => partialOf(k2, key) && fresh(e) }
-      if (partials.nonEmpty) {
-        val (_, best) = partials.maxBy { case (k2, _) => partialRank(k2) }
-        extend(key, best.value) match {
-          case Some(extended) =>
-            lastHit = PartialHit
-            entries.put(key, Entry(extended, now(), stable))
-            while (entries.size > maxEntries) entries.remove(entries.head._1)
-            return extended
-          case None =>
-        }
-      }
+      if (partials.nonEmpty)
+        Some(partials.maxBy { case (k2, _) => partialRank(k2) }._2.value)
+      else None
     }
-    // in-flight dedup outside the lock: first caller computes, the rest
-    // await its promise
+    // in-flight dedup outside the lock: first caller extends/computes,
+    // the rest await its promise
     val p = Promise[V]()
     val existing = inflight.putIfAbsent(key, p)
     if (existing != null) {
@@ -98,12 +94,13 @@ final class ResultCache[K, V](maxEntries: Int = 256,
         scala.concurrent.duration.Duration(300, "seconds"))
     }
     try {
-      val v = compute
+      val extended = bestPartial.flatMap(extend(key, _))
+      val v = extended.getOrElse(compute)
       synchronized {
         entries.put(key, Entry(v, now(), stable))
         while (entries.size > maxEntries) entries.remove(entries.head._1)
       }
-      lastHit = Miss
+      lastHit = if (extended.isDefined) PartialHit else Miss
       p.success(v)
       v
     } catch {
@@ -330,10 +327,15 @@ object QueryService {
     }
   }
 
-  /** BTC local-only route result (reference `service.py:1729-1831`). */
+  /** BTC local-only route result (reference `service.py:1729-1831`).
+    * @param release unpersists the winning cached frame — call once the
+    *                caller has materialized `frame` (a long-lived service
+    *                would otherwise accumulate one persisted stage per
+    *                request) */
   final case class BtcLocalResult(frame: DataFrame, source: String,
                                   sourceStrategy: String, fetchMode: String,
-                                  notes: Seq[String])
+                                  notes: Seq[String],
+                                  release: () => Unit = () => ())
 
   /** The BTC local-only path (§3.1 step 5a — reference
     * `service.py:1729-1831`): for timeframes above 3m, try the HTF lake
@@ -359,9 +361,12 @@ object QueryService {
         htfReader.readWindow(spark, spec.name, symbol, start, htfEnd))
         .map(_.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp").persist())
       val htfCount = htfFrame.map(_.count()).getOrElse(0L)
-      if (htfCount >= limit)
-        return BtcLocalResult(htfFrame.get, "local", "local_higher_timeframe_lake",
-          "direct_local_higher_tf", Seq("using_local_btc_higher_timeframe_lake"))
+      if (htfCount >= limit) {
+        val winner = htfFrame.get
+        return BtcLocalResult(winner, "local", "local_higher_timeframe_lake",
+          "direct_local_higher_tf", Seq("using_local_btc_higher_timeframe_lake"),
+          release = () => { winner.unpersist(); () })
+      }
       notes += (if (htfCount > 0) "btc_higher_tf_local_lake_partial_window"
                 else "btc_higher_tf_local_lake_missing_required_window")
       notes += "btc_higher_tf_local_minute_aggregation_fallback"
@@ -376,7 +381,8 @@ object QueryService {
       notes += "using_local_btc_minute_lake"
       notes += "btc_local_path_selected"
       return BtcLocalResult(aggregate, "local", "local_minute_lake_preferred",
-        "aggregate_from_1m", notes.toSeq)
+        "aggregate_from_1m", notes.toSeq,
+        release = () => { aggregate.unpersist(); () })
     }
 
     // best partial frame, no Binance fallback (service.py:1696,1806-1831)
@@ -395,18 +401,26 @@ object QueryService {
       fetchMode =
         if (partialCount == 0) "local_only_unavailable"
         else if (useAgg) "aggregate_from_1m" else "direct_local_higher_tf",
-      notes = notes.toSeq)
+      notes = notes.toSeq,
+      release = () => { partial.unpersist(); () })
   }
+
+  /** Native candle route result (§3.1 step 5c).
+    * @param release unpersists the enrichment's cached stage — call once
+    *                `frame` has been materialized */
+  final case class NativeCandleResult(frame: DataFrame, notes: Seq[String],
+                                      release: () => Unit = () => ())
 
   /** The native candle route (§3.1 step 5c — reference
     * `service.py:1833-2078`): capability-planned direct-timeframe bars
     * from typed kline records, enriched with the auxiliary series, then
     * tailed and serialized. Returns the frame plus the planner +
-    * enrichment notes the API surfaces as metadata. */
+    * enrichment notes the API surfaces as metadata, and the enrichment
+    * release handle so a long-lived service can unpersist after serving. */
   def nativeCandleBars(klines: DataFrame, aux: NativeCandles.AuxSeries,
                        timeframe: String, limit: Int = 200,
                        config: Capabilities.FetchPlannerConfig =
-                         Capabilities.FetchPlannerConfig()): (DataFrame, Seq[String]) = {
+                         Capabilities.FetchPlannerConfig()): NativeCandleResult = {
     val decision = Capabilities.planTimeframeFetch(timeframe, config)
     require(decision.candleSource == "binance_native",
       s"planner chose ${decision.candleSource} for $timeframe — use candleBars")
@@ -416,7 +430,8 @@ object QueryService {
       decision.binanceInterval.get)
     val tailed = enriched.frame
       .orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
-    (serializeFrame(tailed), decision.notes ++ enriched.notes)
+    NativeCandleResult(serializeFrame(tailed), decision.notes ++ enriched.notes,
+      enriched.release)
   }
 
   /** Indicator payload (reference `live_indicators/service.py:32-238`):

@@ -48,6 +48,9 @@ object UsageTracker {
     def recordRestResponse(path: String, statusCode: Int,
                            headers: Map[String, String] = Map.empty,
                            params: Map[String, String] = Map.empty): Unit = synchronized {
+      // HTTP header names are case-insensitive; transports may surface
+      // canonical casing (X-MBX-USED-WEIGHT-1M, Retry-After)
+      val hdrs = headers.map { case (k, v) => k.toLowerCase -> v }
       restCallCount += 1
       endpointCounts(path) += 1
       estimateKlineWeight(path, params).foreach { w =>
@@ -64,10 +67,10 @@ object UsageTracker {
         case 403 => status403Count += 1
         case _ =>
       }
-      headers.get("retry-after").flatMap(_.toDoubleOption).foreach { ra =>
+      hdrs.get("retry-after").flatMap(_.toDoubleOption).foreach { ra =>
         maxRetryAfterSeconds = Some(maxRetryAfterSeconds.fold(ra)(math.max(_, ra)))
       }
-      for ((k, v) <- headers if k.startsWith("x-mbx-used-weight");
+      for ((k, v) <- hdrs if k.startsWith("x-mbx-used-weight");
            parsed <- v.toIntOption) {
         firstWeightHeaders.getOrElseUpdate(k, parsed)
         lastWeightHeaders(k) = parsed

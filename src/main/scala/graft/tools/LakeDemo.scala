@@ -86,12 +86,14 @@ object LakeDemo {
         .toDF("open_time", "mark_price_open", "mark_price_close")),
       fundingRate = Some(Seq((t0 - 3600000L, 0.0001))
         .toDF("funding_time", "funding_rate")))
-    val (nativeBars, notes) = graft.service.QueryService.nativeCandleBars(
+    val native = graft.service.QueryService.nativeCandleBars(
       klines, aux, "5m", limit = 2)
-    println("NATIVE=" + nativeBars
+    println("NATIVE=" + native.frame
       .select("timestamp", "close", "mark_price_close", "funding_rate")
       .collect().map(_.toString).mkString(" | "))
-    println(s"NATIVE_NOTES=${notes.take(4).mkString(",")}")
+    println(s"NATIVE_NOTES=${native.notes.take(4).mkString(",")}")
+    native.release()
+    local.release()
     spark.stop()
   }
 }

@@ -393,11 +393,12 @@ class QueryServiceSpec extends SparkSpec {
     assert(enriched.notes.contains("funding_rate_aligned_asof_backward"))
 
     // planner-gated service wrapper tails + serializes
-    val (bars, notes) = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2)
-    assert(bars.count() == 2)
-    assert(bars.select("timestamp").orderBy("timestamp").head.getString(0) ==
+    val native = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2)
+    assert(native.frame.count() == 2)
+    assert(native.frame.select("timestamp").orderBy("timestamp").head.getString(0) ==
       "2026-01-15T11:00:00.000Z")
-    assert(notes.contains("historical_depth_not_available_from_binance_rest"))
+    assert(native.notes.contains("historical_depth_not_available_from_binance_rest"))
+    native.release() // enrichment stage unpersisted after materialization
     // a non-native timeframe refuses the native route
     assertThrows[IllegalArgumentException](
       QueryService.nativeCandleBars(klines, aux, "2h"))

@@ -246,4 +246,107 @@ class SourcesSpec extends SparkSpec {
     assert(r.getTimestamp(0).toInstant == instant("2023-11-14T22:13:00Z"))
     assert(frame.columns.contains("taker_buy_vol_usdt"))
   }
+
+  /** Counting fake of the Vision transport: serves a fixed set of
+    * remote objects, recording every probe and download. */
+  private final class FakeVisionTransport(available: Map[String, String]) extends graft.sources.VisionTransport {
+    var existsCalls: List[String] = Nil
+    var downloadCalls: List[String] = Nil
+    def exists(url: String): Boolean = { existsCalls ::= url; available.contains(url) }
+    def downloadZip(url: String, destination: java.nio.file.Path): Unit = {
+      downloadCalls ::= url
+      val name = destination.getFileName.toString
+      val zos = new ZipOutputStream(new FileOutputStream(destination.toFile))
+      zos.putNextEntry(new ZipEntry(name.stripSuffix(".zip") + ".csv"))
+      zos.write(available(url).getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+    }
+  }
+
+  test("vision ZIP cache: second load hits disk, no re-probe or re-download (vision_loader.py:264-312)") {
+    import java.time.LocalDate
+    val cacheDir = Files.createTempDirectory("vision-cache")
+    val day = LocalDate.parse("2026-01-15")
+    val url = "https://data.example.com/klines/BTCUSDT/1m/BTCUSDT-1m-2026-01-15.zip"
+    val t0 = ms("2026-01-15T00:00:00Z")
+    val transport = new FakeVisionTransport(Map(
+      url -> s"$t0,100.0,101.0,99.0,100.5,2.5,${t0 + 59999},250000.0,20,1.2,120000.0,0"))
+    val cache = new graft.sources.VisionCache(transport, cacheDir,
+      "https://data.example.com")
+
+    // layout + URL conventions (vision.py:30-68)
+    assert(cache.expectedFilename("klines", "btcusdt", day) == "BTCUSDT-1m-2026-01-15.zip")
+    assert(cache.expectedFilename("aggTrades", "BTCUSDT", day) == "BTCUSDT-aggTrades-2026-01-15.zip")
+    assert(cache.buildDailyZipUrl("klines", "BTCUSDT", day) == url)
+    assertThrows[IllegalArgumentException](cache.buildDailyZipUrl("nope", "BTCUSDT", day))
+
+    val first = cache.fetchDailyZip("klines", "BTCUSDT", day)
+    assert(first.isDefined && Files.exists(first.get))
+    assert(transport.existsCalls.size == 1 && transport.downloadCalls.size == 1)
+
+    // second fetch: cache hit, transport untouched
+    val second = cache.fetchDailyZip("klines", "BTCUSDT", day)
+    assert(second == first)
+    assert(transport.existsCalls.size == 1 && transport.downloadCalls.size == 1)
+
+    // the cached ZIP reads through the normal Spark loader
+    val df = VisionLoader.klinesFromZips(spark,
+      first.get.getParent.toString + "/*.zip", t0, t0 + 60000)
+    assert(df.count() == 1)
+
+    // deleteCachedFiles removes the ZIP (vision_loader.py:221-243)
+    assert(cache.deleteCachedFiles("BTCUSDT", day, day, Seq("klines")) == 1)
+    assert(!Files.exists(first.get))
+  }
+
+  test("vision ZIP cache: .missing marker suppresses re-probe until TTL expiry (vision_loader.py:314-346)") {
+    import java.time.{Instant, LocalDate}
+    val cacheDir = Files.createTempDirectory("vision-miss")
+    val day = LocalDate.parse("2026-01-16")
+    val transport = new FakeVisionTransport(Map.empty) // nothing remote
+    var clock = Instant.parse("2026-01-17T00:00:00Z")
+    val cache = new graft.sources.VisionCache(transport, cacheDir,
+      "https://data.example.com", missingCacheTtlSeconds = 1800, now = () => clock)
+
+    // first fetch probes remote, records a .missing marker
+    assert(cache.fetchDailyZip("metrics", "BTCUSDT", day).isEmpty)
+    assert(transport.existsCalls.size == 1)
+    val marker = cache.cachePath("metrics", "BTCUSDT", day)
+      .resolveSibling("BTCUSDT-metrics-2026-01-16.zip.missing")
+    assert(Files.exists(marker))
+
+    // within TTL: marker hit, no second probe
+    clock = clock.plusSeconds(60)
+    assert(cache.fetchDailyZip("metrics", "BTCUSDT", day).isEmpty)
+    assert(transport.existsCalls.size == 1)
+
+    // marker survives cache eviction (delete_cached_files docstring)
+    cache.deleteCachedFiles("BTCUSDT", day, day, Seq("metrics"))
+    assert(Files.exists(marker))
+
+    // past TTL: marker expires, remote is probed again
+    clock = clock.plusSeconds(3600)
+    assert(cache.fetchDailyZip("metrics", "BTCUSDT", day).isEmpty)
+    assert(transport.existsCalls.size == 2)
+  }
+
+  test("vision ZIP cache: fetchWindow caches each present day across streams (vision_loader.py:206-219)") {
+    import java.time.LocalDate
+    val cacheDir = Files.createTempDirectory("vision-win")
+    val base = "https://data.example.com"
+    val row = "1,2.0,3.0,4.0,5.0"
+    // klines present both days; aggTrades only the first
+    val transport = new FakeVisionTransport(Map(
+      s"$base/klines/ETHUSDT/1m/ETHUSDT-1m-2026-01-15.zip" -> row,
+      s"$base/klines/ETHUSDT/1m/ETHUSDT-1m-2026-01-16.zip" -> row,
+      s"$base/aggTrades/ETHUSDT/ETHUSDT-aggTrades-2026-01-15.zip" -> row))
+    val cache = new graft.sources.VisionCache(transport, cacheDir, base)
+    val got = cache.fetchWindow("ETHUSDT", LocalDate.parse("2026-01-15"),
+      LocalDate.parse("2026-01-16"), Seq("klines", "aggTrades"))
+    assert(got.size == 3 && got.forall(Files.exists(_)))
+    // the absent aggTrades day left a negative marker
+    assert(Files.exists(cache.cachePath("aggTrades", "ETHUSDT",
+      LocalDate.parse("2026-01-16")).resolveSibling(
+      "ETHUSDT-aggTrades-2026-01-16.zip.missing")))
+  }
 }
