@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune the projections and undercount the real
   * work). One warm-up query runs first so JVM/classloader startup isn't
   * billed to the first query measured.
+  *
+  * Each query is sampled SPARK_GRAFT_SAMPLES times (default 3) and the
+  * reported per-query number is the MEDIAN — one contended sample (GC
+  * pause, a background build on the same machine) no longer distorts
+  * the official total. The raw per-sample values are kept in the JSON
+  * under "samples" so a skewed run is visible after the fact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,13 +47,23 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration only;
     // the driver never sets it, so the reported bench covers everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val samples = Seq.fill(nSamples)(run(n))
+      // a failed sample (-1) poisons the median on purpose: a query
+      // that fails intermittently should not report a healthy number
+      val median = samples.sorted.apply((samples.size - 1) / 2)
+      (n, median, samples)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, s) =>
+      "\"" + k + "\":[" + s.mkString(",") + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
