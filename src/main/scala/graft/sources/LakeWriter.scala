@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
@@ -94,8 +95,36 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
       maxTs = dq.maxTs,
       schemaHash = CanonicalSchema.schemaHash,
       status = "COMMITTED",
-      committedAtUtc = Instant.now.toString))
+      committedAtUtc = Instant.now.toString,
+      contentHash = MinuteLakeWriter.contentHashOfDir(fs, finalDir)))
     finalDir
+  }
+
+  /** Recompute every COMMITTED ledger partition's content hash and
+    * compare against what was recorded at commit time (reference
+    * records `content_hash` per partition, `state/store.py:76-136`;
+    * this is the audit verb that consumes it). Driver-side by design:
+    * the ledger is single-coordinator state, O(partitions) small files,
+    * never touched by the data plane. */
+  def auditPartitions(spark: SparkSession): Seq[PartitionAuditResult] = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    ledger.all().filter(_.status == "COMMITTED")
+      .sortBy(e => (e.symbol, e.day, e.hour))
+      .map { e =>
+        val issue =
+          if (!fs.exists(new HPath(e.path))) "missing_partition"
+          else if (e.contentHash.isEmpty) "no_recorded_hash"
+          else
+            scala.util.Try(MinuteLakeWriter.contentHashOfDir(fs, e.path)) match {
+              case scala.util.Success(h) if h == e.contentHash => "ok"
+              case scala.util.Success(_) => "hash_mismatch"
+              // e.g. Hadoop's ChecksumFileSystem already refusing the
+              // bytes — corrupt either way, but distinguishable
+              case scala.util.Failure(_: java.io.IOException) => "unreadable"
+              case scala.util.Failure(other) => throw other
+            }
+        PartitionAuditResult(e.symbol, e.day, e.hour, e.path, issue)
+      }
   }
 
   /** Bulk path: write a multi-hour canonical frame in one
@@ -152,7 +181,41 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
   }
 }
 
+/** One row of [[MinuteLakeWriter.auditPartitions]]: `issue` is "ok",
+  * "hash_mismatch" (tamper/corruption), "missing_partition" (ledger
+  * points at nothing), or "no_recorded_hash" (pre-hash ledger line). */
+final case class PartitionAuditResult(symbol: String, day: String, hour: Int,
+                                      path: String, issue: String) {
+  def ok: Boolean = issue == "ok"
+}
+
 object MinuteLakeWriter {
+
+  /** SHA-256 over a partition directory's data files (reference hashes
+    * the single parquet file, `atomic.py:108-114`; a Spark partition is
+    * a directory, so the digest covers each data file's name + bytes in
+    * sorted-name order — metadata files like _SUCCESS and .crc are
+    * excluded because they differ across committers without the data
+    * changing). */
+  def contentHashOfDir(fs: FileSystem, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    val files = fs.listStatus(new HPath(dir)).filter(_.isFile)
+      .map(_.getPath).filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.sortBy(_.getName)
+    val buf = new Array[Byte](1024 * 1024)
+    files.foreach { p =>
+      digest.update(p.getName.getBytes(StandardCharsets.UTF_8))
+      val in = fs.open(p)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) digest.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
   /** Atomic publish (reference `atomic.py:38-44`): rename the previous
     * partition directory aside (into the dot-prefixed tmp area, which
     * readers never list), rename the freshly-written tmp directory into

@@ -14,7 +14,7 @@ import scala.jdk.CollectionConverters._
 final case class PartitionLedgerEntry(
     symbol: String, day: String, hour: Int, path: String, rowCount: Long,
     minTs: String, maxTs: String, schemaHash: String, status: String,
-    committedAtUtc: String)
+    committedAtUtc: String, contentHash: String = "")
 
 class PartitionLedger(dir: String) {
   private val file = Paths.get(dir, "partition_ledger.jsonl")
@@ -26,6 +26,7 @@ class PartitionLedger(dir: String) {
     s"""{"symbol":"${esc(e.symbol)}","day":"${e.day}","hour":${e.hour},""" +
       s""""path":"${esc(e.path)}","row_count":${e.rowCount},"min_ts":"${e.minTs}",""" +
       s""""max_ts":"${e.maxTs}","schema_hash":"${e.schemaHash}",""" +
+      s""""content_hash":"${e.contentHash}",""" +
       s""""status":"${e.status}","committed_at_utc":"${e.committedAtUtc}"}"""
 
   private def field(json: String, key: String): String = {
@@ -39,7 +40,8 @@ class PartitionLedger(dir: String) {
       field(json, "hour").toInt, field(json, "path"),
       field(json, "row_count").toLong, field(json, "min_ts"),
       field(json, "max_ts"), field(json, "schema_hash"),
-      field(json, "status"), field(json, "committed_at_utc"))
+      field(json, "status"), field(json, "committed_at_utc"),
+      field(json, "content_hash"))
 
   def all(): Seq[PartitionLedgerEntry] =
     if (!Files.exists(file)) Seq.empty

@@ -163,4 +163,49 @@ class LakeWriterSpec extends SparkSpec {
     assert(dirs.size == 2)
     assert(dirs.forall(_.contains("hour=")))
   }
+
+  test("ledger records content hash at commit; audit detects tamper (atomic.py:47,108-114)") {
+    val (writer, _, dir) = newLake()
+    val out = writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
+      canonicalRow("2026-01-15T10:00:00Z", 100.0))
+    writer.writeHourPartition("BTCUSDT", instant("2026-01-15T11:00:00Z"),
+      canonicalRow("2026-01-15T11:00:00Z", 101.0))
+
+    val ledger = new PartitionLedger(s"$dir/_state")
+    val latest = ledger.latestPartition("BTCUSDT")
+    assert(latest.isDefined && latest.get.contentHash.length == 64) // hex sha-256
+
+    // pristine lake: every partition audits ok
+    val clean = writer.auditPartitions(spark)
+    assert(clean.size == 2 && clean.forall(_.ok))
+
+    // a rewrite through the writer keeps the ledger hash current
+    writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
+      canonicalRow("2026-01-15T10:01:00Z", 200.0))
+    assert(writer.auditPartitions(spark).forall(_.ok))
+
+    // out-of-band tamper with the parquet bytes → hash_mismatch. The
+    // local-FS .crc sidecars are dropped so the read surfaces the
+    // modified bytes (a consistent tamperer rewrites those too; if they
+    // don't, Hadoop's checksum layer throws and audit says "unreadable").
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    val raw = Files.readAllBytes(part.toPath)
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7f).toByte
+    Files.write(part.toPath, raw)
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val tampered = writer.auditPartitions(spark)
+    assert(tampered.count(_.issue == "hash_mismatch") == 1)
+    assert(tampered.find(_.issue == "hash_mismatch").get.hour == 10)
+
+    // a deleted partition directory → missing_partition
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(out))
+    assert(writer.auditPartitions(spark)
+      .exists(r => r.hour == 10 && r.issue == "missing_partition"))
+  }
 }
