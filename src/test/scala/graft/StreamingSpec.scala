@@ -178,6 +178,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("liq sink recovers from its checkpoint: stop mid-stream, resume, no lost or duplicated minutes (ST9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m0 = ms("2026-01-15T10:00:00Z")
+    val m1 = m0 + 60000L
+    // /dev/shm: local-FS checkpoint renames shell out per file op here,
+    // so the state store must live on tmpfs to keep the restart fast
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = java.nio.file.Files.createTempDirectory(shm, "graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory(shm, "graft-out").toString + "/liq"
+
+    val batchA = Seq(
+      LiquidationEvent("BTCUSDT", m0 + 1000, "SELL", 100.0, 2.0,
+        origQuantity = Some(3.0), executedQuantity = Some(2.0)))
+    val batchB = Seq(
+      // same minute as batch A — the resumed query must ACCUMULATE onto
+      // recovered state, not restart from zero
+      LiquidationEvent("BTCUSDT", m0 + 2000, "BUY", 101.0, 1.0,
+        origQuantity = Some(1.0), executedQuantity = Some(1.0)),
+      // a fresh minute — must not be lost across the restart
+      LiquidationEvent("BTCUSDT", m1 + 500, "SELL", 102.0, 4.0,
+        origQuantity = Some(4.0), executedQuantity = Some(4.0)))
+
+    val stream = MemoryStream[LiquidationEvent]
+    stream.addData(batchA: _*)
+    val q1 = LiveCollector.startLiqFeatureSink(spark, stream.toDS(), out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // kill point: more data arrives while the sink is down
+    stream.addData(batchB: _*)
+    val q2 = LiveCollector.startLiqFeatureSink(spark, stream.toDS(), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = LiveCollector.readLiqFeatures(spark, out)
+      .orderBy("timestampMs").collect()
+    val idx = (c: String) => rows.head.schema.fieldIndex(c)
+    // exactly one surviving row per minute — no dup, no loss
+    assert(rows.map(_.getLong(idx("timestampMs"))).toSeq == Seq(m0, m1))
+    val r0 = rows(0)
+    // minute m0 carries batch A's SELL (recovered state) + batch B's BUY
+    assert(r0.getDouble(idx("liqLongVolUsdt")) == 200.0)
+    assert(r0.getDouble(idx("liqShortVolUsdt")) == 101.0)
+    assert(math.abs(r0.getDouble(idx("liqUnfilledRatio")) - 0.25) < 1e-12)
+    val r1 = rows(1)
+    assert(r1.getDouble(idx("liqLongVolUsdt")) == 408.0)
+    assert(r1.getDouble(idx("liqShortVolUsdt")) == 0.0)
+
+    // the recovered totals equal a cold batch run over ALL events —
+    // restart introduced no drift
+    val batchAll = LiveCollector.liquidationMinuteFeaturesBatch(
+      (batchA ++ batchB).toDS()).collect().sortBy(_.timestampMs)
+    assert(batchAll.map(r => (r.timestampMs,
+        r.liqLongVolUsdt.getOrElse(0.0), r.liqShortVolUsdt.getOrElse(0.0))).toSeq ==
+      rows.map(r => (r.getLong(idx("timestampMs")),
+        r.getDouble(idx("liqLongVolUsdt")), r.getDouble(idx("liqShortVolUsdt")))).toSeq)
+  }
+
   test("WS payload processor: depth/liquidation/trade/markPrice parsing and gates (test_websocket_payload_processor.py)") {
     import graft.streaming.WsPayloadProcessor
     import graft.streaming.LiveCollector.LiquidationEvent
