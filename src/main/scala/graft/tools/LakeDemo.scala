@@ -94,6 +94,46 @@ object LakeDemo {
     println(s"NATIVE_NOTES=${native.notes.take(4).mkString(",")}")
     native.release()
     local.release()
+
+    // HTTP façade over the real payload builders: one valid request per
+    // route, one validation rejection, one service-error rejection
+    import graft.service.HttpFacade
+    val router = new HttpFacade.Router(
+      perpetual = q => {
+        val symbol = graft.service.ApiTimeframes.normalizeSymbol(q.coin)
+        val requests = graft.service.ApiTimeframes.parseTimeframeRequests(q.tfs)
+        val end = q.endTime.map(java.time.Instant.parse)
+          .getOrElse(h.plusSeconds(10 * 60))
+        HttpFacade.perpetualBody(graft.service.QueryService.perpetualPayload(
+          symbol, requests.map(_.apiName), q.limit.getOrElse(200), end,
+          fetch = tf => {
+            val spec = graft.schema.Timeframes.parse(tf)
+            val frame = graft.service.QueryService.candleBars(spark, reader,
+              symbol, spec.name, h, end)
+            graft.service.QueryService.TimeframeResult(
+              rows = frame.toJSON.collect().toSeq, source = "local",
+              fetchMode = "aggregate_from_1m", fallbackUsed = false,
+              notes = Nil, latencySecs = 0.0)
+          }))
+      },
+      indicators = q => HttpFacade.indicatorBody(
+        graft.service.QueryService.indicatorPayload(spark, reader,
+          graft.service.ApiTimeframes.normalizeSymbol(q.coin),
+          q.emaTf, q.emaLength, q.pivotTf,
+          q.endTime.map(java.time.Instant.parse).getOrElse(h.plusSeconds(10 * 60)))))
+    val ok = router.handle(HttpFacade.HttpRequest("/api/v1/perpetual-data",
+      Map("coin" -> "btc", "tfs" -> "5m", "limit" -> "2")))
+    val okBars = ok.body("data").asInstanceOf[Map[String, Seq[String]]]("5m")
+    println(s"HTTP_PERP status=${ok.status} bars=${okBars.size} " +
+      s"timed=${ok.headers.contains("X-Response-Time-Secs")}")
+    val okInd = router.handle(HttpFacade.HttpRequest("/api/v1/live-indicators",
+      Map("coin" -> "BTC", "ema_tf" -> "3m", "ema_length" -> "2", "pivot_tf" -> "5m")))
+    println(s"HTTP_IND status=${okInd.status} ema=${okInd.body("ema_value")}")
+    val bad = router.handle(HttpFacade.HttpRequest("/api/v1/perpetual-data",
+      Map("coin" -> "BTC")))
+    val unsupported = router.handle(HttpFacade.HttpRequest("/api/v1/perpetual-data",
+      Map("coin" -> "BTC", "tfs" -> "2h")))
+    println(s"HTTP_ERRS validation=${bad.status} service=${unsupported.status}")
     spark.stop()
   }
 }
