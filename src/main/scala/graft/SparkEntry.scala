@@ -678,25 +678,34 @@ object SparkEntry {
     // document-frequency cap on the join key — shingles appearing in
     // more than `dfCap` docs per source generate O(df²) candidate pairs
     // and carry no near-dup signal, so they are dropped from the index
-    // and the set sizes BEFORE the self-join (bounding the hottest key,
-    // the residual skew risk of dedup_ngram_jaccard).
+    // and the set sizes BEFORE pairing (bounding the hottest key, the
+    // residual skew risk of dedup_ngram_jaccard). The cap also buys a
+    // better plan than the uncapped self-join: posting lists are ≤
+    // dfCap docs, so pairs are generated INSIDE each list — ONE scan of
+    // the corpus (one tokenize+md5 pass), no second branch to re-read
+    // it, and per-key work bounded by dfCap² regardless of corpus size.
     "dedup_ngram_jaccard_capped" -> ((s, dir) => {
       val dfCap = 20
       val ex = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
                 explode(TextFns.shingleHashesFromText("text", 3)).as("h"))
-      val hot = ex.groupBy("source", "h").agg(count(lit(1)).as("df"))
-        .where(col("df") > dfCap).select("source", "h")
-      val kept = ex.join(hot, Seq("source", "h"), "left_anti")
-      val sizes = kept.groupBy("source", "doc_id").agg(count(lit(1)).as("sz"))
-      val withSz = kept.join(sizes, Seq("source", "doc_id"))
-      val a = withSz.select(col("source"), col("doc_id").as("id_a"),
-        col("sz").as("sz_a"), col("h"))
-      val b = withSz.select(col("source"), col("doc_id").as("id_b"),
-        col("sz").as("sz_b"), col("h"))
+      val byShingle = Window.partitionBy("source", "h")
+      val byDoc = Window.partitionBy("source", "doc_id")
+      // df / capped-size via windows (not agg+join: no re-scan of ex)
+      val sized = ex.withColumn("df", count(lit(1)).over(byShingle))
+        .where(col("df") <= dfCap)
+        .withColumn("sz", count(lit(1)).over(byDoc))
+      val postings = sized.where(col("df") >= 2)
+        .groupBy("source", "h")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("docs"))
+      val pairs = postings.select(col("source"), explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x.doc_id AS id_a, x.sz AS sz_a,
+          |           y.doc_id AS id_b, y.sz AS sz_b))))""".stripMargin)).as("p"))
       val i = count(lit(1)).cast("double")
-      a.join(b, Seq("source", "h"))
-        .where(col("id_a") < col("id_b"))
+      pairs.select(col("source"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
         .groupBy("source", "id_a", "id_b", "sz_a", "sz_b")
         .agg(round(i / (col("sz_a") + col("sz_b") - i), 6).as("jaccard"))
         .where(col("jaccard") >= 0.06)
