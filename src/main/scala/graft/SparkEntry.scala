@@ -754,6 +754,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
     }),
 
+    // DEDUP end-game: LSH candidate pairs are edges of an undirected
+    // graph; its connected components are the duplicate clusters, and
+    // the min doc_id per cluster is the canonical survivor (the
+    // standard corpus-dedup closing step — pair lists alone
+    // over-delete when A~B and B~C but A!~C). Components via
+    // distributed hash-min label propagation (GraphOps); docs in no
+    // pair are their own singleton component.
+    "dedup_cc_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withSig = docs
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+      val bandExprs = (0 until 8).map { b =>
+        md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+          col("sig").getItem(b * 2 + 1).cast("string")))
+      }
+      val bands = withSig
+        .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+      val a = bands.select(col("doc_id").as("src"), col("bucket"))
+      val b = bands.select(col("doc_id").as("dst"), col("bucket"))
+      // id-only pair dedup: nothing wider than two longs crosses the
+      // candidate shuffle
+      val pairs = a.join(b, Seq("bucket")).where(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component_id"),
+                (col("id") === col("component_id")).as("is_canonical"))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1123,6 +1152,28 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB CTE chain text → shingle hashes → minhash signature
+    * → LSH band buckets (mirrors TextFns.minhashSignatureFromText +
+    * the 8×2 banding used by the dedup queries). */
+  private lazy val minhashBandsCtes: String = {
+    val shingles =
+      """list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
+    val mins = (0 until 16).map { p =>
+      val (a, b) = TextFns.minhashPerm(p)
+      s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime}))"
+    }
+    val minCols = mins.zipWithIndex.map { case (m, i) => s"$m AS m$i" }.mkString(", ")
+    val bandList = (0 until 8).map { b =>
+      s"md5(concat_ws('|', CAST(m${b * 2} AS VARCHAR), CAST(m${b * 2 + 1} AS VARCHAR)))"
+    }.mkString("[", ", ", "]")
+    s"w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
+      s"d AS (SELECT doc_id, $shingles AS sh FROM w), " +
+      s"sig AS (SELECT doc_id, $minCols FROM d), " +
+      s"bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig)"
+  }
 
   def oracleSql: Map[String, String] =
     rawOracleSql.map { case (k, v) => k -> stableRoundSql(v) }
@@ -1624,29 +1675,30 @@ object SparkEntry {
         |WHERE jaccard >= 0.06""".stripMargin,
 
     "dedup_minhash_pairs" -> {
-      val shingles =
-        """list_distinct(list_transform(
-          |  generate_series(1, greatest(len(tk) - 2, 0)),
-          |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
-      val mins = (0 until 16).map { p =>
-        val (a, b) = TextFns.minhashPerm(p)
-        s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime}))"
-      }
-      val minCols = mins.zipWithIndex.map { case (m, i) => s"$m AS m$i" }.mkString(", ")
-      val bandList = (0 until 8).map { b =>
-        s"md5(concat_ws('|', CAST(m${b * 2} AS VARCHAR), CAST(m${b * 2 + 1} AS VARCHAR)))"
-      }.mkString("[", ", ", "]")
       val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents), " +
-        s"d AS (SELECT doc_id, $shingles AS sh FROM w), " +
-        s"sig AS (SELECT doc_id, $minCols FROM d), " +
-        s"bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig), " +
+      s"WITH $minhashBandsCtes, " +
         s"pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared_bands " +
         s"  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
         s"SELECT p.id_a, p.id_b, p.n_shared_bands, " +
         s"  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard " +
         s"FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b"
     },
+
+    // Duplicate clusters + canonical pick: DuckDB computes the same
+    // components with a recursive reachability CTE (min reachable id
+    // per doc == the propagated min label).
+    "dedup_cc_canonical" ->
+      (s"WITH RECURSIVE $minhashBandsCtes, " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst " +
+        "  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id), " +
+        "edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs), " +
+        "reach(id, r) AS (" +
+        "  SELECT doc_id, doc_id FROM documents " +
+        "  UNION " +
+        "  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r) " +
+        "SELECT id AS doc_id, min(r) AS component_id, " +
+        "  (min(r) = id) AS is_canonical " +
+        "FROM reach GROUP BY id"),
 
     "dedup_simhash" -> {
       val bits = (0 until 32).map { b =>

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph helpers for the dedup pipeline: near-dup candidate
+  * pairs (LSH buckets, Jaccard joins) form an undirected graph whose
+  * connected components are the duplicate clusters; one canonical
+  * document survives per cluster.
+  *
+  * No GraphX / graphframes dependency — plain DataFrame joins, which
+  * keeps the lineage inside Catalyst and the shuffle keyed by vertex id.
+  */
+object GraphOps {
+
+  /** Connected components by hash-min label propagation: every vertex
+    * starts labeled with its own id; each round propagates labels along
+    * edges and keeps the minimum per vertex, until a fixpoint.
+    *
+    * Scale shape: each round is one join (edges ⋈ labels, shuffle keyed
+    * by vertex id) + one min-aggregation; rounds needed = the graph
+    * diameter. Near-dup clusters are small and dense (diameter a few
+    * hops), so this converges in 2–4 rounds on dedup graphs — the
+    * regime where hash-min beats the more complex large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce"),
+    * which wins only on high-diameter graphs. Each round's result is
+    * `localCheckpoint`ed: persisting alone is NOT enough for an
+    * iterative DataFrame — the logical plan still nests and doubles per
+    * round (planner OOM by ~10 rounds); the checkpoint cuts the plan to
+    * a LogicalRDD so every round starts O(1). Superseded rounds'
+    * blocks are freed by Spark's ContextCleaner once unreferenced. On a
+    * cluster that must survive executor loss, swap for reliable
+    * `checkpoint` with a checkpoint dir — same shape, durable blocks.
+    *
+    * @param vertices one column `id` (every vertex, including isolated
+    *                 ones — they become their own component)
+    * @param edges    columns `src`, `dst` (undirected; both or one
+    *                 direction, duplicates tolerated)
+    * @return (`id`, `component_id`) — component_id = min vertex id in
+    *         the component; deterministic.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    // bidirect once so min labels flow both ways, and MATERIALIZE: the
+    // edge frame is re-joined every round — without the checkpoint each
+    // round would re-run the (possibly expensive) upstream pair
+    // pipeline that produced the edges
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds the bound — raise maxRounds)")
+      val propagated = undirected
+        .join(labels, undirected("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(propagated)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+    }
+    labels.withColumnRenamed("comp", "component_id")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)],
+                 maxRounds: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(
+      vertices.toDF("id"), edges.toDF("src", "dst"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components: chain, triangle-with-tail, singletons") {
+    val result = cc(
+      vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      // chain 1-2-3; cluster {4,5,6} with tail 7; 8 and 9 isolated
+      edges = Seq((2L, 1L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L)))
+    assert(result == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L,
+      8L -> 8L, 9L -> 9L))
+  }
+
+  test("long path needs multiple rounds and still converges") {
+    val n = 12L
+    val result = cc((1L to n).toSeq, (1L until n).map(i => (i, i + 1)))
+    assert(result == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("duplicate and self edges are tolerated") {
+    val result = cc(Seq(1L, 2L, 3L),
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(result == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("round bound trips instead of looping forever") {
+    assertThrows[IllegalArgumentException](
+      cc((1L to 40L).toSeq, (1L until 40L).map(i => (i, i + 1)), maxRounds = 2))
+  }
+}
