@@ -621,6 +621,91 @@ object SparkEntry {
              count(lit(1)).as("n_docs"))
     }),
 
+    // SAMPLE: deterministic hash-based stratified sampling — the
+    // training-mix primitive (per-source quota rates, e.g. upsample
+    // books, downsample web). md5(doc_id) % 100 < rate is reproducible
+    // across engines and reruns, needs NO shuffle (pure filter,
+    // embarrassingly parallel at any scale), and composes with any
+    // downstream op. Rates: 50% for src0-4, 20% for src5-9, 10% rest.
+    "sample_stratified_hash" -> ((s, dir) => {
+      val hi = Seq("src0", "src1", "src2", "src3", "src4")
+      val mid = Seq("src5", "src6", "src7", "src8", "src9")
+      val rate = when(col("source").isin(hi: _*), 50)
+        .when(col("source").isin(mid: _*), 20)
+        .otherwise(10)
+      t(s, dir, "documents")
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .where(col("bucket") < rate)
+        .select(col("doc_id"), col("source"), col("bucket"))
+    }),
+
+    // TXT: Gopher-style quality gate (the rule family of Rae et al.
+    // 2021 §A1.1): word count bounds, mean-word-length band, ratio of
+    // words containing a letter, minimum stopword evidence. Keep is
+    // decided on UNROUNDED values; the per-rule columns are emitted so
+    // a pipeline can audit which rule rejected a document.
+    "txt_gopher_rules" -> ((s, dir) => {
+      val stopList = Seq("the", "and", "of", "to", "a", "in", "is", "on")
+        .map(w => s"'$w'").mkString(", ")
+      t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("mwl",
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") /
+            col("n_words"))
+        .withColumn("alpha",
+          expr("size(filter(toks, x -> x rlike '[A-Za-z]'))").cast("double") /
+            col("n_words"))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, x -> x in ($stopList)))").cast("long"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("alpha"), 6).as("alpha_word_ratio"),
+          col("n_stop"),
+          (col("n_words").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
+            col("alpha") >= 0.8 && col("n_stop") >= 2).as("keep"))
+    }),
+
+    // TXT: fixed-size token chunking with overlap (context-window
+    // packing: chunk=128 tokens, stride=96 → 32-token overlap). One row
+    // per (doc, chunk) with its token count — the explode is the only
+    // data growth and it is bounded by total_tokens/stride.
+    "txt_chunk_tokens" -> ((s, dir) => {
+      val chunk = 128
+      val stride = 96
+      t(s, dir, "documents")
+        .withColumn("n", size(TextFns.tokens(col("text"))).cast("long"))
+        // ceil((n - chunk)/stride) + 1 via integer div, guarded so short
+        // docs get exactly one chunk (duckdb's // floors, spark's div
+        // truncates — negatives would disagree)
+        .withColumn("n_chunks", when(col("n") <= chunk, lit(1L))
+          .otherwise(expr(s"(n - ${chunk - stride + 1}) div $stride + 1")))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(chunk.toLong), col("n") - col("chunk_idx") * stride)
+            .as("chunk_tokens"))
+    }),
+
+    // ANN: int8 scalar quantization of the embedding column (per-vector
+    // min/max affine code — the compression step before an IVF/PQ index
+    // ships to serving). All math in DOUBLE on both engines (float
+    // arithmetic orders differ); floor not round (round's half-boundary
+    // is repr-fragile across engines).
+    "ann_sq8_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mn", array_min(col("emb")))
+        .withColumn("mx", array_max(col("emb")))
+        .select(col("vec_id"), col("mn"), col("mx"), posexplode(col("emb")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(255L),
+              floor((col("col") - col("mn")) * 255.0 / (col("mx") - col("mn")))
+                .cast("long"))).as("q"))
+    }),
+
     // TXT: n-gram-heuristic language ID (deterministic stopword scoring,
     // first-listed language wins ties).
     "txt_langid" -> ((s, dir) => {
@@ -1604,6 +1689,71 @@ object SparkEntry {
         |         AS total_ws_tokens,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
+
+    "sample_stratified_hash" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |           AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM d
+        |WHERE bucket < CASE
+        |  WHEN source IN ('src0','src1','src2','src3','src4') THEN 50
+        |  WHEN source IN ('src5','src6','src7','src8','src9') THEN 20
+        |  ELSE 10 END""".stripMargin,
+
+    "txt_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |           / len(toks) AS mwl,
+        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |           AS DOUBLE) / len(toks) AS alpha,
+        |         CAST(len(list_filter(toks, x -> x IN
+        |           ('the','and','of','to','a','in','is','on'))) AS BIGINT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+        |       round(alpha, 6) AS alpha_word_ratio, n_stop,
+        |       (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |        AND alpha >= 0.8 AND n_stop >= 2) AS keep
+        |FROM m""".stripMargin,
+
+    "txt_chunk_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n <= 128 THEN 1 ELSE (n - 33) // 96 + 1 END AS n_chunks
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       least(128, n - chunk_idx * 96) AS chunk_tokens
+        |FROM u""".stripMargin,
+
+    "ann_sq8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, emb, list_min(emb) AS mn, list_max(emb) AS mx FROM e),
+        |u AS (
+        |  SELECT vec_id, emb, mn, mx,
+        |         unnest(generate_series(1, len(emb))) AS gs
+        |  FROM m)
+        |SELECT vec_id, gs - 1 AS dim,
+        |       CASE WHEN mx = mn THEN 0
+        |            ELSE least(255, CAST(floor((emb[gs] - mn) * 255.0 / (mx - mn))
+        |                                AS BIGINT)) END AS q
+        |FROM u""".stripMargin,
 
     "txt_langid" ->
       """WITH s AS (
