@@ -706,6 +706,33 @@ object SparkEntry {
                 .cast("long"))).as("q"))
     }),
 
+    // TXT: corpus vocabulary heavy-hitters — explode tokens, count,
+    // top-50 by (count desc, token asc). The shape that matters at
+    // 100 TB: token keys are Zipf-skewed, so the partial (map-side)
+    // aggregation absorbs the hot keys before the shuffle and the
+    // final TakeOrdered moves only 50 rows to the driver.
+    "txt_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(50)
+    }),
+
+    // SAMPLE: deterministic per-stratum top-k — keep the k best docs
+    // per source by an explicit quality ordinal (n_chars desc, doc_id
+    // asc tiebreak). The quota-selection step after quality scoring;
+    // rank rides along for auditability.
+    "sample_topk_per_source" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+                col("doc_id"), col("n_chars"))
+    }),
+
     // TXT: n-gram-heuristic language ID (deterministic stopword scoring,
     // first-listed language wins ties).
     "txt_langid" -> ((s, dir) => {
@@ -1689,6 +1716,22 @@ object SparkEntry {
         |         AS total_ws_tokens,
         |       count(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
+
+    "txt_vocab_topk" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tk GROUP BY token
+        |ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
+
+    "sample_topk_per_source" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 5""".stripMargin,
 
     "sample_stratified_hash" ->
       """WITH d AS (
