@@ -301,6 +301,20 @@ class QueryServiceSpec extends SparkSpec {
     // outside a scope: recording is a no-op
     UsageTracker.recordRetry()
     assert(UsageTracker.currentTracker.isEmpty)
+
+    // HTTP header names are case-insensitive: a transport surfacing
+    // canonical casing must still record weight + retry-after
+    val cased = UsageTracker.scope("/api/v1/perpetual-data") { tracker =>
+      tracker.recordRestResponse("/fapi/v1/klines", 200,
+        headers = Map("X-MBX-USED-WEIGHT-1M" -> "42"))
+      tracker.recordRestResponse("/fapi/v1/klines", 429,
+        headers = Map("Retry-After" -> "7"))
+      tracker.asLogFields
+    }
+    assert(cased("binance_max_retry_after_seconds") == Some(7.0))
+    val casedProgress = cased("binance_observed_weight_headers")
+      .asInstanceOf[Map[String, Map[String, Any]]]("x-mbx-used-weight-1m")
+    assert(casedProgress("first") == Some(42))
   }
 
   test("perpetual payload assembly: fan-out, mixed-source, usage block (service.py:2174-2197)") {
