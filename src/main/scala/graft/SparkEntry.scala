@@ -103,6 +103,7 @@ object SparkEntry {
     // Verify/Bench session builders) it surfaces as epoch-ns long; floor
     // to µs (the data is µs-precision) and restore TimestampType.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.NativeVectorExprs.register(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -16,15 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ in double precision (inputs cast element-wise). */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)")
+  /** Σ aᵢ·bᵢ in double precision via the native codegen'd kernel
+    * ([[DotProduct]], registered as `graft_dot` — sessions must run
+    * [[NativeVectorExprs.register]] or load [[graft.GraftExtensions]]).
+    * Same left-to-right double accumulation as the previous
+    * `aggregate(zip_with(...))` formulation, so results are
+    * bit-identical; the fused loop skips the intermediate product
+    * array and the two per-element lambda passes. */
+  def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** ‖a‖₂ */
-  def l2Norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, 0.0d, " +
-      "(acc, v) -> acc + cast(v as double) * cast(v as double))"))
+  /** ‖a‖₂ = sqrt(a·a) */
+  def l2Norm(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
 
   /** cos(a,b) = a·b / (‖a‖‖b‖) */
   def cosine(a: String, b: String): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))

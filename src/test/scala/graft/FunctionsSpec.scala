@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{DotProduct, TextFns, VectorFns}
 
 /** TextFns / VectorFns unit coverage. The one-shot `...FromText` forms
   * exist for plan quality (token array bound to a lambda variable so
@@ -97,6 +97,41 @@ class FunctionsSpec extends SparkSpec {
     assert(r(1).getDouble(1) === 0.0 && r(1).getDouble(3) === 0.0)
     assert(r(2).getDouble(2) === 5.0)
     assert(math.abs(r(2).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("native graft_dot is bit-identical to the HOF formulation, float and double") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val f = vecs.toDF("id", "a", "b")
+    val hof = expr("aggregate(zip_with(a, b, " +
+      "(x, y) -> cast(x as double) * cast(y as double)), 0.0d, (acc, v) -> acc + v)")
+    val rows = f.select(VectorFns.dot("a", "b").as("native"), hof.as("hof")).collect()
+    assert(rows.length == 200 &&
+      rows.forall(r => r.getDouble(0) == r.getDouble(1))) // bitwise, no tolerance
+
+    // double arrays take the getDouble path
+    val d = vecs.map { case (i, a, b) => (i, a.map(_.toDouble), b.map(_.toDouble)) }
+      .toDF("id", "a", "b")
+    val dRows = d.select(VectorFns.dot("a", "b").as("native"), hof.as("hof")).collect()
+    assert(dRows.forall(r => r.getDouble(0) == r.getDouble(1)))
+
+    // interpreted eval (codegen fallback) agrees with codegen
+    val one = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.5f, -2.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f, 0.5f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+    assert(one.eval(null) == 1.5 * 2.0 + -2.0 * 0.5)
+
+    // null array propagates null; wrong types are rejected at analysis
+    val withNull = Seq((1L, Option.empty[Array[Float]], Array(1.0f)))
+      .toDF("id", "a", "b")
+    assert(withNull.select(VectorFns.dot("a", "b")).head.isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      Seq((1, "x")).toDF("id", "a").select(expr("graft_dot(a, a)")).collect())
   }
 
   test("hyperplane bucket is deterministic and bounded") {

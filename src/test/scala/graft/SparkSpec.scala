@@ -15,6 +15,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.NativeVectorExprs.register(s)
     s
   }
 }
