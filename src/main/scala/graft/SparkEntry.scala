@@ -1261,6 +1261,183 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select(col("q_id"), col("n_id"), round(col("cos"), 5).as("cos"), col("rank"))
+    }),
+
+    // TXT: per-document top-terms by TF-IDF and BM25 (k1=1.2, b=0.75) —
+    // the relevance-scoring primitive behind quality-targeted sampling.
+    // Shape at 100 TB: one explode→partial-agg for TF, a term-keyed agg
+    // for DF (Zipf-skewed keys absorbed map-side), corpus stats ride a
+    // broadcast single-row frame, and the final top-k is a per-doc
+    // window — no global sort anywhere.
+    "txt_tfidf_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("dl"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(size(TextFns.tokens(col("text")))).as("avgdl"))
+      // all scoring math in DOUBLE with explicit association so DuckDB
+      // reproduces the exact bit pattern: ((idf*(tf*2.2)) / (tf + 1.2*(0.25+(0.75*dl)/avgdl)))
+      val scored = tf.join(dfT, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+        .withColumn("idf_bm25",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("bm25",
+          col("idf_bm25") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+          col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"), round(col("bm25"), 6).as("bm25"))
+    }),
+
+    // TXT: benchmark decontamination — flag training documents sharing
+    // any 4-gram with the held-out eval set (doc_id % 25 == 0 plays the
+    // benchmark). The eval side's distinct gram hashes are tiny relative
+    // to the corpus → BROADCAST left join; the 100 TB train side streams
+    // through without shuffling text, and the per-doc rollup carries two
+    // longs. Grams travel as 60-bit md5 hashes, not strings.
+    "txt_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalGrams = docs.where(col("doc_id") % 25 === 0)
+        .select(explode(TextFns.shingleHashesFromText("text", 4)).as("g"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val train = docs.where(col("doc_id") % 25 =!= 0)
+        .withColumn("gs", TextFns.shingleHashesFromText("text", 4))
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          explode(col("gs")).as("g"))
+      train.join(broadcast(evalGrams), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("n_grams")).as("n_grams"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+        .withColumn("contaminated", col("n_matched") > 0)
+    }),
+
+    // TXT: Gopher-style repetition rules (Rae et al. 2021 §A1.1 family,
+    // adapted to token n-grams): duplicate-word fraction, most-frequent-
+    // bigram fraction, duplicate-bigram fraction. keep decided on
+    // UNROUNDED values; thresholds picked to split the corpus. The
+    // unigram metric is a pure expression (no shuffle); bigram counts
+    // take one explode→two-level agg keyed by doc.
+    "txt_repetition_rules" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("dup_word_frac",
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_words"))
+      val bi = docs
+        .select(col("doc_id"), col("n_words"),
+          explode(TextFns.ngramsFromTokens("toks", 2)).as("bg"))
+        .groupBy(col("doc_id"), col("n_words"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), count(lit(1)).as("n_distinct_bg"),
+             max(col("n_words")).as("nw"))
+        .select(col("doc_id"),
+          (col("top_c").cast("double") / (col("nw") - 1)).as("top_bigram_frac"),
+          (lit(1.0) - col("n_distinct_bg").cast("double") / (col("nw") - 1))
+            .as("dup_bigram_frac"))
+      docs.select(col("doc_id"), col("n_words"), col("dup_word_frac"))
+        .join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          (col("dup_word_frac") <= 0.55 && col("top_bigram_frac") <= 0.06).as("keep"))
+    }),
+
+    // TXT: sequence packing, concat-and-cut accounting (GPT-style: docs
+    // concatenated per source in doc_id order, cut every 256 tokens; a
+    // doc may span packs). One window cumsum per source gives each doc
+    // its token offset; the explode is bounded by tokens/256; every
+    // value is integer so both engines agree exactly. Per-pack rollup:
+    // contributing docs + fill (== 256 except each source's last pack).
+    "txt_pack_sequences" -> ((s, dir) => {
+      val C = 256L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("tok", size(TextFns.tokens(col("text"))).cast("long"))
+        .withColumn("end_off", sum(col("tok")).over(w))
+        .withColumn("start_off", col("end_off") - col("tok"))
+        .select(col("source"), col("doc_id"), col("start_off"), col("end_off"),
+          explode(sequence(expr(s"start_off div $C"), expr(s"(end_off - 1) div $C")))
+            .as("pack_id"))
+        .withColumn("fill",
+          least(col("end_off"), (col("pack_id") + 1) * C) -
+            greatest(col("start_off"), col("pack_id") * C))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("fill")).as("pack_tokens"),
+             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
+
+    // MM: uniform video-frame sampling over an opaque binary column —
+    // the Spark-side plumbing of a frame-extract stage: typed metadata
+    // (dims/duration/fps derived deterministically from the content
+    // hash, standing in for a real probe), k=4 evenly spaced frame
+    // indices via integer math, and the byte offset each decode worker
+    // would seek to (row-major RGB24). Pure expressions + one bounded
+    // explode; the actual pixel decode stays in Multimodal.decodeStub.
+    "mm_frame_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(64L) + h % 1857L).as("width"),
+          (lit(64L) + (h / 2048L).cast("long") % 1081L).as("height"),
+          (lit(1000L) + h % 29000L).as("duration_ms"),
+          when(h % 2 === 0, lit(24L)).otherwise(lit(30L)).as("fps"))
+        .withColumn("n_frames", expr("duration_ms * fps div 1000"))
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          explode(sequence(lit(0L), lit(3L))).as("slot"))
+        .withColumn("frame_idx", expr("slot * (n_frames - 1) div 3"))
+        .withColumn("byte_offset", col("frame_idx") * col("width") * col("height") * 3)
+        .select("doc_id", "slot", "frame_idx", "byte_offset")
+    }),
+
+    // ANN: SQ8 search — int8-quantized shortlist, exact re-rank. The
+    // scale path a serving index takes: per-vector affine codes (4 bytes
+    // → 1 byte per dim), candidate generation by INTEGER code dot
+    // product (exact across engines, no float-order hazard), top-20
+    // shortlist per query carries only (q_id, n_id), then the float
+    // vectors re-attach by key for the exact cosine top-5.
+    "ann_sq8_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mn", array_min(col("emb")))
+        .withColumn("mx", array_max(col("emb")))
+        .withColumn("codes", expr(
+          "transform(emb, x -> CASE WHEN mx = mn THEN 0L ELSE " +
+            "least(255L, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) END)"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("codes").as("n_codes"))
+      val wI = Window.partitionBy("q_id").orderBy(col("iscore").desc, col("n_id").asc)
+      val shortlist = q.join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("iscore", expr(
+          "aggregate(zip_with(q_codes, n_codes, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .select(col("q_id"), col("n_id"), col("iscore"))
+        .withColumn("irank", row_number().over(wI))
+        .where(col("irank") <= 20)
+        .select("q_id", "n_id")
+      val vec = t(s, dir, "embeddings").withColumn("nrm", VectorFns.l2Norm("embedding"))
+      val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      shortlist
+        .join(vec.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(vec.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm")), Seq("n_id"))
+        .withColumn("cos", VectorFns.dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(wE))
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 5).as("cos"), col("rank"))
     })
   )
 
@@ -2362,6 +2539,153 @@ object SparkEntry {
         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, round(cos, 5) AS cos, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "txt_tfidf_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, term, count(*) AS tf
+        |       FROM tk GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              avg(len(string_split_regex(trim(text), '\s+'))) AS avgdl
+        |       FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * ln(st.n_docs / df.df) AS tfidf,
+        |         (ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2)) /
+        |           (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / st.avgdl)) AS bm25
+        |  FROM tf, df, st WHERE tf.term = df.term),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank, term, tf, df,
+        |       round(tfidf, 6) AS tfidf, round(bm25, 6) AS bm25
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "txt_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 3, 0)),
+        |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |          tk[i+3]), 1, 15))::BIGINT)) AS gs
+        |  FROM d),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+        |       FROM g WHERE doc_id % 25 != 0),
+        |m AS (SELECT tr.doc_id, tr.n_grams,
+        |             CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM tr LEFT JOIN ev ON tr.g = ev.g)
+        |SELECT doc_id, max(n_grams) AS n_grams,
+        |       CAST(sum(hit) AS BIGINT) AS n_matched,
+        |       sum(hit) > 0 AS contaminated
+        |FROM m GROUP BY doc_id""".stripMargin,
+
+    "txt_repetition_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |         1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac
+        |  FROM d),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM d),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct_bg
+        |       FROM bc GROUP BY 1),
+        |j AS (
+        |  SELECT u.doc_id, u.n_words, u.dup_word_frac,
+        |         CAST(bm.top_c AS DOUBLE) / (u.n_words - 1) AS top_bigram_frac,
+        |         1.0 - CAST(bm.n_distinct_bg AS DOUBLE) / (u.n_words - 1) AS dup_bigram_frac
+        |  FROM u JOIN bm ON u.doc_id = bm.doc_id)
+        |SELECT doc_id, n_words,
+        |       round(dup_word_frac, 6) AS dup_word_frac,
+        |       round(top_bigram_frac, 6) AS top_bigram_frac,
+        |       round(dup_bigram_frac, 6) AS dup_bigram_frac,
+        |       (dup_word_frac <= 0.55 AND top_bigram_frac <= 0.06) AS keep
+        |FROM j""".stripMargin,
+
+    "txt_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, tok,
+        |         CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |           AS end_off
+        |  FROM d),
+        |e AS (SELECT source, doc_id, end_off - tok AS start_off, end_off FROM o),
+        |u AS (
+        |  SELECT source, doc_id, start_off, end_off,
+        |         unnest(generate_series(start_off // 256, (end_off - 1) // 256)) AS pack_id
+        |  FROM e)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |       CAST(sum(least(end_off, (pack_id + 1) * 256) -
+        |                greatest(start_off, pack_id * 256)) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         64 + hv % 1857 AS width,
+        |         64 + (hv // 2048) % 1081 AS height,
+        |         1000 + hv % 29000 AS duration_ms,
+        |         CASE WHEN hv % 2 = 0 THEN 24 ELSE 30 END AS fps
+        |  FROM h),
+        |f AS (SELECT *, duration_ms * fps // 1000 AS n_frames FROM m),
+        |u AS (SELECT doc_id, n_frames, width, height,
+        |             unnest(generate_series(0, 3)) AS slot
+        |      FROM f)
+        |SELECT doc_id, slot,
+        |       slot * (n_frames - 1) // 3 AS frame_idx,
+        |       (slot * (n_frames - 1) // 3) * width * height * 3 AS byte_offset
+        |FROM u""".stripMargin,
+
+    "ann_sq8_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, embedding, emb,
+        |             list_min(emb) AS mn, list_max(emb) AS mx FROM e),
+        |c AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(emb, x -> CASE WHEN mx = mn THEN 0
+        |           ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+        |           END) AS codes
+        |  FROM m),
+        |i AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |         list_sum(list_transform(generate_series(1, len(a.codes)),
+        |           j -> a.codes[j] * b.codes[j])) AS iscore
+        |  FROM c a JOIN c b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |s AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY iscore DESC, n_id ASC) AS irank
+        |      FROM i),
+        |sl AS (SELECT q_id, n_id FROM s WHERE irank <= 20),
+        |x AS (
+        |  SELECT sl.q_id, sl.n_id,
+        |         list_sum(list_transform(list_zip(qa.embedding, nb.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |         (sqrt(list_sum(list_transform(qa.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          sqrt(list_sum(list_transform(nb.embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM sl JOIN embeddings qa ON qa.vec_id = sl.q_id
+        |          JOIN embeddings nb ON nb.vec_id = sl.n_id),
+        |r AS (SELECT q_id, n_id, cos, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |      FROM x)
+        |SELECT q_id, n_id, round(cos, 5) AS cos, rank FROM r WHERE rank <= 5""".stripMargin
   )
 }

@@ -109,6 +109,19 @@ object TextFns {
         s"else slice($tokCol, 1, 0) end")
   }
 
+  /** NON-distinct word n-grams from a token-array column — one entry per
+    * position (repetition analysis needs occurrence counts, which
+    * [[shinglesFromTokens]]'s `array_distinct` would destroy). Same
+    * size-guard as shinglesFromTokens. */
+  def ngramsFromTokens(tokCol: String, n: Int): Column = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$tokCol[i]" else s"$tokCol[i+$j]").mkString(", ")
+    expr(
+      s"case when size($tokCol) >= $n then " +
+        s"transform(sequence(0, size($tokCol) - $n), i -> concat_ws(' ', $parts)) " +
+        s"else slice($tokCol, 1, 0) end")
+  }
+
   /** Jaccard similarity of two string arrays (distinct semantics —
     * array_intersect / array_union both deduplicate). */
   def jaccard(a: Column, b: Column): Column =

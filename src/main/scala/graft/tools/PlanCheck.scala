@@ -26,7 +26,9 @@ object PlanCheck {
       "dedup_minhash_pairs", "dedup_embed_cosine", "a8_indicator_ohlc",
       "s14_top200_recent", "w5_bounded_ffill",
       "native_enrich_route", "ivf_kmeans_train", "dedup_embed_lsh",
-      "dedup_ngram_jaccard_capped")
+      "dedup_ngram_jaccard_capped",
+      "txt_tfidf_bm25", "txt_decontaminate", "txt_repetition_rules",
+      "txt_pack_sequences", "ann_sq8_search")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
