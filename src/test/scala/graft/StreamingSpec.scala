@@ -391,4 +391,64 @@ class StreamingSpec extends SparkSpec {
     mgr.stopAll()
     assert(stopped.toSet == Set("ETHUSDT", "BTCUSDT", "SOLUSDT"))
   }
+
+  test("streaming dedup within watermark: reconnect re-deliveries collapse, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = new java.sql.Timestamp(ms("2026-01-15T10:00:00Z"))
+    def at(deltaMs: Long) = new java.sql.Timestamp(t0.getTime + deltaMs)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-ckpt").toString
+
+    val stream = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+      stream.toDS().toDF("symbol", "event_id", "ts"),
+      tsCol = "ts", keyCols = Seq("symbol", "event_id"), delay = "10 minutes")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .queryName("dedup_stream_test").start()
+    try {
+      // batch 1: two deliveries of event 1 (same id, jittered timestamp —
+      // a reconnect replay re-stamps receive time), plus event 2
+      stream.addData(("BTCUSDT", 1L, at(0)), ("BTCUSDT", 1L, at(500)),
+        ("BTCUSDT", 2L, at(1000)))
+      query.processAllAvailable()
+      // batch 2: event 1 re-delivered AGAIN (across micro-batches, still
+      // inside the watermark window → state remembers it), plus event 3
+      stream.addData(("BTCUSDT", 1L, at(2000)), ("ETHUSDT", 1L, at(2000)),
+        ("BTCUSDT", 3L, at(3000)))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT symbol, event_id FROM dedup_stream_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows.size == 4)
+      assert(rows.toSet == Set(("BTCUSDT", 1L), ("BTCUSDT", 2L),
+        ("BTCUSDT", 3L), ("ETHUSDT", 1L)))
+    } finally query.stop()
+  }
+
+  test("streaming fingerprint dedup: identical payloads collapse without an event id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = new java.sql.Timestamp(ms("2026-01-15T10:00:00Z"))
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-ckpt").toString
+    val stream = MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamDedup.dedupByFingerprint(
+      stream.toDS().toDF("symbol", "price", "qty", "ts"),
+      tsCol = "ts", payloadCols = Seq("symbol", "price", "qty", "ts"),
+      delay = "5 minutes")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .queryName("fp_dedup_stream_test").start()
+    try {
+      stream.addData(("BTCUSDT", 100.0, 2.0, t0), ("BTCUSDT", 100.0, 2.0, t0),
+        ("BTCUSDT", 100.0, 3.0, t0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT qty FROM fp_dedup_stream_test").collect()
+      assert(rows.map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+      // the fingerprint helper column must not leak into the output
+      assert(!spark.table("fp_dedup_stream_test").columns.contains("__fp"))
+    } finally query.stop()
+  }
 }
