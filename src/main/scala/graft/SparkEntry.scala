@@ -1402,6 +1402,47 @@ object SparkEntry {
         .select("doc_id", "slot", "frame_idx", "byte_offset")
     }),
 
+    // SAMPLE: weighted-epoch mixture materialization — the data-mixing
+    // step that UPSAMPLES scarce high-quality sources (stratified_hash
+    // only downsamples). Target epochs per source: 2.3 for src0-4, 1.0
+    // for src5-9, 0.5 rest. Each doc emits floor(w) full copies plus one
+    // more iff its md5 bucket falls under the fractional part — so the
+    // realized mix converges to the target deterministically, survives
+    // reruns, and the whole op is a pure projection + bounded explode:
+    // ZERO shuffles at any scale.
+    "mix_epoch_weights" -> ((s, dir) => {
+      val hi = Seq("src0", "src1", "src2", "src3", "src4")
+      val mid = Seq("src5", "src6", "src7", "src8", "src9")
+      val full = when(col("source").isin(hi: _*), 2L)
+        .when(col("source").isin(mid: _*), 1L).otherwise(0L)
+      val fracPct = when(col("source").isin(hi: _*), 30L)
+        .when(col("source").isin(mid: _*), 0L).otherwise(50L)
+      t(s, dir, "documents")
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .withColumn("n_copies",
+          full + when(col("bucket") < fracPct, 1L).otherwise(0L))
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+    }),
+
+    // EXPORT: deterministic shard assignment for the training-data
+    // write — docs land in a shard by content-independent hash (uniform,
+    // reproducible) with a stable position inside the shard (hash order,
+    // id tiebreak). At scale this is `repartition(shard)` + sort-within-
+    // partitions and shard count tracks the cluster (thousands), so each
+    // per-shard window stays bounded; 8 here to keep the oracle small.
+    "export_shard_assign" -> ((s, dir) => {
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // ANN: SQ8 search — int8-quantized shortlist, exact re-rank. The
     // scale path a serving index takes: per-vector affine codes (4 bytes
     // → 1 byte per dim), candidate generation by INTEGER code dot
@@ -2650,6 +2691,34 @@ object SparkEntry {
         |       slot * (n_frames - 1) // 3 AS frame_idx,
         |       (slot * (n_frames - 1) // 3) * width * height * 3 AS byte_offset
         |FROM u""".stripMargin,
+
+    "mix_epoch_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |           AS bucket,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+        |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+        |              ELSE 0 END AS n_full,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30
+        |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0
+        |              ELSE 50 END AS frac_pct
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |         n_full + CASE WHEN bucket < frac_pct THEN 1 ELSE 0 END AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch
+        |FROM n WHERE n_copies > 0""".stripMargin,
+
+    "export_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM d""".stripMargin,
 
     "ann_sq8_search" ->
       """WITH e AS (
