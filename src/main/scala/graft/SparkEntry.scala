@@ -1271,20 +1271,28 @@ object SparkEntry {
     // window — no global sort anywhere.
     "txt_tfidf_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // ONE explode→agg pass over the text; dl and the corpus stats are
+      // DERIVED FROM tf (dl = per-doc window sum of tf, avgdl =
+      // total/n_docs — every doc yields ≥1 token row, so countDistinct
+      // equals the doc count) instead of re-splitting text. Computing
+      // size(split) in the same projection as the explode would be
+      // substituted ABOVE the Generate and re-run the regex split per
+      // exploded token — 6x the query's useful work (TextFns `bound`).
       val tf = docs
-        .select(col("doc_id"),
-          size(TextFns.tokens(col("text"))).cast("long").as("dl"),
-          explode(TextFns.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "dl", "term")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        avg(size(TextFns.tokens(col("text")))).as("avgdl"))
+      val stats = tf
+        .agg(countDistinct(col("doc_id")).cast("double").as("n_docs"),
+             sum(col("tf")).as("total_tokens"))
+        .select(col("n_docs"),
+          (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
       // all scoring math in DOUBLE with explicit association so DuckDB
       // reproduces the exact bit pattern: ((idf*(tf*2.2)) / (tf + 1.2*(0.25+(0.75*dl)/avgdl)))
       val scored = tf.join(dfT, Seq("term"))
         .crossJoin(broadcast(stats))
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
         .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
         .withColumn("idf_bm25",
           log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -1311,13 +1319,15 @@ object SparkEntry {
         .select(explode(TextFns.shingleHashesFromText("text", 4)).as("g"))
         .distinct()
         .withColumn("hit", lit(1L))
+      // n_grams = count of exploded rows (the hash array is distinct) —
+      // a size(gs) column beside the explode would be substituted above
+      // the Generate and re-run the whole md5 shingle chain per row
       val train = docs.where(col("doc_id") % 25 =!= 0)
-        .withColumn("gs", TextFns.shingleHashesFromText("text", 4))
-        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
-          explode(col("gs")).as("g"))
+        .select(col("doc_id"),
+          explode(TextFns.shingleHashesFromText("text", 4)).as("g"))
       train.join(broadcast(evalGrams), Seq("g"), "left")
         .groupBy("doc_id")
-        .agg(max(col("n_grams")).as("n_grams"),
+        .agg(count(lit(1)).as("n_grams"),
              sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
         .withColumn("contaminated", col("n_matched") > 0)
     }),
@@ -1334,17 +1344,20 @@ object SparkEntry {
         .withColumn("n_words", size(col("toks")).cast("long"))
         .withColumn("dup_word_frac",
           lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_words"))
+      // total bigrams per doc = sum of per-bigram counts (= n_words-1),
+      // so the exploded branch never carries n_words — a size(toks)
+      // column beside the explode would re-split the text per bigram row
       val bi = docs
-        .select(col("doc_id"), col("n_words"),
+        .select(col("doc_id"),
           explode(TextFns.ngramsFromTokens("toks", 2)).as("bg"))
-        .groupBy(col("doc_id"), col("n_words"), col("bg"))
+        .groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("top_c"), count(lit(1)).as("n_distinct_bg"),
-             max(col("n_words")).as("nw"))
+             sum(col("c")).as("n_bg"))
         .select(col("doc_id"),
-          (col("top_c").cast("double") / (col("nw") - 1)).as("top_bigram_frac"),
-          (lit(1.0) - col("n_distinct_bg").cast("double") / (col("nw") - 1))
+          (col("top_c").cast("double") / col("n_bg")).as("top_bigram_frac"),
+          (lit(1.0) - col("n_distinct_bg").cast("double") / col("n_bg"))
             .as("dup_bigram_frac"))
       docs.select(col("doc_id"), col("n_words"), col("dup_word_frac"))
         .join(bi, Seq("doc_id"))
