@@ -43,7 +43,11 @@ object StreamDedup {
     * event id. */
   def dedupByFingerprint(df: DataFrame, tsCol: String, payloadCols: Seq[String],
                          delay: String): DataFrame = {
-    val fp = md5(concat_ws("|", payloadCols.map(c => col(c).cast("string")): _*))
+    // concat_ws SKIPS nulls, so (a, null, b) and (a, b, null) would
+    // collide; every null becomes an explicit sentinel instead, keeping
+    // the fingerprint positional
+    val fp = md5(concat_ws("|",
+      payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     df.withColumn("__fp", fp)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")

@@ -451,4 +451,26 @@ class StreamingSpec extends SparkSpec {
       assert(!spark.table("fp_dedup_stream_test").columns.contains("__fp"))
     } finally query.stop()
   }
+
+  test("fingerprint dedup keeps rows that differ only in WHICH column is null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = new java.sql.Timestamp(ms("2026-01-15T10:00:00Z"))
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-ckpt").toString
+    val stream = MemoryStream[(Option[String], Option[String], java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamDedup.dedupByFingerprint(
+      stream.toDS().toDF("a", "b", "ts"),
+      tsCol = "ts", payloadCols = Seq("a", "b"), delay = "5 minutes")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .queryName("fp_null_pos_test").start()
+    try {
+      // (x, null) and (null, x) must NOT collapse — a plain concat_ws
+      // fingerprint would drop nulls and hash both to md5("x")
+      stream.addData((Some("x"), None, t0), (None, Some("x"), t0))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fp_null_pos_test").count() == 2)
+    } finally query.stop()
+  }
 }
