@@ -1415,6 +1415,49 @@ object SparkEntry {
         .select("doc_id", "slot", "frame_idx", "byte_offset")
     }),
 
+    // TXT: rolling-hash (Rabin–Karp) fingerprint — ORDER-sensitive
+    // token-sequence fingerprint (the md5 variant only normalizes
+    // whitespace/case), plus the 16-token PREFIX fingerprint (the
+    // windowed form that catches shared openings). Emitted per doc on an
+    // id slice so the oracle pins the actual mod-1e9+7 hash values;
+    // dedup composes downstream as a narrow (doc_id, fp) groupBy.
+    "txt_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextFns.rollingFingerprint("text").as("fp"),
+          TextFns.rollingFingerprintN("text", 16).as("fp_prefix16"))
+    }),
+
+    // TXT: PII detection + redaction accounting. The corpus carries no
+    // PII, so a deterministic contact line derived from doc_id is
+    // appended to a slice of docs first (a transformation of the given
+    // table, not new input data); the regexes then count and redact.
+    // Patterns restricted to classes both Java regex and RE2 match
+    // identically. Pure per-row expressions — zero shuffle at any scale.
+    "txt_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val withPii = t(s, dir, "documents")
+        .withColumn("txt",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" call +1-555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" today")))
+          .otherwise(col("text")))
+      withPii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).cast("long").as("redacted_len"))
+        .withColumn("pii_free", col("n_emails") + col("n_phones") === 0)
+    }),
+
     // SAMPLE: weighted-epoch mixture materialization — the data-mixing
     // step that UPSAMPLES scarce high-quality sources (stratified_hash
     // only downsamples). Target epochs per source: 2.3 for src0-4, 1.0
@@ -2704,6 +2747,46 @@ object SparkEntry {
         |       slot * (n_frames - 1) // 3 AS frame_idx,
         |       (slot * (n_frames - 1) // 3) * width * height * 3 AS byte_offset
         |FROM u""".stripMargin,
+
+    "txt_rolling_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(tk,
+        |           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs,
+        |         list_transform(tk[1:16],
+        |           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs16
+        |  FROM d)
+        |SELECT doc_id,
+        |       list_reduce(hs, (a, b) -> (a * 131 + b) % 1000000007) AS fp,
+        |       list_reduce(hs16, (a, b) -> (a * 131 + b) % 1000000007) AS fp_prefix16
+        |FROM h""".stripMargin,
+
+    "txt_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN
+        |                text || ' contact user' || doc_id || '@example.com now'
+        |              WHEN doc_id % 10 = 5 THEN
+        |                text || ' call +1-555-01' ||
+        |                lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+        |              ELSE text END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS BIGINT)
+        |         AS n_phones,
+        |       CAST(length(regexp_replace(regexp_replace(txt,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |         '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len,
+        |       (len(regexp_extract_all(txt,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |        len(regexp_extract_all(txt, '\+1-555-[0-9]{4}'))) = 0 AS pii_free
+        |FROM p""".stripMargin,
 
     "mix_epoch_weights" ->
       """WITH d AS (

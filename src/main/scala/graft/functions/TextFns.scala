@@ -96,6 +96,28 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Polynomial rolling-hash fingerprint over the token sequence
+    * (Rabin–Karp: h = (h·B + tok) mod M, B=131, M=1e9+7) — ORDER-
+    * sensitive unlike the md5-of-normalized-text fingerprint, and the
+    * basis for windowed substring fingerprinting. All math stays in
+    * exact 64-bit range ((M-1)·131 + M-1 < 2^63) so both engines agree
+    * bit-for-bit; token hashes are pre-reduced mod M, which also makes
+    * DuckDB's init-less `list_reduce` equal to Spark's `aggregate` with
+    * init 0 (0·B + x0 ≡ x0 when x0 < M). */
+  def rollingFingerprint(textCol: String): Column =
+    rollingFingerprintN(textCol, Int.MaxValue)
+
+  /** Rolling fingerprint over the first `n` tokens only — the windowed
+    * form (prefix fingerprints detect shared openings; sliding windows
+    * compose from the same recurrence). */
+  def rollingFingerprintN(textCol: String, n: Int): Column = {
+    val tk = if (n == Int.MaxValue) "__tk" else s"slice(__tk, 1, $n)"
+    expr(bound(tokensSql(textCol), "__tk")(
+      bound(s"transform($tk, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1000000007)",
+            "__hs")(
+        "aggregate(__hs, 0L, (a, x) -> (a * 131 + x) % 1000000007)")))
+  }
+
   /** Distinct word n-gram shingles ("a b c") from a token-array column
     * (referenced by NAME so the token array is computed once). Guards the
     * size < n case — Spark's `sequence(0, -1)` would otherwise generate a
