@@ -1415,6 +1415,54 @@ object SparkEntry {
         .select("doc_id", "slot", "frame_idx", "byte_offset")
     }),
 
+    // ANN: recall@5 of the single-band LSH index vs the exact scan —
+    // the "measure, don't guess" accounting every approximate index
+    // needs before it replaces brute force. One scored pass feeds BOTH
+    // rankings (truth = full scan, approx = same-bucket candidates, a
+    // filter over the same frame), so the measurement costs one extra
+    // window, not a second scan.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
+        .withColumn("bucket",
+          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("bucket").as("n_bucket"))
+      val scored = q.join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFns.dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      val truth = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("q_id"), col("n_id"))
+      val approx = scored.where(col("q_bucket") === col("n_bucket"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("q_id"), col("n_id"))
+        .withColumn("hit", lit(1L))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_true"), 6))
+    }),
+
+    // TXT: language-ID confusion matrix — the per-language quality
+    // accounting over the langid heuristic (which cells leak where);
+    // one narrow two-key aggregation.
+    "txt_langid_confusion" -> ((s, dir) => {
+      val langs = Seq(
+        "en" -> Seq("the", "and", "of", "to", "is"),
+        "de" -> Seq("der", "die", "und", "nicht", "ist"),
+        "fr" -> Seq("le", "la", "et", "les", "des"),
+        "es" -> Seq("el", "los", "las", "una", "y"))
+      t(s, dir, "documents")
+        .select(col("lang"), TextFns.langIdExpr("text", langs).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // TXT: rolling-hash (Rabin–Karp) fingerprint — ORDER-sensitive
     // token-sequence fingerprint (the md5 variant only normalizes
     // whitespace/case), plus the 16-token PREFIX fingerprint (the
@@ -2747,6 +2795,61 @@ object SparkEntry {
         |       slot * (n_frames - 1) // 3 AS frame_idx,
         |       (slot * (n_frames - 1) // 3) * width * height * 3 AS byte_offset
         |FROM u""".stripMargin,
+
+    "ann_lsh_recall" -> {
+      val planes = (0 until 8).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"CAST(embedding[d] AS DOUBLE) * " +
+          s"((('0x' || substr(md5('7:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         |         $planes AS bucket
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |         a.bucket AS qb, b.bucket AS nb,
+         |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+         |           (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |tr AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |ap AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |    FROM sc WHERE qb = nb)
+         |  WHERE rk <= 5),
+         |j AS (
+         |  SELECT tr.q_id, CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM tr LEFT JOIN ap ON tr.q_id = ap.q_id AND tr.n_id = ap.n_id)
+         |SELECT q_id, count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM j GROUP BY q_id""".stripMargin
+    },
+
+    "txt_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|ist)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|y)\b')) AS s_es
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+        |            ELSE 'es' END AS pred_lang,
+        |       count(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "txt_rolling_fingerprint" ->
       """WITH d AS (
