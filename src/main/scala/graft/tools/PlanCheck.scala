@@ -28,7 +28,7 @@ object PlanCheck {
       "native_enrich_route", "ivf_kmeans_train", "dedup_embed_lsh",
       "dedup_ngram_jaccard_capped",
       "txt_tfidf_bm25", "txt_decontaminate", "txt_repetition_rules",
-      "txt_pack_sequences", "ann_sq8_search")
+      "txt_pack_sequences", "ann_sq8_search", "ann_lsh_recall")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
