@@ -169,4 +169,33 @@ class FunctionsSpec extends SparkSpec {
     assert(again.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
       .sameElements(assigned.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted))
   }
+
+  test("Misra-Gries sketch: fixed memory, undercount <= N/k, heavy items always present") {
+    import graft.functions.HeavyHitters
+    val sfDir = "/root/testdata/sf0.001"
+    val tokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .as[String]
+    val exact = tokens.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 16
+
+    def check(sketch: Map[String, Long]): Unit = {
+      assert(sketch.size <= k - 1, s"sketch kept ${sketch.size} counters, bound ${k - 1}")
+      // every item with true count > N/k must be tracked
+      for ((t, c) <- exact if c > n / k)
+        assert(sketch.contains(t), s"heavy item '$t' (count $c > ${n / k}) missing")
+      // every estimate undercounts by at most N/k
+      for ((t, est) <- sketch) {
+        val truth = exact.getOrElse(t, 0L)
+        assert(est <= truth, s"'$t' overcounted: est $est > true $truth")
+        assert(truth - est <= n / k, s"'$t' undercounted past N/k: $truth - $est")
+      }
+    }
+
+    check(tokens.select(HeavyHitters.misraGries(k)).head())
+    // guarantees are partitioning-independent (mergeable summaries)
+    check(tokens.repartition(7).select(HeavyHitters.misraGries(k)).head())
+  }
 }
