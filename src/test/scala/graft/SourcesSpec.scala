@@ -349,4 +349,39 @@ class SourcesSpec extends SparkSpec {
       LocalDate.parse("2026-01-16")).resolveSibling(
       "ETHUSDT-aggTrades-2026-01-16.zip.missing")))
   }
+
+  test("bucketed lake tables join WITHOUT a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val left = spark.range(0, 1000)
+      .select(col("id").as("user_id"), (col("id") % 7).as("v"))
+    val right = spark.range(0, 1000)
+      .select(col("id").as("user_id"), (col("id") % 11).as("w"))
+    graft.sources.BucketedLake.writeBucketed(
+      left, "bkt_left", s"$dir/left", "user_id", numBuckets = 8,
+      sortCols = Seq("user_id"))
+    graft.sources.BucketedLake.writeBucketed(
+      right, "bkt_right", s"$dir/right", "user_id", numBuckets = 8,
+      sortCols = Seq("user_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the assertion targets the Exchange,
+      // not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "user_id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // the whole point: both sides arrive pre-bucketed, NO shuffle
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+      // and values survive the bucketed round-trip
+      val sums = joined.agg(sum("v"), sum("w")).collect().head
+      val expect = left.join(right, "user_id").agg(sum("v"), sum("w")).collect().head
+      assert(sums.getLong(0) == expect.getLong(0) && sums.getLong(1) == expect.getLong(1))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
