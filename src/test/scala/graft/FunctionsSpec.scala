@@ -38,6 +38,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.forall(_.isEmpty))
   }
 
+  test("non-distinct ngrams keep repeats, guard short docs, and match rolling prefixes") {
+    val withToks = docs.withColumn("toks", TextFns.tokens(col("text")))
+    // repeats preserved (6 has "a b" three times; distinct shingles collapse)
+    val rep = withToks.where(col("doc_id") === 6L)
+      .select(TextFns.ngramsFromTokens("toks", 2)).head().getSeq[String](0)
+    assert(rep.count(_ == "a b") == 3)
+    assert(withToks.where(col("doc_id") === 6L)
+      .select(TextFns.shinglesFromTokens("toks", 2)).head().getSeq[String](0)
+      .count(_ == "a b") == 1)
+    // size < n guard: empty, not a descending sequence
+    assert(withToks.where(col("doc_id") === 4L)
+      .select(TextFns.ngramsFromTokens("toks", 2)).head().getSeq[String](0).isEmpty)
+    // prefix-rolling fingerprint over n >= len equals the full fingerprint
+    val full = docs.select(TextFns.rollingFingerprint("text")).collect().map(_.getLong(0))
+    val pfx = docs.select(TextFns.rollingFingerprintN("text", 1000)).collect().map(_.getLong(0))
+    assert(full.sameElements(pfx))
+    // order sensitivity: same tokens, different order, different fingerprint
+    val Seq(fpAsc, fpDup) = docs.where(col("doc_id").isin(1L, 5L))
+      .select(TextFns.rollingFingerprint("text")).collect().map(_.getLong(0)).toSeq
+    assert(fpAsc == fpDup) // exact dup docs agree
+    val reversed = Seq((9L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    assert(reversed.select(TextFns.rollingFingerprint("text")).head().getLong(0) != fpAsc)
+  }
+
   test("minhashSignatureFromText equals staged shingle -> signature") {
     val staged = docs.withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("sh", TextFns.shingleHashesFromTokens("toks", 3))
