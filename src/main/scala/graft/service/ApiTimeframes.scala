@@ -91,14 +91,16 @@ object ApiTimeframes {
                            limit: Option[Int] = None,
                            timeframeLimits: Map[String, Int] = Map.empty): Instant = {
     require(specs.nonEmpty, "at least one timeframe spec is required")
-    val requestedMinutes =
-      if (timeframeLimits.nonEmpty)
-        specs.map(s => (timeframeLimits(s.apiName) + 1).toLong * s.minutes).max
-      else {
-        val l = limit.getOrElse(throw new IllegalArgumentException(
-          "limit is required when timeframe_limits are not provided"))
-        specs.map(s => (l + 1).toLong * s.minutes).max
-      }
+    // inline per-tf limits override the global default PER TIMEFRAME
+    // (the grammar allows `tfs=1m=50,5m` with a global limit covering
+    // 5m), so the lookup falls back spec-by-spec instead of requiring
+    // an all-or-nothing map
+    val requestedMinutes = specs.map { s =>
+      val l = timeframeLimits.getOrElse(s.apiName,
+        limit.getOrElse(throw new IllegalArgumentException(
+          s"limit is required when timeframe_limits omit '${s.apiName}'")))
+      (l + 1).toLong * s.minutes
+    }.max
     endTime.minus(Duration.ofMinutes(requestedMinutes - 1))
   }
 }

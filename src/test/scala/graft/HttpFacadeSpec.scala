@@ -125,6 +125,15 @@ class HttpFacadeSpec extends AnyFunSuite {
       end.minusSeconds((1001L * 1 - 1) * 60))
     assertThrows[IllegalArgumentException](
       ApiTimeframes.requestedWindowStart(end, specs))
+    // mixed: inline limit for 1m, global default covers 1hr
+    // (`tfs=1m=2,1hr` with limit=5) → max((2+1)*1, (5+1)*60) = 360
+    assert(ApiTimeframes.requestedWindowStart(end, specs, limit = Some(5),
+      timeframeLimits = Map("1m" -> 2)) == end.minusSeconds(359L * 60))
+    // partial per-tf limits with NO global default → explicit error,
+    // not a NoSuchElementException
+    assertThrows[IllegalArgumentException](
+      ApiTimeframes.requestedWindowStart(end, specs,
+        timeframeLimits = Map("1m" -> 2)))
   }
 
   test("payload body flattening matches the reference envelope keys (service.py:2174-2197)") {
