@@ -1547,6 +1547,28 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // MM: audio analysis-window accounting — the STFT-style framing a
+    // feature extractor needs (win=1024, hop=512 samples) computed from
+    // typed metadata (sample rate + duration derived from the content
+    // hash, standing in for a real probe). Pure integer projection with
+    // ZERO row growth — the decode/FFT itself stays behind the
+    // Multimodal stub; short clips get one padded window, mirroring the
+    // token-chunk guard.
+    "mm_audio_windows" -> ((s, dir) => {
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(h % 2 === 0, lit(16000L)).otherwise(lit(22050L)).as("sample_rate"),
+          (lit(1000L) + h % 29000L).as("duration_ms"))
+        .withColumn("n_samples", expr("duration_ms * sample_rate div 1000"))
+        .withColumn("n_windows", when(col("n_samples") <= 1024, lit(1L))
+          .otherwise(expr("(n_samples - 513) div 512 + 1")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("n_windows"),
+          least(lit(1024L), col("n_samples") - (col("n_windows") - 1) * 512)
+            .as("last_window_fill"))
+    }),
+
     // ANN: SQ8 search — int8-quantized shortlist, exact re-rank. The
     // scale path a serving index takes: per-vector affine codes (4 bytes
     // → 1 byte per dim), candidate generation by INTEGER code dot
@@ -2918,6 +2940,26 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS shard,
         |       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM d""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN hv % 2 = 0 THEN 16000 ELSE 22050 END AS sample_rate,
+        |         1000 + hv % 29000 AS duration_ms
+        |  FROM h),
+        |s AS (SELECT doc_id, sample_rate,
+        |             duration_ms * sample_rate // 1000 AS n_samples FROM m),
+        |w AS (
+        |  SELECT doc_id, sample_rate, n_samples,
+        |         CASE WHEN n_samples <= 1024 THEN 1
+        |              ELSE (n_samples - 513) // 512 + 1 END AS n_windows
+        |  FROM s)
+        |SELECT doc_id, sample_rate, n_samples, n_windows,
+        |       least(1024, n_samples - (n_windows - 1) * 512) AS last_window_fill
+        |FROM w""".stripMargin,
 
     "ann_sq8_search" ->
       """WITH e AS (
