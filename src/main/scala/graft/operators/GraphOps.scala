@@ -60,14 +60,19 @@ object GraphOps {
           "(graph diameter exceeds the bound — raise maxRounds)")
       val propagated = undirected
         .join(labels, undirected("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("isPrev"))
+      // carry each vertex's PREVIOUS label through the same aggregation
+      // (every id has exactly one isPrev row, so the conditional max is
+      // just that value) — the convergence check then scans the
+      // checkpointed result instead of paying a second label-sized join
+      // per round
+      val next = labels.select(col("id"), col("comp"), lit(true).as("isPrev"))
         .union(propagated)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .groupBy("id").agg(min(col("comp")).as("comp"),
+                           max(when(col("isPrev"), col("comp"))).as("prev"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).limit(1).count()
-      labels = next
+      val changed = next.where(col("comp") =!= col("prev")).limit(1).count()
+      labels = next.select("id", "comp")
       converged = changed == 0L
     }
     labels.withColumnRenamed("comp", "component_id")
