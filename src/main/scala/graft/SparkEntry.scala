@@ -1059,6 +1059,23 @@ object SparkEntry {
         sum(col("vec_id")).as("sum_vec_id"))
     }),
 
+    // IVF trainer at REAL k: same deterministic Lloyd's but k=64 over a
+    // 32-dim slice — proves the assignment pass is O(1) in k at the
+    // plan level (centroids are a broadcast relation, not inlined
+    // literals; see VectorFns.assignClusters). Same integer-only
+    // membership accounting as ivf_kmeans_train.
+    "ivf_kmeans_train_k64" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("emb32", slice(col("embedding"), 1, 32))
+      val (assigned, _) = VectorFns.kmeansLloyd(
+        emb, "vec_id", "emb32", k = 64, iters = 2, dim = 32)
+      assigned.groupBy(col("cluster").cast("long").as("cluster")).agg(
+        count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"),
+        sum(col("vec_id")).as("sum_vec_id"))
+    }),
+
     // ANN scale path #2: IVF-style probing — per-label centroids
     // (element-wise mean via posexplode + two-level agg), each query
     // probes its nearest centroid by cosine and ranks only that
@@ -2319,6 +2336,39 @@ object SparkEntry {
         |                 vec_id
         |          FROM (SELECT vec_id FROM embeddings
         |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+        |c0 AS (SELECT s.c, dm.d, dm.x AS cx FROM seeds s JOIN dims dm ON dm.vec_id = s.vec_id),
+        |d1 AS (SELECT dims.vec_id, c0.c, round(sum((dims.x - c0.cx) * (dims.x - c0.cx)), 6) AS dist
+        |       FROM dims JOIN c0 ON c0.d = dims.d GROUP BY dims.vec_id, c0.c),
+        |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.c, dims.d, round(avg(dims.x), 6) AS cx
+        |       FROM dims JOIN a1 USING (vec_id) GROUP BY a1.c, dims.d),
+        |d2 AS (SELECT dims.vec_id, c1.c, round(sum((dims.x - c1.cx) * (dims.x - c1.cx)), 6) AS dist
+        |       FROM dims JOIN c1 ON c1.d = dims.d GROUP BY dims.vec_id, c1.c),
+        |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
+        |c2 AS (SELECT a2.c, dims.d, round(avg(dims.x), 6) AS cx
+        |       FROM dims JOIN a2 USING (vec_id) GROUP BY a2.c, dims.d),
+        |d3 AS (SELECT dims.vec_id, c2.c, round(sum((dims.x - c2.cx) * (dims.x - c2.cx)), 6) AS dist
+        |       FROM dims JOIN c2 ON c2.d = dims.d GROUP BY dims.vec_id, c2.c),
+        |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d3) WHERE rn = 1)
+        |SELECT c AS cluster, count(*) AS n_members,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        |FROM a3 GROUP BY c""".stripMargin,
+
+    // Same unrolled Lloyd's at k=64 over the first-32-dims slice —
+    // the scale-shape proof case for the broadcast-centroid assignment.
+    "ivf_kmeans_train_k64" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |dims AS (SELECT vec_id, i + 1 AS d, vec[CAST(i + 1 AS INT)] AS x
+        |         FROM v, range(32) t(i)),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |                 vec_id
+        |          FROM (SELECT vec_id FROM embeddings
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
         |c0 AS (SELECT s.c, dm.d, dm.x AS cx FROM seeds s JOIN dims dm ON dm.vec_id = s.vec_id),
         |d1 AS (SELECT dims.vec_id, c0.c, round(sum((dims.x - c0.cx) * (dims.x - c0.cx)), 6) AS dist
         |       FROM dims JOIN c0 ON c0.d = dims.d GROUP BY dims.vec_id, c0.c),

@@ -82,25 +82,35 @@ object VectorFns {
   }
 
   /** One assignment pass: nearest centroid by squared L2, distances
-    * double-rounded at `distScale`, first-match (lowest id) on ties. */
+    * double-rounded at `distScale`, lowest cluster id on ties.
+    *
+    * Scale shape: the centroid table is DATA, not plan — a single
+    * broadcast row holding `array<struct<cid,cvec>>`, so the generated
+    * expression is O(1) in k (an earlier formulation inlined every
+    * centroid component as a casted SQL literal, which is a
+    * parser/codegen blowup at real IVF sizes like k=4096 × dim=768).
+    * The distance keeps the exact accumulation of the previous form —
+    * `aggregate(zip_with(...))` widened to double, summed left-to-right,
+    * double-rounded — so every previously hash-green assignment is
+    * bit-unchanged. Argmin via `array_min` over `struct(d, cid)`:
+    * struct ordering is lexicographic, so ties on distance resolve to
+    * the lowest cluster id, same as before. */
   private def assignClusters(df: DataFrame, vecCol: String,
                              centroids: Seq[(Int, Seq[Double])],
                              distScale: Int): DataFrame = {
-    def distExpr(c: Seq[Double]): String = {
-      // string-cast literals: Double.toString round-trips exactly and
-      // scientific notation ("5.0E-5") survives the SQL parser via CAST
-      val lits = c.map(v => s"cast('$v' as double)").mkString(",")
-      s"round(round(aggregate(zip_with($vecCol, array($lits), " +
-        s"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
-        s"0.0d, (a, v) -> a + v), ${distScale + 5}), $distScale)"
-    }
-    val ds = centroids.map { case (_, c) => distExpr(c) }
-    val ids = centroids.map(_._1)
-    val arr = s"array(${ds.mkString(",")})"
-    val idArr = s"array(${ids.mkString(",")})"
-    df.withColumn("__cluster",
-      expr(s"element_at($idArr, " +
-        s"cast(array_position($arr, array_min($arr)) as int))"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.sortBy(_._1)
+      .toDF("cid", "cvec")
+      .agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("__cents"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__cluster", expr(
+        s"""array_min(transform(__cents, c -> named_struct(
+           |  'd', round(round(aggregate(zip_with($vecCol, c.cvec,
+           |         (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+           |       0.0d, (a, v) -> a + v), ${distScale + 5}), $distScale),
+           |  'cid', c.cid))).cid""".stripMargin))
+      .drop("__cents")
   }
 
   /** Random-hyperplane LSH bucket for a vector: sign bits of dot products

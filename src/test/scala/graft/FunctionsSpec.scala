@@ -195,6 +195,25 @@ class FunctionsSpec extends SparkSpec {
       .sameElements(assigned.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted))
   }
 
+  test("kmeans assignment plan is O(1) in k (centroids are data, not literals)") {
+    import graft.functions.VectorFns
+    // same corpus, k=2 vs k=32: the physical plan string must not grow
+    // with k — the broadcast-relation formulation keeps the argmin
+    // expression constant-size (the old inlined-literal form was
+    // O(k*dim) and would blow up the parser/codegen at k=4096*768).
+    val vecs = (0 until 64).map(i => (i.toLong, Seq.fill(8)(i * 0.1f)))
+      .toDF("vec_id", "embedding")
+    def planLen(k: Int): Int = {
+      val (assigned, _) = VectorFns.kmeansLloyd(
+        vecs, "vec_id", "embedding", k = k, iters = 1, dim = 8)
+      assigned.queryExecution.executedPlan.toString.length
+    }
+    val small = planLen(2)
+    val large = planLen(32)
+    assert(large < small * 2,
+      s"plan grew with k: k=2 -> $small chars, k=32 -> $large chars")
+  }
+
   test("Misra-Gries sketch: fixed memory, undercount <= N/k, heavy items always present") {
     import graft.functions.HeavyHitters
     val sfDir = "/root/testdata/sf0.001"
