@@ -1034,13 +1034,13 @@ object SparkEntry {
     }),
 
     // ANN scale path: random-hyperplane LSH bucketing — md5-derived
-    // deterministic planes (constant-folded by Catalyst), sign-bit
-    // bucket id per vector; bucket-equality joins replace the O(n²)
-    // brute-force pass at 100 TB.
+    // deterministic planes riding in one broadcast row (plan O(1) in
+    // dim×planes), sign-bit bucket id per vector; bucket-equality joins
+    // replace the O(n²) brute-force pass at 100 TB.
     "ann_lsh_bucket" -> ((s, dir) => {
-      t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8).as("bucket"))
+      VectorFns.withHyperplaneBucket(
+        t(s, dir, "embeddings"), "embedding", "bucket", dim = 64, numPlanes = 8)
+        .select("vec_id", "bucket")
     }),
 
     // IVF trainer: deterministic Lloyd's k-means over the embedding
@@ -1239,10 +1239,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .withColumn("nrm", VectorFns.l2Norm("embedding"))
       val ids = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
-        t(s, dir, "embeddings").select(col("vec_id"),
-          lit(bi).as("band"),
-          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 4, seed = seed)
-            .as("bucket"))
+        VectorFns.withHyperplaneBucket(
+          t(s, dir, "embeddings"), "embedding", "bucket",
+          dim = 64, numPlanes = 4, seed = seed)
+          .select(col("vec_id"), lit(bi).as("band"), col("bucket"))
       }.reduce(_ unionByName _)
       val pairs = ids.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
         .join(ids.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
@@ -1439,10 +1439,9 @@ object SparkEntry {
     // filter over the same frame), so the measurement costs one extra
     // window, not a second scan.
     "ann_lsh_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .withColumn("nrm", VectorFns.l2Norm("embedding"))
-        .withColumn("bucket",
-          VectorFns.hyperplaneBucket("embedding", dim = 64, numPlanes = 8))
+      val emb = VectorFns.withHyperplaneBucket(
+        t(s, dir, "embeddings").withColumn("nrm", VectorFns.l2Norm("embedding")),
+        "embedding", "bucket", dim = 64, numPlanes = 8)
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))

@@ -46,7 +46,12 @@ object VectorFns {
     *  - argmin ties break toward the lowest cluster id.
     *
     * Returns (assignments: idCol, cluster; centroids: cluster, Seq[dim
-    * values]). Clusters that lose all members simply drop out. */
+    * values]). Clusters that lose all members simply drop out.
+    *
+    * Reserves the `__`-prefixed working columns `__h`, `__d`, `__x`,
+    * `__cx`, `__dims`, `__cents`, `__cluster`: input columns must not
+    * collide with them (the library-wide convention — callers own the
+    * un-prefixed namespace, operators own `__`). */
   def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int, dim: Int,
                   roundScale: Int = 6): (DataFrame, Seq[(Int, Seq[Double])]) = {
@@ -113,21 +118,59 @@ object VectorFns {
       .drop("__cents")
   }
 
-  /** Random-hyperplane LSH bucket for a vector: sign bits of dot products
-    * with `numPlanes` deterministic pseudo-random hyperplanes whose
-    * components are derived from md5(seed:plane:dim) — reproducible
-    * across engines and runs (no Math.random, per design). Returns a
-    * bigint bucket id in [0, 2^numPlanes). */
-  def hyperplaneBucket(vecCol: String, dim: Int, numPlanes: Int, seed: Int = 7): Column = {
-    val planeBits = (0 until numPlanes).map { p =>
-      // component c of plane p in [-0.5, 0.5): (hash60 % 1000)/1000 - 0.5
-      val comps = (0 until dim).map { d =>
-        s"((cast(conv(substr(md5('$seed:$p:$d'), 1, 15), 16, 10) as bigint) % 1000) / 1000.0d - 0.5d)"
-      }
-      val prod = s"aggregate(zip_with($vecCol, array(${comps.mkString(",")}), " +
-        "(x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"
-      s"(case when ($prod) > 0 then ${1L << p}L else 0L end)"
+  /** Component d of hyperplane p in [-0.5, 0.5): the driver-side twin of
+    * the SQL formula
+    * `(cast(conv(substr(md5('seed:p:d'),1,15),16,10) as bigint) % 1000) / 1000.0d - 0.5d`.
+    * Java's MD5 hex equals Spark's `md5`, `Long.parseLong(hex15, 16)`
+    * equals `conv(…,16,10)` (15 hex chars < 2^60, no sign issues), and
+    * `% 1000 / 1000.0 - 0.5` are the same IEEE ops — so the values are
+    * bit-identical to the old inlined-literal formulation and to a
+    * DuckDB oracle computing the same SQL. */
+  private def planeComponent(seed: Int, p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000) / 1000.0 - 0.5
+  }
+
+  /** Random-hyperplane LSH bucket per row: sign bits of dot products with
+    * `numPlanes` deterministic pseudo-random hyperplanes whose components
+    * are derived from md5(seed:plane:dim) — reproducible across engines
+    * and runs (no Math.random, per design). Adds `bucketCol` as a bigint
+    * bucket id in [0, 2^numPlanes).
+    *
+    * Scale shape: the plane matrix is DATA, not plan — a single broadcast
+    * row of `array<struct<pid,pvec>>`, folded with one constant-size
+    * `aggregate` HOF, so the expression tree is O(1) in dim×numPlanes.
+    * (An earlier Column-returning form inlined every component as a
+    * generated md5/conv subexpression — O(dim·planes) nodes, a
+    * parser/analyzer blowup at production sizes like dim=768 × 16
+    * planes.) Per-plane dot products keep the exact accumulation of the
+    * old form — `aggregate(zip_with(...))` widened to double, summed
+    * left-to-right — and bits accumulate in ascending plane order, so
+    * bucket ids are bit-unchanged.
+    *
+    * Reserves the working column `__planes` (same `__`-prefix convention
+    * as [[kmeansLloyd]]'s `__cents`/`__cluster`/`__h`): input columns
+    * must not collide with it. */
+  def withHyperplaneBucket(df: DataFrame, vecCol: String, bucketCol: String,
+                           dim: Int, numPlanes: Int, seed: Int = 7): DataFrame = {
+    require(!df.columns.contains("__planes"),
+      "input must not contain the reserved working column __planes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = (0 until numPlanes).map { p =>
+      (p, (0 until dim).map(d => planeComponent(seed, p, d)))
     }
-    expr(planeBits.mkString(" + "))
+    val planesDf = Seq(Tuple1(planes)).toDF("__planes")
+      .select(col("__planes")
+        .cast("array<struct<pid:int,pvec:array<double>>>").as("__planes"))
+    df.crossJoin(broadcast(planesDf))
+      .withColumn(bucketCol, expr(
+        s"""aggregate(__planes, 0L, (b, pl) -> b +
+           |  (case when aggregate(zip_with($vecCol, pl.pvec,
+           |          (x, y) -> cast(x as double) * y),
+           |        0.0d, (a, v) -> a + v) > 0
+           |   then shiftleft(1L, pl.pid) else 0L end))""".stripMargin))
+      .drop("__planes")
   }
 }

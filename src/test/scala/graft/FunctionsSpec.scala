@@ -162,13 +162,60 @@ class FunctionsSpec extends SparkSpec {
   test("hyperplane bucket is deterministic and bounded") {
     val df = Seq((1L, Array.fill(8)(0.25f)), (2L, Array.fill(8)(-0.25f)))
       .toDF("vec_id", "embedding")
-    val r1 = df.select(VectorFns.hyperplaneBucket("embedding", 8, 4))
-      .collect().map(_.getLong(0))
-    val r2 = df.select(VectorFns.hyperplaneBucket("embedding", 8, 4))
-      .collect().map(_.getLong(0))
+    def run() = VectorFns.withHyperplaneBucket(df, "embedding", "bucket", 8, 4)
+      .select("bucket").collect().map(_.getLong(0))
+    val r1 = run()
+    val r2 = run()
     assert(r1.toSeq === r2.toSeq)
     assert(r1.forall(b => b >= 0 && b < 16))
     assert(r1(0) !== r1(1)) // opposite vectors land in complementary buckets
+  }
+
+  test("hyperplane components are bit-identical to the SQL md5 formula") {
+    // the driver-side plane matrix must reproduce EXACTLY what the old
+    // inlined-SQL form (and any cross-engine oracle) computes:
+    // (conv(substr(md5('s:p:d'),1,15),16,10) % 1000) / 1000.0 - 0.5
+    val seed = 7
+    val cases = for (p <- 0 until 3; d <- 0 until 5) yield (p, d)
+    val sql = cases.map { case (p, d) =>
+      s"(cast(conv(substr(md5('$seed:$p:$d'), 1, 15), 16, 10) as bigint) % 1000) / 1000.0d - 0.5d"
+    }
+    val fromSql = spark.sql(s"select ${sql.mkString(",")}").head()
+    // recover the driver-side values through the public API: the bucket
+    // of a one-hot vector selects exactly component (p, d) in the dot,
+    // so sign(bucket bit) == sign(component)
+    for (((p, d), i) <- cases.zipWithIndex) {
+      val sqlVal = fromSql.getDouble(i)
+      // dim=d+1 one-hot selects exactly component (p, d) in the dot
+      val v = Array.fill(d + 1)(0.0f); v(d) = 1.0f
+      val bucket = VectorFns.withHyperplaneBucket(
+        Seq(Tuple1(v)).toDF("e"), "e", "b", d + 1, p + 1, seed)
+        .select("b").head().getLong(0)
+      val bitSet = (bucket & (1L << p)) != 0
+      assert(bitSet === (sqlVal > 0),
+        s"sign mismatch at plane $p dim $d: sql=$sqlVal bucket bit=$bitSet")
+    }
+  }
+
+  test("hyperplane bucket plan is O(1) in dim x planes (planes are data, not literals)") {
+    // mirror of the k-means plan-size pin: the broadcast-relation
+    // formulation must keep the physical plan constant-size as the plane
+    // matrix grows (the old form generated O(dim*planes) md5/conv
+    // subexpressions — ~12k chains at dim=768 x 16 planes).
+    val df = Seq((1L, Array.fill(768)(0.25f))).toDF("vec_id", "embedding")
+    def planLen(dim: Int, planes: Int): Int =
+      VectorFns.withHyperplaneBucket(df, "embedding", "bucket", dim, planes)
+        .queryExecution.executedPlan.toString.length
+    val small = planLen(8, 2)
+    val large = planLen(768, 16)
+    assert(large < small + 200,
+      s"plan grew with dim x planes: 8x2 -> $small chars, 768x16 -> $large chars")
+  }
+
+  test("hyperplane bucket rejects reserved working-column collisions") {
+    val df = Seq((1L, Array(1.0f), 0)).toDF("vec_id", "embedding", "__planes")
+    assertThrows[IllegalArgumentException](
+      VectorFns.withHyperplaneBucket(df, "embedding", "bucket", 1, 1))
   }
 
   test("kmeansLloyd separates well-formed clusters deterministically") {
@@ -210,7 +257,9 @@ class FunctionsSpec extends SparkSpec {
     }
     val small = planLen(2)
     val large = planLen(32)
-    assert(large < small * 2,
+    // additive slack, not a ratio: a 16x k increase may cost at most a
+    // few chars of stats/id noise — linear-in-k growth cannot hide here
+    assert(large < small + 200,
       s"plan grew with k: k=2 -> $small chars, k=32 -> $large chars")
   }
 
