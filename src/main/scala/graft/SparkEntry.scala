@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AlignSeries, AsOf, Ops}
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{Multimodal, TextFns, VectorFns}
 
 /** Driver contract — each entry in [[queries]] exercises one operator
   * family from SURVEY.md §2 (query names carry the §2 ids), re-expressed
@@ -1129,6 +1129,28 @@ object SparkEntry {
           (lit(64L) + h % 1857L).as("width"),
           (lit(64L) + (h / 2048L).cast("long") % 1081L).as("height"))
         .withColumn("n_pixels", col("width") * col("height"))
+    }),
+
+    // MM: REAL PNG header decode — per doc, synthesize spec-conformant
+    // PNG bytes (signature + IHDR + IEND, CRCs real) with md5-derived
+    // dimensions, then parse them BACK through the byte-level header
+    // reader on executors; the oracle predicts the same dims
+    // arithmetically. Proves the decode path end-to-end: synth →
+    // binary column → partition-batched parse → typed metadata.
+    "mm_decode_png_header" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      val dims = t(s, dir, "documents")
+        .select(col("doc_id"), (lit(1L) + h % 1023L).as("w"),
+          (lit(1L) + (h / 4096L).cast("long") % 767L).as("hh"))
+        .as[(Long, Long, Long)]
+      val recs = dims.map { case (id, w, hh) =>
+        Multimodal.MediaRecord(id, Multimodal.Synth.png(w.toInt, hh.toInt), "image/png")
+      }
+      Multimodal.decodeMeta(recs).toDF()
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"), col("ok"))
     }),
 
     // J3: as-of alignment at BAR CLOSE (alignment.py:37-110, call site
@@ -2625,6 +2647,16 @@ object SparkEntry {
         |       64 + hv % 1857 AS width,
         |       64 + (hv // 2048) % 1081 AS height,
         |       (64 + hv % 1857) * (64 + (hv // 2048) % 1081) AS n_pixels
+        |FROM h""".stripMargin,
+
+    "mm_decode_png_header" ->
+      """WITH h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(45 AS BIGINT) AS n_bytes,
+        |       1 + hv % 1023 AS width,
+        |       1 + (hv // 4096) % 767 AS height,
+        |       'png' AS format, true AS ok
         |FROM h""".stripMargin,
 
     "j3_align_close" ->

@@ -22,6 +22,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq.map(m => (m.width, m.height)) == again.toSeq.map(m => (m.width, m.height)))
   }
 
+  test("decodeHeader parses real PNG/GIF/JPEG headers to true dimensions") {
+    // PNG: dims live in IHDR as big-endian u32 at offsets 16/20
+    assert(Multimodal.decodeHeader(Multimodal.Synth.png(640, 480))
+      .contains((640, 480, "png")))
+    assert(Multimodal.decodeHeader(Multimodal.Synth.png(1, 1))
+      .contains((1, 1, "png")))
+    assert(Multimodal.decodeHeader(Multimodal.Synth.png(70000, 3))
+      .contains((70000, 3, "png"))) // > u16: exercises the full u32 read
+    // GIF: little-endian u16 logical-screen descriptor
+    assert(Multimodal.decodeHeader(Multimodal.Synth.gif(320, 200))
+      .contains((320, 200, "gif")))
+    assert(Multimodal.decodeHeader(Multimodal.Synth.gif(65535, 1))
+      .contains((65535, 1, "gif")))
+    // JPEG: SOF scan must hop the APP0 segment; height precedes width
+    assert(Multimodal.decodeHeader(Multimodal.Synth.jpeg(1920, 1080))
+      .contains((1920, 1080, "jpeg")))
+    assert(Multimodal.decodeHeader(Multimodal.Synth.jpeg(8, 8, progressive = true))
+      .contains((8, 8, "jpeg")))
+    // corrupt/truncated → None (falls back to stub downstream)
+    assert(Multimodal.decodeHeader(Multimodal.Synth.png(2, 2).take(20)).isEmpty)
+    assert(Multimodal.decodeHeader("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeHeader(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty) // SOI then EOI: no frame header
+    assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("decodeMeta routes real headers to the parser and unknowns to the stub") {
+    val ds = Seq(
+      rec(1L, Multimodal.Synth.png(123, 45)),
+      rec(2L, Multimodal.Synth.gif(77, 88)),
+      rec(3L, Multimodal.Synth.jpeg(1024, 768)),
+      rec(4L, Array[Byte](1, 2, 3, 4))).toDS().repartition(2)
+    val out = Multimodal.decodeMeta(ds).collect().sortBy(_.media_id)
+    assert(out(0).width == 123 && out(0).height == 45 && out(0).format == "png")
+    assert(out(1).width == 77 && out(1).height == 88 && out(1).format == "gif")
+    assert(out(2).width == 1024 && out(2).height == 768 && out(2).format == "jpeg")
+    assert(out(3).format == "fake" && out(3).width >= 64) // stub fallback
+    assert(out.forall(_.ok))
+  }
+
   test("resize stub bounds payload size; frame sampling explodes chunks") {
     val ds = Seq(rec(1L, Array.fill[Byte](100)(7))).toDS()
     val resized = Multimodal.resizeStub(ds, maxDim = 10).collect().head
