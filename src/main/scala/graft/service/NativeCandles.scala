@@ -297,6 +297,26 @@ object NativeCandles {
     }
   }
 
+  /** Overlay open-interest HISTORY onto a frame whose granularity is not
+    * known statically (reference `_overlay_native_oi_hist`,
+    * `service.py:1174-1186`): the bar width is INFERRED from the frame's
+    * first two rows ([[QueryService.inferFrameMinutes]] — O4), then the
+    * rows align with the standard exact-bucket pass + one-bar as-of
+    * fallback. An empty frame or absent series passes through untouched,
+    * and the fallback flag is discarded (the reference passes a throwaway
+    * notes list here). */
+  def overlayOiHist(frame: DataFrame, oiHist: Option[DataFrame],
+                    partitionCols: Seq[String] = Nil): DataFrame =
+    oiHist match {
+      case Some(rows) if !frame.isEmpty =>
+        val barMs = QueryService.inferFrameMinutes(frame) * 60000L
+        alignSeriesLazy(frame, rows, "create_time",
+          Seq("oi_contracts" -> "oi_contracts", "oi_value_usdt" -> "oi_value_usdt"),
+          barMs, partitionCols, flagCol = "__fb_used_oi_overlay")
+          .drop("__fb_used_oi_overlay")
+      case _ => frame
+    }
+
   /** Derived/delta fields appended to the enriched native frame
     * (`service.py:1188-1257`). NULL-gated exactly as the reference:
     * every derived value needs all its inputs non-null. */

@@ -21,10 +21,15 @@ import graft.sources.MinuteLakeReader
   * TTL splits stable (window fully in the past) vs recent.
   * Plain Scala service-layer code — `df.cache()` is not a substitute for
   * keyed result caching (SURVEY §4). */
+/** @param inflightWaitSeconds how long a caller that lost the in-flight
+  *        race waits for the winner's result before timing out (reference
+  *        waits indefinitely on an Event; bounded here so one wedged
+  *        compute can't park threads forever) */
 final class ResultCache[K, V](maxEntries: Int = 256,
                               stableTtlSeconds: Long = 21600,
                               recentTtlSeconds: Long = 15,
-                              now: () => Instant = () => Instant.now) {
+                              now: () => Instant = () => Instant.now,
+                              inflightWaitSeconds: Long = 300) {
 
   final case class Entry(value: V, storedAt: Instant, stable: Boolean)
   sealed trait HitType
@@ -91,7 +96,7 @@ final class ResultCache[K, V](maxEntries: Int = 256,
     if (existing != null) {
       lastHit = InFlightHit
       return scala.concurrent.Await.result(existing.future,
-        scala.concurrent.duration.Duration(300, "seconds"))
+        scala.concurrent.duration.Duration(inflightWaitSeconds, "seconds"))
     }
     try {
       val extended = bestPartial.flatMap(extend(key, _))
@@ -109,6 +114,48 @@ final class ResultCache[K, V](maxEntries: Int = 256,
   }
 
   def size: Int = synchronized(entries.size)
+}
+
+/** Per-symbol snapshot cache with a sub-second TTL + in-flight dedup
+  * (reference `_fetch_cached_native_premium_index_snapshot`,
+  * `service.py:863-917`; TTL knob `premium_index_snapshot_cache_ttl_seconds
+  * = 1.0`, `:200`): burst load on the native route collapses to ONE
+  * upstream snapshot fetch per TTL window per symbol — the rest are
+  * served from cache or await the in-flight winner. Reference semantics
+  * kept exactly: keys normalize to upper case, the clock is monotonic
+  * (injectable for tests), expired entries are evicted on read, a fetch
+  * error propagates to every waiter and is never cached, and TTL ≤ 0
+  * disables storing (every caller fetches). */
+final class SnapshotCache[V](ttlMillis: Long = 1000L,
+                             nowMillis: () => Long = () => System.nanoTime() / 1000000L,
+                             inflightWaitSeconds: Long = 30) {
+  private final case class Entry(value: V, expiresAtMillis: Long)
+  private val cache = new ConcurrentHashMap[String, Entry]()
+  private val inflight = new ConcurrentHashMap[String, Promise[V]]()
+
+  def getOrFetch(symbol: String)(fetch: => V): V = {
+    val key = symbol.toUpperCase
+    val cached = cache.get(key)
+    if (cached != null) {
+      if (cached.expiresAtMillis > nowMillis()) return cached.value
+      cache.remove(key, cached)
+    }
+    val p = Promise[V]()
+    val existing = inflight.putIfAbsent(key, p)
+    if (existing != null)
+      return scala.concurrent.Await.result(existing.future,
+        scala.concurrent.duration.Duration(inflightWaitSeconds, "seconds"))
+    try {
+      val v = fetch
+      if (ttlMillis > 0) cache.put(key, Entry(v, nowMillis() + ttlMillis))
+      p.success(v)
+      v
+    } catch {
+      case e: Throwable => p.failure(e); throw e
+    } finally inflight.remove(key)
+  }
+
+  def size: Int = cache.size
 }
 
 /** API query service (reference `live_data_api_service/service.py`,
@@ -279,15 +326,53 @@ object QueryService {
       release = () => patch.foreach { p => p.unpersist(); combined.unpersist(); () })
   }
 
+  /** Frame granularity inference (reference `_infer_frame_minutes`,
+    * `service.py:2293-2301`): read the first TWO rows by timestamp and
+    * take their gap in whole minutes, floored, clamped to ≥ 1. A frame
+    * with fewer than 2 rows, no `timestamp` column, or null leading
+    * timestamps is treated as 1-minute data — exactly the reference's
+    * fallbacks. A `limit(2)` collect — the driver reads two rows, never
+    * the frame. */
+  def inferFrameMinutes(frame: DataFrame): Int = {
+    if (!frame.columns.contains("timestamp")) return 1
+    val ts = frame.select("timestamp").orderBy("timestamp").limit(2).collect()
+    if (ts.length < 2 || ts(0).isNullAt(0) || ts(1).isNullAt(0)) 1
+    else {
+      val gapSecs = ChronoUnit.SECONDS.between(
+        ts(0).getTimestamp(0).toInstant, ts(1).getTimestamp(0).toInstant)
+      math.max((gapSecs / 60L).toInt, 1)
+    }
+  }
+
   /** One timeframe of the flagship query: aggregate the canonical
-    * window, add lag deltas, serialize (reference `service.py:1553-1693`). */
+    * window, add lag deltas, serialize (reference `service.py:1553-1693`).
+    *
+    * Granularity routing (reference `_infer_frame_minutes` consumers):
+    * the loaded frame's bar width is INFERRED from its first two rows —
+    * a window that is already at the requested timeframe (e.g. a cached
+    * aggregate replayed through the API) passes through with only the
+    * trailing-limit tail, while minute-or-finer data takes the
+    * aggregation path. 1m lake reads always infer 1 and aggregate as
+    * before. */
   def candleBars(spark: SparkSession, reader: MinuteLakeReader, symbol: String,
                  timeframe: String, start: Instant, end: Instant,
                  limit: Int = 200): DataFrame = {
     val spec = Timeframes.parse(timeframe)
     val (window, _) = loadCanonicalWindow(spark, reader, symbol, start, end)
-    val agg = QueryAggregator.aggregateCanonicalFrame(window, spec, limit)
-    serializeFrame(QueryAggregator.addDeltaFields(agg))
+    candleBarsFromFrame(window, spec, limit)
+  }
+
+  /** The aggregate-vs-passthrough core of [[candleBars]], callable on any
+    * canonical-shaped frame (lake window, cached replay, test fixture). */
+  def candleBarsFromFrame(window: DataFrame, spec: graft.schema.TimeframeSpec,
+                          limit: Int): DataFrame = {
+    val inferred = inferFrameMinutes(window)
+    val bars =
+      if (inferred > 1 && spec.fixedMinutes.contains(inferred.toLong))
+        window.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
+      else
+        QueryAggregator.aggregateCanonicalFrame(window, spec, limit)
+    serializeFrame(QueryAggregator.addDeltaFields(bars))
   }
 
   /** Cache-fronted candle loading (reference `load_candle_bars`'s cache
@@ -416,11 +501,21 @@ object QueryService {
     * from typed kline records, enriched with the auxiliary series, then
     * tailed and serialized. Returns the frame plus the planner +
     * enrichment notes the API surfaces as metadata, and the enrichment
-    * release handle so a long-lived service can unpersist after serving. */
+    * release handle so a long-lived service can unpersist after serving.
+    *
+    * `premiumSnapshot` is the LIVE premium-index snapshot fetch
+    * (reference `service.py:1524-1543`) — callers front it with a
+    * [[SnapshotCache]] so burst load costs one upstream fetch per TTL
+    * window. When the snapshot's event time falls inside the latest
+    * bar's open span, that bar's `next_funding_time` is overwritten from
+    * the snapshot (it is a live-only column, NULL on historical fetches)
+    * and the reference's note is emitted. A snapshot failure degrades to
+    * the un-overlaid frame, as in the reference. */
   def nativeCandleBars(klines: DataFrame, aux: NativeCandles.AuxSeries,
                        timeframe: String, limit: Int = 200,
                        config: Capabilities.FetchPlannerConfig =
-                         Capabilities.FetchPlannerConfig()): NativeCandleResult = {
+                         Capabilities.FetchPlannerConfig(),
+                       premiumSnapshot: Option[() => graft.sources.RestEndpoints.PremiumSnapshot] = None): NativeCandleResult = {
     val decision = Capabilities.planTimeframeFetch(timeframe, config)
     require(decision.candleSource == "binance_native",
       s"planner chose ${decision.candleSource} for $timeframe — use candleBars")
@@ -430,8 +525,33 @@ object QueryService {
       decision.binanceInterval.get)
     val tailed = enriched.frame
       .orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
-    NativeCandleResult(serializeFrame(tailed), decision.notes ++ enriched.notes,
-      enriched.release)
+    val (overlaid, snapNotes) = premiumSnapshot match {
+      case Some(fetch) =>
+        try {
+          val latest = tailed.agg(max(col("timestamp"))).collect().head
+          if (latest.isNullAt(0)) (tailed, Nil)
+          else {
+            val snap = fetch()
+            val latestTs = latest.getTimestamp(0)
+            val latestMs = latestTs.toInstant.toEpochMilli
+            val barCloseMs = latestMs +
+              spec.fixedMinutes.getOrElse(1L) * 60000L
+            if (latestMs <= snap.event_time && snap.event_time <= barCloseMs)
+              (tailed.withColumn("next_funding_time",
+                when(col("timestamp") === lit(latestTs), lit(snap.next_funding_time))
+                  .otherwise(col("next_funding_time"))),
+               Seq("using_current_snapshot_only_for_next_funding_time"))
+            else (tailed, Nil)
+          }
+        } catch {
+          // reference logs the warning and serves without the overlay
+          case scala.util.control.NonFatal(_) =>
+            (tailed, Seq("premium_index_snapshot_fetch_failed"))
+        }
+      case None => (tailed, Nil)
+    }
+    NativeCandleResult(serializeFrame(overlaid),
+      decision.notes ++ enriched.notes ++ snapNotes, enriched.release)
   }
 
   /** Indicator payload (reference `live_indicators/service.py:32-238`):

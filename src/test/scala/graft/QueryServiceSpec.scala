@@ -84,6 +84,80 @@ class QueryServiceSpec extends SparkSpec {
     assert(computed.last == "full-3")
   }
 
+  test("premium snapshot cache: 1s TTL, dedup under burst, errors never cached (service.py:863-917,200)") {
+    import graft.service.SnapshotCache
+    var clock = 0L
+    val fetches = new AtomicInteger(0)
+    val cache = new SnapshotCache[String](ttlMillis = 1000L, nowMillis = () => clock)
+    def fetch(): String = { fetches.incrementAndGet(); s"snap@$clock" }
+
+    // burst inside one TTL window → ONE upstream fetch
+    val first = cache.getOrFetch("btcusdt")(fetch())
+    (1 to 20).foreach(_ => assert(cache.getOrFetch("BTCUSDT")(fetch()) == first))
+    assert(fetches.get == 1) // key normalization: btcusdt == BTCUSDT
+    clock = 999L
+    assert(cache.getOrFetch("BTCUSDT")(fetch()) == first && fetches.get == 1)
+    // past the TTL → exactly one more fetch
+    clock = 1001L
+    val second = cache.getOrFetch("BTCUSDT")(fetch())
+    assert(second == "snap@1001" && fetches.get == 2)
+    // per-symbol keying: a different symbol fetches independently
+    assert(cache.getOrFetch("ETHUSDT")(fetch()) == "snap@1001" && fetches.get == 3)
+
+    // concurrent burst: N threads, cold key → one fetch, all share it
+    val cold = new SnapshotCache[String](ttlMillis = 1000L, nowMillis = () => 0L)
+    val n = new AtomicInteger(0)
+    val results = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      results.add(cold.getOrFetch("BTCUSDT") {
+        Thread.sleep(50); n.incrementAndGet(); "one"
+      })))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(n.get == 1 && results.size == 8)
+    results.forEach(r => assert(r == "one"))
+
+    // a failed fetch propagates and is NOT cached — the next call retries
+    val failing = new SnapshotCache[String](ttlMillis = 1000L, nowMillis = () => 0L)
+    assertThrows[RuntimeException](
+      failing.getOrFetch("BTCUSDT")(throw new RuntimeException("boom")))
+    assert(failing.getOrFetch("BTCUSDT")("recovered") == "recovered")
+
+    // TTL <= 0 disables storing: every caller fetches (reference max(ttl, 0))
+    val off = new SnapshotCache[String](ttlMillis = 0L, nowMillis = () => 0L)
+    val m = new AtomicInteger(0)
+    off.getOrFetch("X") { m.incrementAndGet(); "a" }
+    off.getOrFetch("X") { m.incrementAndGet(); "b" }
+    assert(m.get == 2)
+  }
+
+  test("result cache: concurrent same-key calls share ONE compute; waiters respect the wait bound") {
+    // N threads, one key → exactly one compute, everyone gets its value
+    val cache = new ResultCache[String, String]()
+    val computes = new AtomicInteger(0)
+    val results = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      results.add(cache.getOrCompute("k", stable = true) {
+        Thread.sleep(100); computes.incrementAndGet(); "value"
+      })))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(computes.get == 1 && results.size == 8)
+    results.forEach(r => assert(r == "value"))
+
+    // a waiter parks no longer than inflightWaitSeconds (was hard-coded 300)
+    val bounded = new ResultCache[String, String](inflightWaitSeconds = 0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val finish = new java.util.concurrent.CountDownLatch(1)
+    val owner = new Thread(() => {
+      bounded.getOrCompute("slow", stable = true) {
+        started.countDown(); finish.await(); "late"
+      }; ()
+    })
+    owner.start(); started.await()
+    assertThrows[java.util.concurrent.TimeoutException](
+      bounded.getOrCompute("slow", stable = true)("never-computed"))
+    finish.countDown(); owner.join()
+  }
+
   test("cached candle service: exact/superset/partial front over compute (service.py:1877-1960)") {
     import graft.service.QueryService.CachedCandleService
     val cache = new ResultCache[(String, String, Int, Long), Seq[(Long, String)]]()
@@ -209,6 +283,78 @@ class QueryServiceSpec extends SparkSpec {
     assert(bars.count() == 1)
     assert(bars.select("timestamp").head.getString(0) == "2026-01-15T10:00:00.000Z")
     assert(bars.columns.contains("cvd_btc") && bars.columns.contains("vwap_bar"))
+  }
+
+  test("O4: frame granularity inference + aggregate-vs-passthrough routing (service.py:2293-2301)") {
+    def frameOf(gapsSecs: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      val t0 = instant("2026-01-15T10:00:00Z")
+      gapsSecs.scanLeft(0L)(_ + _).dropRight(1)
+        .map(s => Tuple1(java.sql.Timestamp.from(t0.plusSeconds(s))))
+        .toDF("timestamp")
+    }
+    // < 2 rows, missing column, null leading ts → 1 (reference fallbacks)
+    assert(QueryService.inferFrameMinutes(frameOf(Seq(60L))) == 1)
+    assert(QueryService.inferFrameMinutes(Seq(1).toDF("x")) == 1)
+    assert(QueryService.inferFrameMinutes(
+      Seq(Option.empty[java.sql.Timestamp], Some(java.sql.Timestamp.from(Instant.now)))
+        .toDF("timestamp")) == 1)
+    // 5m gap → 5; 90s gap floors to 1; sub-minute clamps to 1
+    assert(QueryService.inferFrameMinutes(frameOf(Seq(300L, 300L))) == 5)
+    assert(QueryService.inferFrameMinutes(frameOf(Seq(90L, 90L))) == 1)
+    assert(QueryService.inferFrameMinutes(frameOf(Seq(10L, 10L))) == 1)
+    // inference sorts first — reversed input gives the same answer
+    val t0 = instant("2026-01-15T10:00:00Z")
+    val rev = Seq(600L, 300L, 0L)
+      .map(s => Tuple1(java.sql.Timestamp.from(t0.plusSeconds(s)))).toDF("timestamp")
+    assert(QueryService.inferFrameMinutes(rev) == 5)
+
+    // routing: a 1m canonical window AGGREGATES; the resulting 5m frame
+    // replayed through the same entry point PASSES THROUGH (re-aggregating
+    // it as minute data would gate every bucket incomplete and drop all
+    // bars — the reference's cached-frame replay case)
+    val spec = graft.schema.Timeframes.parse("5m")
+    val minutes = (0 until 10).map { i =>
+      (java.sql.Timestamp.from(t0.plusSeconds(60L * i)),
+        100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1.0, 100000.0)
+    }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+    val window = graft.operators.MinuteBuilder.finalizeSchema(
+      minutes.withColumn("trade_count", lit(10L)))
+    val viaAggregate = QueryService.candleBarsFromFrame(window, spec, 10)
+    assert(viaAggregate.count() == 2)
+
+    val fiveMin = graft.operators.QueryAggregator
+      .aggregateCanonicalFrame(window, spec, 10)
+    assert(QueryService.inferFrameMinutes(fiveMin) == 5)
+    val viaPassthrough = QueryService.candleBarsFromFrame(fiveMin, spec, 10)
+    val pt = viaPassthrough.select("timestamp", "close").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ag = viaAggregate.select("timestamp", "close").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(pt.toSeq == ag.toSeq) // same bars, no re-bucketing
+    // and the naive path really does destroy the frame: every 5m bucket
+    // sees 1 row != 5 expected minutes → complete-bar gate drops it
+    assert(graft.operators.QueryAggregator
+      .aggregateCanonicalFrame(fiveMin, spec, 10).count() == 0)
+    // limit applies on the passthrough path too
+    assert(QueryService.candleBarsFromFrame(fiveMin, spec, 1).count() == 1)
+
+    // overlay consumer (service.py:1174-1186): the INFERRED 5m width
+    // drives the bucket floor — an OI row at 10:07 floors to the 10:05
+    // bucket and attaches to the 10:05 bar exactly; the 10:00 bar picks
+    // it up through the one-bar as-of fallback (exact pass didn't fill
+    // every bar, so aligned-wins applies — same semantics as j2). With
+    // a naive 1m width the row would floor to 10:07, past both bar
+    // closes, and attach to NOTHING.
+    val oi = Seq((t0.plusSeconds(7 * 60).toEpochMilli, 1234.0, 5678.0))
+      .toDF("create_time", "oi_contracts", "oi_value_usdt")
+    val overlaid = graft.service.NativeCandles.overlayOiHist(fiveMin, Some(oi))
+    val got = overlaid.select("timestamp", "oi_contracts").collect()
+      .map(r => (r.getTimestamp(0).toInstant, Option(r.get(1))))
+      .toMap
+    assert(got(t0.plusSeconds(300)) == Some(1234.0))
+    assert(got(t0) == Some(1234.0))
+    // empty frame / absent series pass through untouched
+    assert(graft.service.NativeCandles.overlayOiHist(fiveMin, None) eq fiveMin)
   }
 
   test("BTC local-only route: HTF direct, 1m fallback, best-partial (service.py:1729-1831)") {
@@ -416,6 +562,32 @@ class QueryServiceSpec extends SparkSpec {
     // a non-native timeframe refuses the native route
     assertThrows[IllegalArgumentException](
       QueryService.nativeCandleBars(klines, aux, "2h"))
+
+    // premium snapshot overlay (service.py:1524-1543): an event inside
+    // the LATEST bar's open span overwrites next_funding_time on that
+    // bar only (live-only column, NULL historically)
+    val nextFunding = t0 + 8 * h
+    val snap = graft.sources.RestEndpoints.PremiumSnapshot(
+      105.0, 104.9, 0.0001, nextFunding, 0.0002,
+      event_time = t0 + 2 * h + 1800000L)
+    val withSnap = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2,
+      premiumSnapshot = Some(() => snap))
+    val nf = withSnap.frame.select("timestamp", "next_funding_time")
+      .orderBy("timestamp").collect()
+    assert(nf(0).isNullAt(1))
+    assert(nf(1).getLong(1) == nextFunding)
+    assert(withSnap.notes.contains("using_current_snapshot_only_for_next_funding_time"))
+    // a snapshot from OUTSIDE the latest bar's span attaches nothing
+    val stale = snap.copy(event_time = t0)
+    val noOv = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2,
+      premiumSnapshot = Some(() => stale))
+    assert(noOv.frame.select("next_funding_time").collect().forall(_.isNullAt(0)))
+    assert(!noOv.notes.contains("using_current_snapshot_only_for_next_funding_time"))
+    // a failed snapshot fetch degrades to the un-overlaid frame
+    val failed = QueryService.nativeCandleBars(klines, aux, "1h", limit = 2,
+      premiumSnapshot = Some(() => throw new RuntimeException("snapshot down")))
+    assert(failed.frame.count() == 2)
+    assert(failed.notes.contains("premium_index_snapshot_fetch_failed"))
   }
 
   test("resolve_end_time: explicit floor, watermark clamp within tolerance (service.py:944-966)") {
