@@ -387,6 +387,24 @@ object SparkEntry {
              count(lit(1)).as("n_items"))
     }),
 
+    // J10: salted equi-join on a pathologically skewed key — event_type
+    // has ~5 distinct values over the whole fact table, so an unsalted
+    // shuffle join lands each key in ONE task. Ops.saltedJoin fans the
+    // hot keys over 8 salt buckets (deterministic hash salt, small side
+    // replicated). The ORACLE runs the plain unsalted join: a hash match
+    // proves salted == unsalted row-for-row.
+    "j10_salted_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(round(avg(col("value")), 4).as("type_avg"))
+      Ops.saltedJoin(ev, dim, Seq("event_type"),
+          saltSource = col("event_id"), saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             round(sum(col("value") - col("type_avg")), 4).as("sum_dev"),
+             round(max(col("value") + col("type_avg")), 4).as("max_sum"))
+    }),
+
     // A1: trade→minute aggregation with guarded VWAP and buy/sell split
     // (minute_builder.py:244-259).
     "a1_minute_trade_agg" -> ((s, dir) => {
@@ -1902,6 +1920,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "j10_salted_skew_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 4) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       count(*) AS n_rows,
+        |       round(sum(e.value - d.type_avg), 4) AS sum_dev,
+        |       round(max(e.value + d.type_avg), 4) AS max_sum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin,
 
     "a1_minute_trade_agg" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
