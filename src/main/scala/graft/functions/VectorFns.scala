@@ -151,7 +151,15 @@ object VectorFns {
     *
     * Reserves the working column `__planes` (same `__`-prefix convention
     * as [[kmeansLloyd]]'s `__cents`/`__cluster`/`__h`): input columns
-    * must not collide with it. */
+    * must not collide with it.
+    *
+    * SIZING: candidate pairs within a bucket are quadratic in bucket
+    * occupancy, so `numPlanes` must TRACK the corpus — pick
+    * `numPlanes ≈ log2(n / targetBucketSize)` (e.g. ~2^7 rows per
+    * bucket) rather than a fixed constant; the sf0.1→sf1 scale probe
+    * (SURVEY §8.10) shows a fixed plane count going quadratic at 10×
+    * data. The plan stays O(1) regardless — only the broadcast row
+    * grows, by dim×8 bytes per extra plane. */
   def withHyperplaneBucket(df: DataFrame, vecCol: String, bucketCol: String,
                            dim: Int, numPlanes: Int, seed: Int = 7): DataFrame = {
     require(!df.columns.contains("__planes"),

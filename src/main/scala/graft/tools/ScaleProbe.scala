@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger scale factor from an existing testdata directory by
+  * replicating fact tables `copies`× with remapped keys — the sf1 probe
+  * the bench annex uses (the driver ships sf0.001/0.01/0.1 only).
+  *
+  * The derivation is PERF-ONLY data (never used for oracle correctness):
+  *
+  *  - fact keys offset by `copy * 1e8` per copy (events/users/orders/
+  *    customers/documents/vectors), so key cardinality grows with data —
+  *    horizontal growth, the realistic scale dimension;
+  *  - document text gets a per-copy suffix and embeddings a per-copy
+  *    first-component nudge, so the copies are NOT exact duplicates and
+  *    dedup/ANN queries keep realistic selectivity instead of exploding
+  *    on 10-way duplicate clusters;
+  *  - timestamps are left alone: the same window densifies 10×, which
+  *    stresses per-bucket aggregation the way a busier lake would;
+  *  - dimension tables (nation/region/part/supplier) stay fixed —
+  *    dims don't grow with fact volume, and keeping them small preserves
+  *    the broadcast-join shape the engine is designed around.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe <srcDir> <dstDir> [copies]"`
+  * then `SPARK_GRAFT_SF_DIR=<dstDir> sbt "runMain graft.Bench"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS): surfaces as epoch-ns long; the
+      // copy writes it back as int64, which SparkEntry.t() converts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val offset = 100000000L
+    def scaled(table: String)(remap: DataFrame => DataFrame): Unit = {
+      val rep = spark.read.parquet(s"$src/$table.parquet")
+        .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+      remap(rep).drop("__c").coalesce(8)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    def off(c: String) = col(c) + col("__c") * offset
+
+    scaled("customer")(_.withColumn("c_custkey", off("c_custkey")))
+    scaled("documents")(_
+      .withColumn("doc_id", off("doc_id"))
+      .withColumn("text", when(col("__c") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" cp"), col("__c"))))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    scaled("embeddings")(_
+      .withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> " +
+          "IF(i = 0, cast(x + __c * 0.001d as float), x))")))
+    scaled("events")(_
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id")))
+    scaled("lineitem")(_.withColumn("l_orderkey", off("l_orderkey")))
+    scaled("orders")(_
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey")))
+    for (t <- Seq("nation", "region", "part", "supplier"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    spark.stop()
+  }
+}
