@@ -885,6 +885,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
     }),
 
+    // DEDUP guard: hot-bucket cap with ACCOUNTED drops — the occupancy
+    // histogram of the minhash band buckets, split by the cap through
+    // Ops.capBucketOccupancy (kept side recomputed from the surviving
+    // rows, dropped side from the guard's accounting frame — proving
+    // both halves), vs DuckDB's plain HAVING split. In-bucket pair work
+    // is quadratic in occupancy, so production LSH pipelines run their
+    // self-join behind this guard and log the dropped-buckets frame.
+    "dedup_bucket_cap_guard" -> ((s, dir) => {
+      val withSig = t(s, dir, "documents")
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+      val bandExprs = (0 until 8).map { b =>
+        md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+          col("sig").getItem(b * 2 + 1).cast("string")))
+      }
+      val bands = withSig
+        .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+      val (kept, dropped) = Ops.capBucketOccupancy(bands, Seq("bucket"), cap = 2)
+      val keptHist = kept.groupBy("bucket")
+        .agg(count(lit(1)).as("occupancy"))
+        .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+        .withColumn("kept", lit(true))
+      val dropHist = dropped
+        .groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+        .withColumn("kept", lit(false))
+      keptHist.unionByName(dropHist)
+    }),
+
     // DEDUP end-game: LSH candidate pairs are edges of an undirected
     // graph; its connected components are the duplicate clusters, and
     // the min doc_id per cluster is the canonical survivor (the
@@ -2288,6 +2315,14 @@ object SparkEntry {
         s"  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard " +
         s"FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b"
     },
+
+    "dedup_bucket_cap_guard" ->
+      (s"WITH $minhashBandsCtes, " +
+        "occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS occupancy " +
+        "        FROM bands GROUP BY 1) " +
+        "SELECT occupancy, CAST(count(*) AS BIGINT) AS n_buckets, " +
+        "       occupancy <= 2 AS kept " +
+        "FROM occ GROUP BY occupancy"),
 
     // Duplicate clusters + canonical pick: DuckDB computes the same
     // components with a recursive reachability CTE (min reachable id

@@ -128,6 +128,30 @@ object Ops {
     *                   monotonic id or event id) — hashed, not random,
     *                   so retries/replays salt identically
     */
+  /** Hot-bucket guard for LSH-style candidate generation: self-joining
+    * on a bucket key is quadratic in bucket occupancy, so one
+    * pathological bucket (a boilerplate shingle, a degenerate embedding
+    * region) can dominate the whole job. Splits `df` into rows whose
+    * bucket holds ≤ `cap` rows and a per-bucket accounting frame of the
+    * DROPPED buckets `(bucketCols…, occupancy)` — callers must surface
+    * the drops (log/metric/audit output), never swallow them: a capped
+    * pipeline that reports nothing reads as "covered everything".
+    *
+    * One partial-aggregated count + a semi/anti join pair — the count
+    * frame carries one row per bucket, so the guard costs far less than
+    * the quadratic work it prevents. (At LSH sizing `numPlanes ≈
+    * log2(n/targetBucketSize)` the cap should rarely fire; it exists for
+    * the skew the sizing rule can't see, e.g. near-constant vectors.) */
+  def capBucketOccupancy(df: DataFrame, bucketCols: Seq[String],
+                         cap: Long): (DataFrame, DataFrame) = {
+    val occ = df.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("occupancy"))
+    val kept = df.join(
+      occ.where(col("occupancy") <= cap).select(bucketCols.map(col): _*),
+      bucketCols, "left_semi")
+    (kept, occ.where(col("occupancy") > cap))
+  }
+
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltSource: Column, saltBuckets: Int,
                  joinType: String = "inner"): DataFrame = {

@@ -147,4 +147,21 @@ class OpsSpec extends SparkSpec {
     assert(left.where(col("k") === "c2").head.isNullAt(
       left.columns.indexOf("w")))
   }
+
+  test("capBucketOccupancy splits hot buckets out and accounts for every drop") {
+    // bucket "hot" holds 5 rows, "warm" 3, "cold" 1 — cap at 3
+    val df = (Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (b, i) => (b, i.toLong) }.toDF("bucket", "id")
+    val (kept, dropped) = Ops.capBucketOccupancy(df, Seq("bucket"), cap = 3)
+    assert(kept.select("bucket").distinct().collect().map(_.getString(0)).toSet ==
+      Set("warm", "cold"))
+    assert(kept.count() == 4) // every row of every surviving bucket
+    val d = dropped.collect()
+    assert(d.length == 1 && d.head.getString(0) == "hot" && d.head.getLong(1) == 5)
+    // kept + dropped account for the full input — nothing silently lost
+    assert(kept.count() + d.map(_.getLong(1)).sum == df.count())
+    // cap >= max occupancy: pass-through, empty drop accounting
+    val (all, none) = Ops.capBucketOccupancy(df, Seq("bucket"), cap = 5)
+    assert(all.count() == df.count() && none.isEmpty)
+  }
 }
