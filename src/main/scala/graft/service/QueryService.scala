@@ -20,8 +20,9 @@ import graft.sources.MinuteLakeReader
   * dedup (concurrent identical requests share one computation).
   * TTL splits stable (window fully in the past) vs recent.
   * Plain Scala service-layer code — `df.cache()` is not a substitute for
-  * keyed result caching (SURVEY §4). */
-/** @param inflightWaitSeconds how long a caller that lost the in-flight
+  * keyed result caching (SURVEY §4).
+  *
+  * @param inflightWaitSeconds how long a caller that lost the in-flight
   *        race waits for the winner's result before timing out (reference
   *        waits indefinitely on an Event; bounded here so one wedged
   *        compute can't park threads forever) */
