@@ -387,6 +387,41 @@ object SparkEntry {
              count(lit(1)).as("n_items"))
     }),
 
+    // P9: serialization scrub + aliasing (utils.py:73-110) through the
+    // REAL service serializer: `_`-prefixed internal columns dropped,
+    // vwap_1m aliased to the timeframe-neutral vwap_bar (deprecated
+    // original dropped), timestamps ISO-8601 with exactly 3 fraction
+    // digits. DuckDB mirrors the surviving columns and the format.
+    "p9_serialize_scrub" -> ((s, dir) => {
+      val agg = eventsK(s, dir).groupBy("minute").agg(
+        round(avg(col("value")), 4).as("vwap_1m"),
+        count(lit(1)).as("_internal_count"),
+        round(max(col("value")), 4).as("high"))
+        .withColumnRenamed("minute", "timestamp")
+      graft.service.QueryService.serializeFrame(agg)
+    }),
+
+    // U1: relaxed vertical concat (vision_loader.py:254) — frames with
+    // DIFFERENT column sets union by name, absent columns null-padded
+    // (`unionByName(allowMissingColumns = true)`); the aggregation
+    // proves both the row union and the null-padding. DuckDB mirrors
+    // with explicit NULL-aligned UNION ALL.
+    "u1_union_relaxed" -> ((s, dir) => {
+      val base = eventsK(s, dir)
+      val purchases = base.where(col("event_type") === "purchase")
+        .select(col("minute"), col("value").as("purchase_value"))
+      val views = base.where(col("event_type") === "view")
+        .select(col("minute"), col("value").as("view_value"), col("user_id"))
+      purchases.unionByName(views, allowMissingColumns = true)
+        .groupBy("minute")
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("purchase_value")).as("n_purchase"),
+             count(col("view_value")).as("n_view"),
+             count(col("user_id")).as("n_users_present"),
+             round(sum(coalesce(col("purchase_value"), col("view_value"))), 4)
+               .as("sum_value"))
+    }),
+
     // J10: salted equi-join on a pathologically skewed key — event_type
     // has ~5 distinct values over the whole fact table, so an unsalted
     // shuffle join lands each key in ONE task. Ops.saltedJoin fans the
@@ -1947,6 +1982,31 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "p9_serialize_scrub" ->
+      """WITH e AS (SELECT date_trunc('minute', ts) AS minute, value FROM events)
+        |SELECT strftime(minute, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS timestamp,
+        |       round(max(value), 4) AS high,
+        |       round(avg(value), 4) AS vwap_bar
+        |FROM e GROUP BY minute""".stripMargin,
+
+    "u1_union_relaxed" ->
+      """WITH e AS (SELECT date_trunc('minute', ts) AS minute, event_type,
+        |                  value, user_id FROM events),
+        |u AS (
+        |  SELECT minute, value AS purchase_value,
+        |         NULL::DOUBLE AS view_value, NULL::BIGINT AS user_id
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT minute, NULL::DOUBLE AS purchase_value,
+        |         value AS view_value, user_id
+        |  FROM e WHERE event_type = 'view')
+        |SELECT minute, count(*) AS n_rows,
+        |       count(purchase_value) AS n_purchase,
+        |       count(view_value) AS n_view,
+        |       count(user_id) AS n_users_present,
+        |       round(sum(coalesce(purchase_value, view_value)), 4) AS sum_value
+        |FROM u GROUP BY minute""".stripMargin,
 
     "j10_salted_skew_join" ->
       """WITH dim AS (
