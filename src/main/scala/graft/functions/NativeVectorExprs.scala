@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -83,15 +83,120 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native 32-bit SimHash over pre-hashed tokens (`array<bigint>`) — the
+  * second kernel hot enough for tier (b): the SQL formulation runs 32
+  * separate `aggregate` lambda passes over the hash array per row (one
+  * per bit), while this accumulates all 32 bit-votes in ONE primitive
+  * loop with an `int[32]` of counters, then packs the sign bits.
+  *
+  * Semantics are IDENTICAL to the SQL form
+  * `Σ_b (case when (Σ_x ±1 by (x div 2^b) % 2) > 0 then 2^b else 0)`:
+  * votes use Java `/` and `%` (same truncation/sign rules as Spark's
+  * `div`/`%` on longs, exact for any input including negatives), a null
+  * ELEMENT votes −1 on every bit (`CASE WHEN NULL = 1` falls to the
+  * else branch in SQL), an empty array yields 0, and a null ARRAY also
+  * yields 0 — NOT null — because in the SQL form every per-bit CASE
+  * falls to `else 0` when the aggregate is null, and the sum of 32
+  * zeros is 0. Every oracle-checked simhash is bit-unchanged. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash32 requires array<bigint>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val h = child.eval(input)
+    if (h == null) return 0L
+    val arr = h.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 32) { counts(b) -= 1; b += 1 }
+      } else {
+        val x = arr.getLong(i)
+        var b = 0
+        while (b < 32) {
+          counts(b) += (if ((x / (1L << b)) % 2L == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) res |= 1L << b; b += 1 }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val x = ctx.freshName("x")
+    val counts = ctx.freshName("counts")
+    val res = ctx.freshName("res")
+    val body =
+      s"""
+         |long $res = 0L;
+         |if (!${childGen.isNull}) {
+         |  int $n = $a.numElements();
+         |  int[] $counts = new int[32];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) {
+         |      for (int $b = 0; $b < 32; $b++) $counts[$b] -= 1;
+         |    } else {
+         |      long $x = $a.getLong($i);
+         |      for (int $b = 0; $b < 32; $b++) {
+         |        $counts[$b] += ((($x / (1L << $b)) % 2L) == 1L) ? 1 : -1;
+         |      }
+         |    }
+         |  }
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ($counts[$b] > 0) $res |= (1L << $b);
+         |  }
+         |}
+       """.stripMargin
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"${childGen.code}$body",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(res, LongType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
+  private val simhashIdent = FunctionIdentifier("graft_simhash32")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  private def simhashInfo =
+    new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
     DotProduct(children.head, children(1))
+  }
+
+  private def simhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"graft_simhash32 expects 1 argument, got ${children.size}")
+    SimHash32(children.head)
   }
 
   /** Runtime registration for sessions not built with
@@ -99,11 +204,13 @@ object NativeVectorExprs {
     * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotIdent))
-      registry.registerFunction(dotIdent, dotInfo, dotBuilder _)
+    injectables.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
   }
 
   private[graft] def injectables
     : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((dotIdent, dotInfo, dotBuilder))
+    Seq((dotIdent, dotInfo, dotBuilder _), (simhashIdent, simhashInfo, simhashBuilder _))
 }

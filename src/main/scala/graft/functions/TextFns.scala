@@ -84,12 +84,14 @@ object TextFns {
       bound(shingleHashesSql("__tk", shingleN), "__hs")(
         minhashArraySql("__hs", numPerm))))
 
-  /** 32-bit SimHash straight from text (tokens + 32-bit hashes bound —
-    * the 32 bit-votes share one tokenization and one md5 pass). */
+  /** 32-bit SimHash straight from text (tokens bound — one tokenization
+    * and one md5 pass, then the native single-pass vote kernel
+    * [[SimHash32]]; sessions must run [[NativeVectorExprs.register]] or
+    * load [[graft.GraftExtensions]]). */
   def simhash32FromText(textCol: String): Column =
     expr(bound(tokensSql(textCol), "__tk")(
-      bound("transform(__tk, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))",
-            "__hs")(simhashSql("__hs"))))
+      "graft_simhash32(transform(__tk, t -> " +
+        "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)))"))
 
   /** Document fingerprint: md5 of lower-cased whitespace-collapsed text
     * (exact-dedup key). */
@@ -198,8 +200,10 @@ object TextFns {
   def tokenHashes32(tokCol: String): Column =
     expr(s"transform($tokCol, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))")
 
-  /** 32-bit SimHash from pre-hashed tokens: per bit, sum +1/-1 votes by
-    * the hash's bit value, then pack the sign bits into a bigint. */
+  /** 32-bit SimHash from pre-hashed tokens — the HOF REFERENCE form (32
+    * `aggregate` passes, one per bit), kept as the cross-check for the
+    * native single-pass kernel [[SimHash32]] that [[simhash32FromText]]
+    * uses on the hot path; FunctionsSpec pins the two bit-identical. */
   def simhash32FromHashes(hashCol: String): Column =
     expr(simhashSql(hashCol))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotProduct, TextFns, VectorFns}
+import graft.functions.{DotProduct, SimHash32, TextFns, VectorFns}
 
 /** TextFns / VectorFns unit coverage. The one-shot `...FromText` forms
   * exist for plan quality (token array bound to a lambda variable so
@@ -157,6 +157,40 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.select(VectorFns.dot("a", "b")).head.isNullAt(0))
     assertThrows[org.apache.spark.sql.AnalysisException](
       Seq((1, "x")).toDF("id", "a").select(expr("graft_dot(a, a)")).collect())
+  }
+
+  test("native graft_simhash32 is bit-identical to the HOF formulation, incl. edges") {
+    // empty array, single token, negative longs (div/% truncation-sign
+    // semantics), null elements (vote -1 on every bit in both forms)
+    val rows = Seq(
+      (1L, Some(Seq[Option[Long]]())),
+      (2L, Some(Seq[Option[Long]](Some(0L)))),
+      (3L, Some(Seq[Option[Long]](Some(0xffffffffL), Some(0x12345678L), Some(7L)))),
+      (4L, Some(Seq[Option[Long]](Some(-3L), Some(-4L), Some(5L)))),
+      (5L, Some(Seq[Option[Long]](Some(42L), None, Some(42L)))),
+      (6L, Option.empty[Seq[Option[Long]]]))
+      .toDF("id", "hs")
+    val both = rows.select(col("id"),
+      expr("graft_simhash32(hs)").as("native"),
+      TextFns.simhash32FromHashes("hs").as("hof")).collect()
+    for (r <- both) {
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch on id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2),
+          s"id ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+    // interpreted eval agrees with codegen
+    val one = SimHash32(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0xffffffffL, 7L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val viaSql = spark.sql("select graft_simhash32(array(4294967295, 7))")
+      .head.getLong(0)
+    assert(one.eval(null) == viaSql)
+    // wrong element type rejected at analysis
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      Seq((1, Seq(1.5))).toDF("id", "hs")
+        .select(expr("graft_simhash32(hs)")).collect())
   }
 
   test("hyperplane bucket is deterministic and bounded") {
