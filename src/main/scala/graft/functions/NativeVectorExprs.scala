@@ -179,14 +179,108 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The one-pass MinHash loop behind [[MinHashSig]], shared by
+  * interpreted eval and generated code (the codegen emits ONE static
+  * call, so the expression stays inside whole-stage codegen without a
+  * 3-level inline loop nest). Permutation constants are
+  * [[TextFns.minhashPerm]]'s, cached per signature width. */
+object MinHashKernel {
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def perms(numPerm: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numPerm, { n =>
+      val ps = (0 until n).map(TextFns.minhashPerm)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
+
+  /** Mirrors `array(array_min(transform(hs, h -> (a_p*(h%2^32)+b_p)%P)),
+    * …)` exactly: null ELEMENTS are skipped (array_min semantics), an
+    * empty/all-null/NULL input yields an array of numPerm nulls (the
+    * SQL outer `array(...)` literal is never null; its elements are),
+    * and the arithmetic is the same exact sub-2^53 long math. */
+  def compute(arr: ArrayData, numPerm: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (arr == null) return new GenericArrayData(new Array[Any](numPerm))
+    val (as, bs) = perms(numPerm)
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var any = false
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val hm = arr.getLong(i) % 4294967296L
+        var p = 0
+        while (p < numPerm) {
+          val v = (as(p) * hm + bs(p)) % TextFns.MinhashPrime
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) new GenericArrayData(new Array[Any](numPerm))
+    else new GenericArrayData(mins.map(java.lang.Long.valueOf(_): Any))
+  }
+}
+
+/** Native MinHash signature over pre-hashed shingles (`array<bigint>`) —
+  * third tier-(b) kernel: the SQL formulation runs `numPerm` separate
+  * `array_min(transform(...))` lambda passes per row (16 on the dedup
+  * path, feeding FOUR oracle queries); this computes every permutation
+  * minimum in one pass. Bit-identical (exact integer math — see
+  * [[MinHashKernel.compute]]); the HOF form stays as the spec
+  * cross-check. */
+case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numPerm > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires a positive permutation count, got $numPerm")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<bigint>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    MinHashKernel.compute(
+      child.eval(input).asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val res = ctx.freshName("sig")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $res =
+        |  graft.functions.MinHashKernel.compute(
+        |    ${childGen.isNull} ? null : ${childGen.value}, $numPerm);
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(res, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
   private val simhashIdent = FunctionIdentifier("graft_simhash32")
+  private val minhashIdent = FunctionIdentifier("graft_minhash")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
     new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
+  private def minhashInfo =
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -197,6 +291,19 @@ object NativeVectorExprs {
     require(children.size == 1,
       s"graft_simhash32 expects 1 argument, got ${children.size}")
     SimHash32(children.head)
+  }
+
+  private def minhashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"graft_minhash expects 2 arguments, got ${children.size}")
+    val numPerm = children(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == IntegerType && lit.value != null =>
+        lit.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash's second argument must be an integer literal, got $other")
+    }
+    MinHashSig(children.head, numPerm)
   }
 
   /** Runtime registration for sessions not built with
@@ -212,5 +319,7 @@ object NativeVectorExprs {
 
   private[graft] def injectables
     : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((dotIdent, dotInfo, dotBuilder _), (simhashIdent, simhashInfo, simhashBuilder _))
+    Seq((dotIdent, dotInfo, dotBuilder _),
+      (simhashIdent, simhashInfo, simhashBuilder _),
+      (minhashIdent, minhashInfo, minhashBuilder _))
 }

@@ -78,11 +78,13 @@ object TextFns {
     expr(bound(tokensSql(textCol), "__tk")(shingleHashesSql("__tk", n)))
 
   /** MinHash signature straight from text: tokens and shingle hashes
-    * both bound, one split + one md5 per shingle per evaluation. */
+    * both bound, one split + one md5 per shingle per evaluation, then
+    * the native one-pass kernel [[MinHashSig]] (sessions must run
+    * [[NativeVectorExprs.register]] or load [[graft.GraftExtensions]]). */
   def minhashSignatureFromText(textCol: String, shingleN: Int, numPerm: Int): Column =
     expr(bound(tokensSql(textCol), "__tk")(
       bound(shingleHashesSql("__tk", shingleN), "__hs")(
-        minhashArraySql("__hs", numPerm))))
+        s"graft_minhash(__hs, $numPerm)")))
 
   /** 32-bit SimHash straight from text (tokens bound — one tokenization
     * and one md5 pass, then the native single-pass vote kernel
@@ -191,8 +193,15 @@ object TextFns {
   /** MinHash signature from PRE-HASHED shingles: permutation i is the
     * arithmetic universal hash (a_i * (h mod 2^32) + b_i) mod p — ONE
     * md5 per shingle total, instead of one per (shingle, permutation).
-    * Exact in both engines (all intermediates < 2^62). */
+    * Exact in both engines (all intermediates < 2^62). Native one-pass
+    * kernel on the hot path ([[MinHashSig]]). */
   def minhashSignature(hashCol: String, numPerm: Int): Column =
+    expr(s"graft_minhash($hashCol, $numPerm)")
+
+  /** HOF REFERENCE form of [[minhashSignature]] (numPerm separate
+    * `array_min(transform(...))` passes) — kept as the cross-check for
+    * the native kernel; FunctionsSpec pins the two bit-identical. */
+  def minhashSignatureHof(hashCol: String, numPerm: Int): Column =
     expr(minhashArraySql(hashCol, numPerm))
 
   /** 32-bit token hashes (input to [[simhash32FromHashes]]): computed

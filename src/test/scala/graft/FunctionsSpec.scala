@@ -159,6 +159,33 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, "x")).toDF("id", "a").select(expr("graft_dot(a, a)")).collect())
   }
 
+  test("native graft_minhash is bit-identical to the HOF formulation, incl. edges") {
+    // real shingle hashes + empty array, null elements, all-null, null array
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("hs", TextFns.shingleHashesFromText("text", 3))
+    val cmp = docs.select(
+      TextFns.minhashSignature("hs", 16).as("native"),
+      TextFns.minhashSignatureHof("hs", 16).as("hof")).collect()
+    assert(cmp.nonEmpty)
+    for (r <- cmp) assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    val edges = Seq(
+      (1L, Some(Seq[Option[Long]]())),
+      (2L, Some(Seq[Option[Long]](Some(123456789L), None, Some(42L)))),
+      (3L, Some(Seq[Option[Long]](None))),
+      (4L, Option.empty[Seq[Option[Long]]]))
+      .toDF("id", "hs")
+    val e = edges.select(col("id"),
+      TextFns.minhashSignature("hs", 4).as("native"),
+      TextFns.minhashSignatureHof("hs", 4).as("hof")).collect()
+    for (r <- e) {
+      assert(!r.isNullAt(1) && !r.isNullAt(2)) // outer array never null
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"id ${r.getLong(0)}")
+    }
+    // non-literal permutation count rejected at analysis/build
+    assertThrows[Exception](
+      edges.select(expr("graft_minhash(hs, id)")).collect())
+  }
+
   test("native graft_simhash32 is bit-identical to the HOF formulation, incl. edges") {
     // empty array, single token, negative longs (div/% truncation-sign
     // semantics), null elements (vote -1 on every bit in both forms)
