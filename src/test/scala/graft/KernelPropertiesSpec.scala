@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{Multimodal, TextFns}
+
+/** Property-based coverage for the byte-level parsers and native kernels
+  * — randomized inputs catch the edge the fixed cases didn't think of.
+  * Scalacheck drives pure-JVM properties directly; for the Spark kernels
+  * it GENERATES one randomized batch that runs as a single job (per-case
+  * Spark roundtrips would be two orders of magnitude slower). */
+class KernelPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 200): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(r.passed, s"$name failed: ${r.status}")
+  }
+
+  test("decodeHeader roundtrips every synthesizable header (randomized dims)") {
+    val u16 = Gen.chooseNum(1, 65535)
+    check("png", Prop.forAll(Gen.chooseNum(1, 1 << 24), Gen.chooseNum(1, 1 << 24)) {
+      (w: Int, h: Int) =>
+        Multimodal.decodeHeader(Multimodal.Synth.png(w, h)).contains((w, h, "png"))
+    })
+    check("gif", Prop.forAll(u16, u16) { (w: Int, h: Int) =>
+      Multimodal.decodeHeader(Multimodal.Synth.gif(w, h)).contains((w, h, "gif"))
+    })
+    check("jpeg", Prop.forAll(u16, u16, Gen.oneOf(true, false)) {
+      (w: Int, h: Int, prog: Boolean) =>
+        Multimodal.decodeHeader(Multimodal.Synth.jpeg(w, h, prog))
+          .contains((w, h, "jpeg"))
+    })
+  }
+
+  test("decodeHeader is total on arbitrary bytes (never throws, never misreads)") {
+    // fuzz: random byte soup must parse to None or a well-formed triple —
+    // and arbitrary TRUNCATIONS of valid headers must not throw either
+    val bytes = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+    check("fuzz", Prop.forAll(bytes) { (b: Array[Byte]) =>
+      Multimodal.decodeHeader(b) match {
+        case Some((w, h, f)) => Seq("png", "gif", "jpeg").contains(f) && w >= 0 && h >= 0
+        case None => true
+      }
+    }, cases = 500)
+    val u16 = Gen.chooseNum(1, 65535)
+    check("truncation", Prop.forAll(u16, u16, Gen.chooseNum(0, 44)) {
+      (w: Int, h: Int, cut: Int) =>
+        val full = Multimodal.Synth.png(w, h)
+        Multimodal.decodeHeader(full.take(math.min(cut, full.length))) match {
+          case Some(t) => t == ((w, h, "png")) // enough bytes survived
+          case None => true
+        }
+    })
+  }
+
+  test("native simhash/minhash kernels match HOF forms on a randomized batch") {
+    // one Spark job over 300 scalacheck-generated hash arrays (incl.
+    // nulls, empties, negatives, full-u32 values)
+    val elem: Gen[Option[Long]] = Gen.frequency(
+      8 -> Gen.chooseNum(0L, (1L << 32) - 1).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]),
+      1 -> Gen.chooseNum(-100L, 100L).map(Option(_)))
+    val arr: Gen[Option[Seq[Option[Long]]]] = Gen.frequency(
+      9 -> Gen.listOfN(20, elem).map(l => Some(l: Seq[Option[Long]])),
+      1 -> Gen.oneOf(Some(Seq.empty[Option[Long]]), Option.empty[Seq[Option[Long]]]))
+    val seed = org.scalacheck.rng.Seed(20260813L)
+    val cases = Gen.listOfN(300, arr).pureApply(Gen.Parameters.default, seed)
+    val df = cases.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "hs")
+    val rows = df.select(col("id"),
+      expr("graft_simhash32(hs)").as("sim_native"),
+      TextFns.simhash32FromHashes("hs").as("sim_hof"),
+      TextFns.minhashSignature("hs", 16).as("mh_native"),
+      TextFns.minhashSignatureHof("hs", 16).as("mh_hof")).collect()
+    assert(rows.length == 300)
+    for (r <- rows) {
+      assert(r.getLong(1) == r.getLong(2), s"simhash mismatch id ${r.getLong(0)}")
+      assert(r.getSeq[Any](3) == r.getSeq[Any](4), s"minhash mismatch id ${r.getLong(0)}")
+    }
+  }
+}
