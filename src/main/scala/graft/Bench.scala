@@ -58,12 +58,17 @@ object Bench {
       val median = samples.sorted.apply((samples.size - 1) / 2)
       (n, median, samples)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // ms precision in the JSON: full doubles double the line length and
+    // the driver's capture buffer has truncated the tail in past rounds —
+    // sub-ms digits carry no information at these runtimes anyway
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, s) =>
-      "\"" + k + "\":[" + s.mkString(",") + "]" }.mkString("{", ",", "}")
+      "\"" + k + "\":[" + s.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
