@@ -159,6 +159,20 @@ class FunctionsSpec extends SparkSpec {
       Seq((1, "x")).toDF("id", "a").select(expr("graft_dot(a, a)")).collect())
   }
 
+  test("native kernels resolve via register() and the extension path stays in sync") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import graft.functions.NativeVectorExprs
+    NativeVectorExprs.register(spark) // idempotent
+    val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash")
+    for (f <- kernels)
+      assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
+        s"$f not registered")
+    // GraftExtensions injects exactly `injectables` — pin the set so a
+    // new kernel registered only at runtime can't silently miss the
+    // spark.sql.extensions path
+    assert(NativeVectorExprs.injectables.map(_._1.funcName).toSet == kernels)
+  }
+
   test("native graft_minhash is bit-identical to the HOF formulation, incl. edges") {
     // real shingle hashes + empty array, null elements, all-null, null array
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
