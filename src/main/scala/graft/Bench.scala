@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   * Each query is sampled SPARK_GRAFT_SAMPLES times (default 3) and the
   * reported per-query number is the MEDIAN — one contended sample (GC
   * pause, a background build on the same machine) no longer distorts
-  * the official total. The raw per-sample values are kept in the JSON
-  * under "samples" so a skewed run is visible after the fact.
+  * the official total.
+  *
+  * Output contract (two rounds of driver captures truncated the HEAD of
+  * a single giant line, losing the alphabetically-first ann/dedup/ivf
+  * keys): stdout carries exactly ONE short JSON line — medians only, no
+  * samples blob — so the capture buffer can never clip it. The raw
+  * per-sample values go to stderr, and the full JSON (medians + samples)
+  * is also written to BENCH_LOCAL.json in the working directory so a
+  * skewed run stays inspectable after the fact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,7 +75,15 @@ object Bench {
     val raw = results.map { case (k, _, s) =>
       "\"" + k + "\":[" + s.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    val medians =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
+    println(medians)
+    System.err.println(s"[bench] samples: $raw")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1123,6 +1123,27 @@ object SparkEntry {
         .select("vec_id", "bucket")
     }),
 
+    // ANN scale knob as CODE: the plane count comes from the corpus
+    // count via VectorFns.planesFor (ceil-log2 sizing rule), so the
+    // same query keeps ~128-row buckets at EVERY scale factor — 2
+    // planes at sf0.01, 6 at sf0.1, 9 at sf1 (inside the manual §8.10
+    // probe's measured-linear 8-10 band). One scalar count crosses the
+    // driver (the sizing input, not data). Output pins the CHOSEN
+    // count plus the full bucket→occupancy histogram under it; the
+    // oracle derives the same count from count(*) with the same rule
+    // (both sides ceil-log2 over an integer bucket count, exact at
+    // powers of two, so the choice can't diverge on an ulp).
+    "ann_lsh_autosize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val planes = VectorFns.planesFor(n, targetBucketSize = 128, maxPlanes = 12)
+      VectorFns.withHyperplaneBucket(emb, "embedding", "bucket",
+          dim = 64, numPlanes = planes)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("num_planes", lit(planes.toLong))
+        .withColumn("n_vectors", lit(n))
+    }),
+
     // IVF trainer: deterministic Lloyd's k-means over the embedding
     // table (k=4, 2 iterations, md5-seeded, stable-rounded distances
     // and centroids so assignments are engine-reproducible). Output is
@@ -1185,6 +1206,64 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(wN)).where(col("rank") <= 3)
         .select(col("q_id"), col("probe_label"), col("n_id"),
           round(col("cos"), 4).as("cos"), col("rank"))
+    }),
+
+    // ANN: multi-probe IVF recall accounting — real IVF probes the
+    // nprobe nearest centroids, not one, to recover the neighbors a
+    // single cell loses at its boundary. recall@5 of nprobe=1 vs
+    // nprobe=4 vs the exact scan, ann_lsh_recall's pattern: ONE scored
+    // pass feeds the truth ranking and both probe rankings (each probe
+    // set is a filter over the same frame), so widening nprobe costs a
+    // bigger candidate filter, not another scan. At 100 TB the scored
+    // pass itself is restricted to probed cells first (as in
+    // ann_ivf_probe); scoring all candidates here is what lets the
+    // SAME frame also produce the exact-truth baseline being measured
+    // against.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
+      val dims = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(avg(col("v").cast("double")).as("cv"))
+      val centroids = dims.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), x -> x.cv)").as("cvec"))
+        .select(col("label").as("c_label"), col("cvec"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      // centroid ranking per query (broadcast of ~10 centroids)
+      val wP = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_label").asc)
+      val probes = q.join(broadcast(centroids))
+        .withColumn("ccos", VectorFns.dot("q_emb", "cvec") /
+          (col("q_nrm") * VectorFns.l2Norm("cvec")))
+        .withColumn("cr", row_number().over(wP))
+        .where(col("cr") <= 4)
+        // p_qid, not q_id: probes shares lineage with scored below, so
+        // the semi-join keys must be name-disjoint to stay unambiguous
+        .select(col("q_id").as("p_qid"), col("c_label"), col("cr"))
+      val cand = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      val scored = q.join(cand, col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorFns.dot("q_emb", "n_emb") / (col("q_nrm") * col("n_nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+      val truth = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("q_id"), col("n_id"))
+      def approxTop5(nprobe: Int): DataFrame = scored
+        .join(probes.where(col("cr") <= nprobe),
+          col("q_id") === col("p_qid") && col("n_label") === col("c_label"),
+          "left_semi")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5).select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      truth
+        .join(approxTop5(1).withColumnRenamed("hit", "hit1"), Seq("q_id", "n_id"), "left")
+        .join(approxTop5(4).withColumnRenamed("hit", "hit4"), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit1"), lit(0L))).as("n_hit_p1"),
+          sum(coalesce(col("hit4"), lit(0L))).as("n_hit_p4"))
+        .withColumn("recall_p1",
+          round(col("n_hit_p1").cast("double") / col("n_true"), 6))
+        .withColumn("recall_p4",
+          round(col("n_hit_p4").cast("double") / col("n_true"), 6))
     }),
 
     // W8: TradingView EMA (SMA seed + recursive blend) over the daily
@@ -2680,6 +2759,29 @@ object SparkEntry {
       s"SELECT vec_id, $planes AS bucket FROM embeddings"
     },
 
+    // Auto-sized twin: the oracle derives the plane count from count(*)
+    // with the SAME ceil-log2 rule as VectorFns.planesFor (integer
+    // bucket count first, so log2 lands on exact powers of two), then
+    // gates each of the 12 generated plane terms on p < planes.
+    "ann_lsh_autosize" -> {
+      val planeTerms = (0 until 12).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"CAST(embedding[d] AS DOUBLE) * " +
+          s"((('0x' || substr(md5('7:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
+        s"(CASE WHEN $p < (SELECT planes FROM params) AND ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH params AS (
+         |  SELECT count(*) AS n,
+         |         least(12, greatest(1,
+         |           CAST(ceil(log2(ceil(count(*) / 128.0))) AS INT))) AS planes
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, CAST($planeTerms AS BIGINT) AS bucket FROM embeddings)
+         |SELECT bucket, count(*) AS n,
+         |       (SELECT CAST(planes AS BIGINT) FROM params) AS num_planes,
+         |       (SELECT n FROM params) AS n_vectors
+         |FROM b GROUP BY bucket""".stripMargin
+    },
+
     "dedup_embed_lsh" -> {
       def bucketExpr(seed: Int): String = (0 until 4).map { p =>
         val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
@@ -2741,6 +2843,67 @@ object SparkEntry {
         |  SELECT *, row_number() OVER
         |    (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, d, avg(CAST(embedding[d] AS DOUBLE)) AS cv
+        |  FROM embeddings, unnest(generate_series(1, 64)) AS t(d)
+        |  GROUP BY label, d),
+        |cent AS (SELECT label AS c_label, list(cv ORDER BY d) AS cvec FROM dims GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT q_id, c_label, cr FROM (
+        |    SELECT q_id, c_label, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY ccos DESC, c_label ASC) AS cr
+        |    FROM (
+        |      SELECT q_id, c_label,
+        |             list_sum(list_transform(generate_series(1, 64),
+        |               d -> CAST(q_emb[d] AS DOUBLE) * cvec[d])) /
+        |             (q_nrm * sqrt(list_sum(list_transform(cvec, x -> x * x)))) AS ccos
+        |      FROM q CROSS JOIN cent))
+        |  WHERE cr <= 4),
+        |sc AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |           (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |tr AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk FROM sc)
+        |  WHERE rk <= 5),
+        |ap1 AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT s.q_id, s.n_id, row_number() OVER
+        |      (PARTITION BY s.q_id ORDER BY s.cos DESC, s.n_id ASC) AS rk
+        |    FROM sc s JOIN pr ON pr.q_id = s.q_id AND pr.c_label = s.n_label
+        |      AND pr.cr <= 1)
+        |  WHERE rk <= 5),
+        |ap4 AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT s.q_id, s.n_id, row_number() OVER
+        |      (PARTITION BY s.q_id ORDER BY s.cos DESC, s.n_id ASC) AS rk
+        |    FROM sc s JOIN pr ON pr.q_id = s.q_id AND pr.c_label = s.n_label
+        |      AND pr.cr <= 4)
+        |  WHERE rk <= 5),
+        |j AS (
+        |  SELECT tr.q_id,
+        |         CASE WHEN a1.n_id IS NULL THEN 0 ELSE 1 END AS hit1,
+        |         CASE WHEN a4.n_id IS NULL THEN 0 ELSE 1 END AS hit4
+        |  FROM tr LEFT JOIN ap1 a1 ON tr.q_id = a1.q_id AND tr.n_id = a1.n_id
+        |          LEFT JOIN ap4 a4 ON tr.q_id = a4.q_id AND tr.n_id = a4.n_id)
+        |SELECT q_id, count(*) AS n_true,
+        |       CAST(sum(hit1) AS BIGINT) AS n_hit_p1,
+        |       CAST(sum(hit4) AS BIGINT) AS n_hit_p4,
+        |       round(CAST(sum(hit1) AS DOUBLE) / count(*), 6) AS recall_p1,
+        |       round(CAST(sum(hit4) AS DOUBLE) / count(*), 6) AS recall_p4
+        |FROM j GROUP BY q_id""".stripMargin,
 
     "ema_daily_revenue" ->
       """WITH RECURSIVE daily AS (

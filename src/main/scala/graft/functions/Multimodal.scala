@@ -67,11 +67,13 @@ object Multimodal {
         if (j >= p.length) return None
         val m = u8(j)
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-          return if (j + 8 < p.length) Some((be16(j + 6), be16(j + 4), "jpeg"))
+          // width ends at index j+7, so j+8 <= length is the exact bound —
+          // a stream ending right after the width bytes still parses
+          return if (j + 8 <= p.length) Some((be16(j + 6), be16(j + 4), "jpeg"))
                  else None
         else if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no SOF seen
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1 // standalone
-        else if (j + 2 < p.length) i = j + 1 + be16(j + 1) // length incl. itself
+        else if (j + 3 <= p.length) i = j + 1 + be16(j + 1) // length incl. itself
         else return None
       }
       None

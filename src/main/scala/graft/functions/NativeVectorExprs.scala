@@ -144,14 +144,18 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     val i = ctx.freshName("i")
     val b = ctx.freshName("b")
     val x = ctx.freshName("x")
-    val counts = ctx.freshName("counts")
+    // the 32-slot vote buffer is per-INSTANCE mutable state, allocated
+    // once at operator init and zeroed per row — a per-row `new int[32]`
+    // is young-gen churn on a trillion-row pass
+    val counts = ctx.addMutableState("int[]", "simhashCounts",
+      v => s"$v = new int[32];")
     val res = ctx.freshName("res")
     val body =
       s"""
          |long $res = 0L;
          |if (!${childGen.isNull}) {
          |  int $n = $a.numElements();
-         |  int[] $counts = new int[32];
+         |  java.util.Arrays.fill($counts, 0);
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i)) {
          |      for (int $b = 0; $b < 32; $b++) $counts[$b] -= 1;

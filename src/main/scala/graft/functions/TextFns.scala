@@ -204,6 +204,31 @@ object TextFns {
   def minhashSignatureHof(hashCol: String, numPerm: Int): Column =
     expr(minhashArraySql(hashCol, numPerm))
 
+  /** Band-geometry twin of [[VectorFns.planesFor]] for MinHash LSH:
+    * choose (bands, rowsPerBand) with `bands * rowsPerBand <= numPerm`
+    * so band-bucket occupancy tracks the corpus. A band keyed by r
+    * minhash values collides two NON-duplicate docs with probability
+    * ≈ s0^r (s0 = background Jaccard of unrelated docs), so the
+    * expected random collisions against one doc are n * s0^r per band;
+    * bounding that by `targetBucketSize` gives
+    * `r ≥ log(n / targetBucketSize) / log(1 / s0)`. Wider bands (bigger
+    * r) raise precision and shrink buckets; the band count is whatever
+    * the signature budget leaves (`numPerm / r`), keeping recall as
+    * high as the budget allows. A fixed geometry has the same failure
+    * mode as a fixed plane count: per-bucket pair work is quadratic in
+    * occupancy, and occupancy grows linearly in n. */
+  def minhashGeometryFor(numPerm: Int, n: Long, targetBucketSize: Long,
+                         backgroundSim: Double = 0.1): (Int, Int) = {
+    require(numPerm > 0 && n > 0 && targetBucketSize > 0,
+      "minhashGeometryFor needs positive numPerm, corpus count, target size")
+    require(backgroundSim > 0 && backgroundSim < 1,
+      "backgroundSim must be in (0, 1)")
+    val need = math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+      math.log(1.0 / backgroundSim)
+    val rows = math.min(numPerm, math.max(1, math.ceil(need).toInt))
+    (math.max(1, numPerm / rows), rows)
+  }
+
   /** 32-bit token hashes (input to [[simhash32FromHashes]]): computed
     * once into a column so the 32 bit-votes below don't re-hash. */
   def tokenHashes32(tokCol: String): Column =

@@ -118,6 +118,28 @@ object VectorFns {
       .drop("__cents")
   }
 
+  /** Auto-sized hyperplane count for [[withHyperplaneBucket]] — the
+    * SIZING rule from that method's scaladoc as code instead of prose:
+    * the smallest `p` such that `2^p` buckets hold the corpus at
+    * ~`targetBucketSize` rows each, i.e. `ceil(log2(ceil(n /
+    * targetBucketSize)))`, clamped to [1, maxPlanes]. In-bucket
+    * candidate work is quadratic in occupancy, so a FIXED plane count
+    * goes quadratic as the corpus grows (measured ×23 at 10× rows in
+    * the sf1 probe, SURVEY §8.10) while this rule holds occupancy — and
+    * therefore per-bucket work — constant. Integer arithmetic
+    * throughout (`numberOfLeadingZeros`, no floating log), so the
+    * choice can't flip on an ulp at power-of-two boundaries; a DuckDB
+    * mirror `ceil(log2(ceil(n/t)))` agrees for every integer input
+    * because C log2 is exact at powers of two. */
+  def planesFor(n: Long, targetBucketSize: Long, maxPlanes: Int = 30): Int = {
+    require(n > 0 && targetBucketSize > 0,
+      "planesFor needs a positive corpus count and target bucket size")
+    val buckets = (n + targetBucketSize - 1) / targetBucketSize
+    val p = if (buckets <= 1L) 1
+            else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(maxPlanes, math.max(1, p))
+  }
+
   /** Component d of hyperplane p in [-0.5, 0.5): the driver-side twin of
     * the SQL formula
     * `(cast(conv(substr(md5('seed:p:d'),1,15),16,10) as bigint) % 1000) / 1000.0d - 0.5d`.

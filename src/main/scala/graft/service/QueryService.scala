@@ -348,13 +348,13 @@ object QueryService {
   /** One timeframe of the flagship query: aggregate the canonical
     * window, add lag deltas, serialize (reference `service.py:1553-1693`).
     *
-    * Granularity routing (reference `_infer_frame_minutes` consumers):
-    * the loaded frame's bar width is INFERRED from its first two rows —
-    * a window that is already at the requested timeframe (e.g. a cached
-    * aggregate replayed through the API) passes through with only the
-    * trailing-limit tail, while minute-or-finer data takes the
-    * aggregation path. 1m lake reads always infer 1 and aggregate as
-    * before. */
+    * The lake path ALWAYS aggregates (reference `load_candle_bars` —
+    * `_infer_frame_minutes` is used only for the OI overlay,
+    * `service.py:1182`, see [[NativeCandles.overlayOiHist]]). Inferring
+    * granularity here would misclassify a sparse 1m window whose leading
+    * gap equals the requested bar width (e.g. 4 missing minutes on a 5m
+    * request) as pre-aggregated and serve minute OHLC rows raw, skipping
+    * both aggregation and the complete-bar gate. */
   def candleBars(spark: SparkSession, reader: MinuteLakeReader, symbol: String,
                  timeframe: String, start: Instant, end: Instant,
                  limit: Int = 200): DataFrame = {
@@ -364,12 +364,19 @@ object QueryService {
   }
 
   /** The aggregate-vs-passthrough core of [[candleBars]], callable on any
-    * canonical-shaped frame (lake window, cached replay, test fixture). */
+    * canonical-shaped frame (lake window, cached replay, test fixture).
+    *
+    * @param preAggregated set ONLY when the CALLER knows the frame is
+    *   already at `spec`'s granularity (a cached aggregate replayed
+    *   through the API): the frame passes through with just the
+    *   trailing-limit tail instead of being re-bucketed (which would
+    *   gate every bucket incomplete and drop all bars). Never inferred
+    *   from the data — a 2-row gap heuristic on sparse lake minutes is
+    *   indistinguishable from genuine pre-aggregated input. */
   def candleBarsFromFrame(window: DataFrame, spec: graft.schema.TimeframeSpec,
-                          limit: Int): DataFrame = {
-    val inferred = inferFrameMinutes(window)
+                          limit: Int, preAggregated: Boolean = false): DataFrame = {
     val bars =
-      if (inferred > 1 && spec.fixedMinutes.contains(inferred.toLong))
+      if (preAggregated)
         window.orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
       else
         QueryAggregator.aggregateCanonicalFrame(window, spec, limit)
@@ -528,6 +535,13 @@ object QueryService {
       .orderBy(col("timestamp").desc).limit(limit).orderBy("timestamp")
     val (overlaid, snapNotes) = premiumSnapshot match {
       case Some(fetch) =>
+        // All BinanceNativeCandleTfs are fixed-minute today; if 1w/1M ever
+        // becomes native, a silent 1-minute default would collapse the
+        // attach window so the snapshot almost never overlays. Fail loudly
+        // (outside the degrade-to-unoverlaid catch) — calendar timeframes
+        // need the close derived from spec.bucketEnd, not a constant.
+        val barMinutes = spec.fixedMinutes.getOrElse(throw new IllegalStateException(
+          s"premium snapshot overlay requires a fixed-minute timeframe, got '$timeframe'"))
         try {
           val latest = tailed.agg(max(col("timestamp"))).collect().head
           if (latest.isNullAt(0)) (tailed, Nil)
@@ -535,8 +549,7 @@ object QueryService {
             val snap = fetch()
             val latestTs = latest.getTimestamp(0)
             val latestMs = latestTs.toInstant.toEpochMilli
-            val barCloseMs = latestMs +
-              spec.fixedMinutes.getOrElse(1L) * 60000L
+            val barCloseMs = latestMs + barMinutes * 60000L
             if (latestMs <= snap.event_time && snap.event_time <= barCloseMs)
               (tailed.withColumn("next_funding_time",
                 when(col("timestamp") === lit(latestTs), lit(snap.next_funding_time))

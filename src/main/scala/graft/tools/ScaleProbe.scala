@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * The derivation is PERF-ONLY data (never used for oracle correctness):
   *
-  *  - fact keys offset by `copy * 1e8` per copy (events/users/orders/
-  *    customers/documents/vectors), so key cardinality grows with data —
-  *    horizontal growth, the realistic scale dimension;
+  *  - fact keys offset by `copy * 1e8` per copy (the scaled tables are
+  *    customer, documents, embeddings, events, lineitem, orders), so key
+  *    cardinality grows with data — horizontal growth, the realistic
+  *    scale dimension;
   *  - document text gets a per-copy suffix and embeddings a per-copy
   *    first-component nudge, so the copies are NOT exact duplicates and
   *    dedup/ANN queries keep realistic selectivity instead of exploding

@@ -338,6 +338,49 @@ class FunctionsSpec extends SparkSpec {
       s"plan grew with k: k=2 -> $small chars, k=32 -> $large chars")
   }
 
+  test("planesFor: ceil-log2 sizing, clamps, and the measured sf1 operating point") {
+    import graft.functions.VectorFns.planesFor
+    // n <= target: one plane minimum (never zero buckets)
+    assert(planesFor(100, 128) == 1)
+    assert(planesFor(128, 128) == 1)
+    // the oracle-mirrored points: sf0.01 / sf0.1 / sf1 embedding counts
+    assert(planesFor(500, 128) == 2)    // ceil(500/128)=4 -> log2=2
+    assert(planesFor(5000, 128) == 6)   // 40 buckets -> 2^6=64
+    assert(planesFor(50000, 128) == 9)  // 391 buckets -> 2^9=512
+    // the §8.10 manual probe chose 8-10 planes at sf1 by measurement;
+    // the rule lands inside that band without a human in the loop
+    assert((8 to 10).contains(planesFor(50000, 128)))
+    // exact power-of-two boundaries can't ulp-flip (integer arithmetic)
+    assert(planesFor(128 * 8, 128) == 3)
+    assert(planesFor(128 * 8 + 1, 128) == 4)
+    // clamp and monotonicity
+    assert(planesFor(Long.MaxValue / 2, 1) == 30)
+    assert(planesFor(1L << 40, 128, maxPlanes = 12) == 12)
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(planesFor(_, 128))
+    assert(sizes == sizes.sorted)
+    intercept[IllegalArgumentException](planesFor(0, 128))
+    intercept[IllegalArgumentException](planesFor(100, 0))
+  }
+
+  test("minhashGeometryFor: rows-per-band tracks log(n), band budget follows") {
+    import graft.functions.TextFns.minhashGeometryFor
+    // small corpus: 1-row bands, full band budget (max recall)
+    assert(minhashGeometryFor(16, 100, 128) == (16, 1))
+    // sf0.01 documents (500): n*s0 = 50 <= 128 -> still r=1
+    assert(minhashGeometryFor(16, 500, 128) == (16, 1))
+    // sf1-scale corpora need wider bands to hold occupancy
+    assert(minhashGeometryFor(16, 50000, 128) == (5, 3))   // 391x over -> r=3
+    assert(minhashGeometryFor(16, 5000000, 128) == (3, 5)) // r=ceil(4.59)=5
+    // rows never exceed the signature budget; bands never hit zero
+    val (b, r) = minhashGeometryFor(4, Long.MaxValue / 2, 1, backgroundSim = 0.5)
+    assert(b == 1 && r == 4)
+    // monotone: more data never narrows the bands
+    val rows = Seq(1000L, 100000L, 10000000L)
+      .map(minhashGeometryFor(16, _, 128)._2)
+    assert(rows == rows.sorted)
+    intercept[IllegalArgumentException](minhashGeometryFor(16, 100, 128, backgroundSim = 1.0))
+  }
+
   test("Misra-Gries sketch: fixed memory, undercount <= N/k, heavy items always present") {
     import graft.functions.HeavyHitters
     val sfDir = "/root/testdata/sf0.001"

@@ -40,6 +40,13 @@ class MultimodalSpec extends SparkSpec {
       .contains((1920, 1080, "jpeg")))
     assert(Multimodal.decodeHeader(Multimodal.Synth.jpeg(8, 8, progressive = true))
       .contains((8, 8, "jpeg")))
+    // round-7 advice: a stream ending EXACTLY after the SOF width bytes
+    // parses — the old bound was one byte stricter and sent a valid
+    // header to the stub (synth fixtures always carry component bytes,
+    // so only a hand-built minimal stream exercises this)
+    val sofOnly = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x08, 0x08,
+      0x01, 0x00, 0x02, 0x80).map(_.toByte)
+    assert(Multimodal.decodeHeader(sofOnly).contains((640, 256, "jpeg")))
     // corrupt/truncated → None (falls back to stub downstream)
     assert(Multimodal.decodeHeader(Multimodal.Synth.png(2, 2).take(20)).isEmpty)
     assert(Multimodal.decodeHeader("GIF89a".getBytes("US-ASCII")).isEmpty)

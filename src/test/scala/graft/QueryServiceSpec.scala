@@ -309,9 +309,11 @@ class QueryServiceSpec extends SparkSpec {
     assert(QueryService.inferFrameMinutes(rev) == 5)
 
     // routing: a 1m canonical window AGGREGATES; the resulting 5m frame
-    // replayed through the same entry point PASSES THROUGH (re-aggregating
-    // it as minute data would gate every bucket incomplete and drop all
-    // bars — the reference's cached-frame replay case)
+    // replayed through the same entry point passes through only when the
+    // CALLER says so (preAggregated=true — re-aggregating it as minute
+    // data would gate every bucket incomplete and drop all bars; the
+    // reference's cached-frame replay case). Passthrough is never
+    // inferred from the data.
     val spec = graft.schema.Timeframes.parse("5m")
     val minutes = (0 until 10).map { i =>
       (java.sql.Timestamp.from(t0.plusSeconds(60L * i)),
@@ -325,7 +327,8 @@ class QueryServiceSpec extends SparkSpec {
     val fiveMin = graft.operators.QueryAggregator
       .aggregateCanonicalFrame(window, spec, 10)
     assert(QueryService.inferFrameMinutes(fiveMin) == 5)
-    val viaPassthrough = QueryService.candleBarsFromFrame(fiveMin, spec, 10)
+    val viaPassthrough =
+      QueryService.candleBarsFromFrame(fiveMin, spec, 10, preAggregated = true)
     val pt = viaPassthrough.select("timestamp", "close").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val ag = viaAggregate.select("timestamp", "close").collect()
@@ -336,7 +339,24 @@ class QueryServiceSpec extends SparkSpec {
     assert(graft.operators.QueryAggregator
       .aggregateCanonicalFrame(fiveMin, spec, 10).count() == 0)
     // limit applies on the passthrough path too
-    assert(QueryService.candleBarsFromFrame(fiveMin, spec, 1).count() == 1)
+    assert(QueryService.candleBarsFromFrame(fiveMin, spec, 1,
+      preAggregated = true).count() == 1)
+
+    // regression (round-7 advice): a SPARSE 1m window whose leading gap
+    // equals the bar width (minutes 10:00 and 10:05 present, 10:01-10:04
+    // missing) must still take the aggregation path — the old 2-row
+    // inference read the 5-minute gap as "already 5m data" and served
+    // minute OHLC rows raw, skipping the complete-bar gate. With the
+    // explicit-marker design the default aggregates, the gate sees
+    // 1 observed != 5 expected minutes per bucket, and drops both bars.
+    val sparse = graft.operators.MinuteBuilder.finalizeSchema(
+      Seq(0L, 300L).map { s =>
+        (java.sql.Timestamp.from(t0.plusSeconds(s)),
+          100.0, 101.0, 99.0, 100.5, 1.0, 100000.0)
+      }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+        .withColumn("trade_count", lit(10L)))
+    assert(QueryService.inferFrameMinutes(sparse) == 5) // the trap the heuristic falls into
+    assert(QueryService.candleBarsFromFrame(sparse, spec, 10).count() == 0)
 
     // overlay consumer (service.py:1174-1186): the INFERRED 5m width
     // drives the bucket floor — an OI row at 10:07 floors to the 10:05
