@@ -178,4 +178,47 @@ object VisionLoader {
       .select(col("update_id"), col("best_bid_price").as("bid_price"),
         col("best_bid_qty").as("bid_qty"), col("best_ask_price").as("ask_price"),
         col("best_ask_qty").as("ask_qty"), col("transaction_time"), col("event_time"))
+
+  /** Raw (non-aggregated) trades daily CSV layout — the public Binance
+    * Vision `trades/{SYMBOL}/` stream (reference addendum §B1.1; the
+    * reference's own loader set stops at aggTrades,
+    * `vision_loader.py:28-211`, so this completes the addendum's
+    * 9-stream table). */
+  val tradesCsvSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("price", DoubleType),
+    StructField("qty", DoubleType), StructField("quote_qty", DoubleType),
+    StructField("time", LongType), StructField("is_buyer_maker", BooleanType)))
+
+  /** trades stream loader: per-trade events, windowed on the trade
+    * timestamp; downstream minute bucketing treats them exactly like
+    * aggTrades (addendum §I: "Bucket by minute and aggregate"). */
+  def tradesFromZips(spark: SparkSession, zipGlob: String,
+                     startMs: Long, endMs: Long, hasHeader: Boolean = false): DataFrame =
+    filterWindow(readZipCsv(spark, zipGlob, tradesCsvSchema, hasHeader),
+      "time", startMs, endMs)
+      .select(col("id").as("trade_id"), col("price"), col("qty"),
+        col("quote_qty"), col("time").as("transact_time"), col("is_buyer_maker"))
+
+  /** bookDepth daily CSV layout — the public Binance Vision
+    * `bookDepth/{SYMBOL}/` stream: per-snapshot depth at fixed
+    * percentage offsets from mid (±1..±5%), with a DATETIME-string
+    * timestamp (`yyyy-MM-dd HH:mm:ss`, UTC), unlike the epoch-ms
+    * streams. */
+  val bookDepthCsvSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType), StructField("percentage", LongType),
+    StructField("depth", DoubleType), StructField("notional", DoubleType)))
+
+  /** bookDepth stream loader: parses the datetime-string timestamp to
+    * epoch ms (`snapshot_time`) so the shared window filter applies;
+    * addendum §I normalizes these snapshots per minute downstream
+    * (last-in-minute / mean). Daily bookDepth files carry a header row,
+    * hence the `hasHeader = true` default (like metrics). */
+  def bookDepthFromZips(spark: SparkSession, zipGlob: String,
+                        startMs: Long, endMs: Long, hasHeader: Boolean = true): DataFrame =
+    filterWindow(
+      readZipCsv(spark, zipGlob, bookDepthCsvSchema, hasHeader)
+        .withColumn("snapshot_time",
+          unix_millis(to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss"))),
+      "snapshot_time", startMs, endMs)
+      .select(col("snapshot_time"), col("percentage"), col("depth"), col("notional"))
 }

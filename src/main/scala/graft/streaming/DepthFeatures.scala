@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `sources/websocket.py:234-413` driven by the collector loop
   * `websocket.py:1488-1586`.
   */
-object DepthFeatures {
+object DepthFeatures extends Serializable {
 
   /** Flat message union (snapshot vs diff) — one encodable shape.
     * Deltas are 2-element [price, qty] arrays. */

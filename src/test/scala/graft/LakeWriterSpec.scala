@@ -153,6 +153,47 @@ class LakeWriterSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/day=2026-01-10").exists())
   }
 
+  test("small-file compaction: file count drops, content unchanged, healthy partitions untouched (cli/app.py:180-222 VACUUM analogue)") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // a micro-batch-accreted partition: 6 tiny files
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"e$i", 100.0 + i)).toDF("event_id", "kind", "px")
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=2026-01-10")
+    }
+    // an already-compacted partition: 1 file, must not be rewritten
+    (1 to 3).map(i => (100L + i, "x", 1.0)).toDF("event_id", "kind", "px")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/day=2026-01-11")
+
+    def parquetFiles(day: String) =
+      new java.io.File(s"$dir/day=$day").listFiles
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def contentHash(day: String) =
+      spark.read.parquet(s"$dir/day=$day").collect()
+        .map(_.toString).sorted.mkString("|").hashCode
+    assert(parquetFiles("2026-01-10").length == 6)
+    val before10 = contentHash("2026-01-10")
+    val singleFile11 = parquetFiles("2026-01-11").head.getName
+
+    // big-file guard first: with a 1-byte threshold no file qualifies as
+    // small, so even the 6-file partition must be skipped
+    assert(graft.sources.Retention.compactDayPartitions(
+      spark, dir, "day", smallFileBytes = 1L).isEmpty)
+    assert(parquetFiles("2026-01-10").length == 6)
+
+    val done = graft.sources.Retention.compactDayPartitions(
+      spark, dir, "day", smallFileBytes = 32L * 1024 * 1024)
+    assert(done.map(_.partition) == Seq("2026-01-10"))
+    assert(done.head.filesBefore == 6 && done.head.filesAfter == 1
+      && done.head.rows == 6L)
+    assert(parquetFiles("2026-01-10").length == 1)
+    assert(contentHash("2026-01-10") == before10) // rows byte-for-byte same
+    // untouched partition keeps its very same file; tmp dir cleaned up
+    assert(parquetFiles("2026-01-11").head.getName == singleFile11)
+    assert(!new java.io.File(s"$dir/.compact_tmp").exists())
+    // second run: nothing left to do
+    assert(graft.sources.Retention.compactDayPartitions(spark, dir, "day").isEmpty)
+  }
+
   test("partition directory discovery for change detection (source_reader.py:61-69)") {
     val (writer, reader, _) = newLake()
     writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),

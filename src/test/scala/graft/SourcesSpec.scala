@@ -147,6 +147,42 @@ class SourcesSpec extends SparkSpec {
     assert(bk.length == 1 && bk.head.getDouble(1) == 100.1 && bk.head.getDouble(4) == 2.0)
   }
 
+  test("trades + bookDepth loaders complete the addendum's 9-stream table (§B1.1)") {
+    val dir = Files.createTempDirectory("vision9").toString
+    val t0 = ms("2026-01-15T10:00:00Z")
+
+    // trades: raw per-trade rows (id,price,qty,quote_qty,time,is_buyer_maker)
+    writeZip(dir, "BTCUSDT-trades-2026-01-15.zip",
+      Seq(s"9001,100.25,0.5,50.125,$t0,true",
+          s"9002,100.30,0.7,70.21,${t0 + 60000},false",
+          s"9003,100.40,0.1,10.04,${t0 + 999999},true").mkString("\n"))
+    val trades = VisionLoader.tradesFromZips(
+      spark, s"$dir/BTCUSDT-trades-*.zip", t0, t0 + 60000)
+    val tr = trades.orderBy("trade_id").collect()
+    assert(trades.columns.toSeq == Seq("trade_id", "price", "qty",
+      "quote_qty", "transact_time", "is_buyer_maker"))
+    assert(tr.length == 2) // window filter drops the 3rd row
+    assert(tr.head.getLong(0) == 9001L && tr.head.getDouble(3) == 50.125
+      && tr.head.getBoolean(5))
+
+    // bookDepth: datetime-string timestamps + header row (percentage
+    // offsets from mid); the loader parses to epoch ms and windows on it
+    writeZip(dir, "BTCUSDT-bookDepth-2026-01-15.zip",
+      Seq("timestamp,percentage,depth,notional",
+          "2026-01-15 10:00:00,1,120.5,12050000.0",
+          "2026-01-15 10:00:00,-1,110.25,11025000.0",
+          "2026-01-15 10:01:00,1,121.0,12100000.0",
+          "2026-01-15 10:30:00,1,999.0,9.9").mkString("\n"))
+    val depth = VisionLoader.bookDepthFromZips(
+      spark, s"$dir/BTCUSDT-bookDepth-*.zip", t0, t0 + 60000)
+    val dp = depth.orderBy("snapshot_time", "percentage").collect()
+    assert(depth.columns.toSeq == Seq("snapshot_time", "percentage", "depth", "notional"))
+    assert(dp.length == 3) // 10:30 row is outside the window
+    assert(dp.head.getLong(0) == t0 && dp.head.getLong(1) == -1L
+      && dp.head.getDouble(2) == 110.25)
+    assert(dp.last.getLong(0) == t0 + 60000 && dp.last.getDouble(3) == 12100000.0)
+  }
+
   test("all 11 typed endpoints parse their fixture payloads (rest.py:154-519)") {
     import graft.sources.RestEndpoints._
     val requests = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()

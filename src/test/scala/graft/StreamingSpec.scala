@@ -143,6 +143,98 @@ class StreamingSpec extends SparkSpec {
     assert(f.priceImpact100k.isEmpty)
   }
 
+  test("resync supervisor: break degrades + NULL-gates, injected snapshot recovers (websocket.py:2121-2306)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DepthFeatures, DepthResyncSupervisor}
+    import graft.streaming.DepthFeatures.{DepthMinuteFeatures, DepthMsg}
+
+    val m0 = ms("2026-01-15T10:00:00Z")
+    val m1 = m0 + 60000L
+    val m2 = m0 + 120000L
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-depth-ckpt").toString
+
+    val stream = MemoryStream[DepthMsg]
+    val fetched = new java.util.concurrent.atomic.AtomicInteger(0)
+    val supervisor = new DepthResyncSupervisor(
+      "BTCUSDT",
+      fetchSnapshot = () => {
+        fetched.incrementAndGet()
+        // REST snapshot taken AFTER the gap: lastUpdateId bridges the
+        // first diff buffered since the break (U=126 <= 126 <= u=130)
+        Some(DepthResyncSupervisor.Snapshot(126,
+          Seq((99.0, 2000.0), (98.5, 2000.0)),
+          Seq((100.5, 2000.0), (101.0, 2000.0))))
+      },
+      inject = msg => { stream.addData(msg); () },
+      nowMs = () => m1 + 30000L)
+
+    val collected = scala.collection.mutable.ArrayBuffer[DepthMinuteFeatures]()
+    val query = DepthFeatures.depthFeaturesStream(stream.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DepthMinuteFeatures], _: Long) =>
+        val rows = batch.collect()
+        collected.synchronized { collected ++= rows }
+        supervisor.observe(rows.toSeq)
+      }.start()
+    try {
+      // micro-batch 1: snapshot + continuous diffs — minute m0 healthy
+      stream.addData(
+        DepthMsg.snapshot("BTCUSDT", m0, 100,
+          Seq((99.0, 2000.0)), Seq((101.0, 2000.0), (101.5, 2000.0))),
+        DepthMsg.diff(diff(101, 105, (99.0, 3000.0), (101.0, 3000.0))
+          .copy(eventTime = m0 + 1000)),
+        DepthMsg.diff(diff(106, 110, (99.5, 1500.0), (100.8, 3000.0))
+          .copy(eventTime = m0 + 2000)))
+      query.processAllAvailable()
+      assert(supervisor.resyncCount == 0) // healthy batch: no fetch
+
+      // micro-batch 2: update-id gap (U=120 > expected 111) breaks
+      // continuity mid-minute; the follow-up diff buffers while
+      // unsynced. The supervisor sees the degraded minute and
+      // re-injects a fresh snapshot; that control message is processed
+      // as its own micro-batch inside this processAllAvailable,
+      // replaying the buffered diff (U=126 <= 126 <= u=130 bridges).
+      stream.addData(
+        DepthMsg.diff(diff(120, 125, (99.2, 1000.0), (100.9, 1000.0))
+          .copy(eventTime = m1 + 500)),
+        DepthMsg.diff(diff(126, 130, (99.3, 1200.0), (100.7, 1800.0))
+          .copy(eventTime = m1 + 1500)))
+      query.processAllAvailable()
+      assert(supervisor.resyncCount == 1 && fetched.get == 1)
+
+      // micro-batch 3: post-recovery diffs — minute m2 healthy again
+      stream.addData(
+        DepthMsg.diff(diff(131, 135, (99.4, 1300.0), (100.6, 2000.0))
+          .copy(eventTime = m2 + 500)),
+        DepthMsg.diff(diff(136, 140, (99.5, 1400.0), (100.5, 2500.0))
+          .copy(eventTime = m2 + 1500)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val byMinute = collected.groupBy(_.timestampMs)
+    val f0 = byMinute(m0).last
+    assert(!f0.depthDegraded && f0.impactFillable.contains(true)
+      && f0.priceImpact100k.isDefined)
+    // degrade window: features NULL-gated while the book is broken
+    val f1 = byMinute(m1).last
+    assert(f1.hasDepth && f1.depthDegraded)
+    assert(f1.priceImpact100k.isEmpty && f1.spreadPct.isEmpty
+      && f1.avgBidDepth.isEmpty)
+    assert(f1.updateIdStart.contains(120L) && f1.updateIdEnd.contains(130L))
+    // recovery: snapshot re-injection + buffered replay resync the book
+    val f2 = byMinute(m2).last
+    assert(!f2.depthDegraded && f2.impactFillable.contains(true)
+      && f2.priceImpact100k.isDefined)
+
+    // Update-mode re-emission of the SAME degraded window must not
+    // re-fetch; only a NEWER degraded minute would
+    supervisor.observe(byMinute(m1).toSeq)
+    assert(supervisor.resyncCount == 1 && fetched.get == 1)
+  }
+
   test("streaming liquidation accumulation matches batch (flatMapGroupsWithState)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
