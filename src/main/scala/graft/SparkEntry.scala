@@ -893,6 +893,35 @@ object SparkEntry {
       withSig.select(col("doc_id") +: bands: _*)
     }),
 
+    // DEDUP scale knob as CODE: the band geometry comes from the corpus
+    // count via TextFns.minhashGeometryFor (rows-per-band tracks
+    // log(n), band budget follows), the MinHash twin of
+    // ann_lsh_autosize. The sf10 probe traced dedup_cc_canonical's
+    // super-linear tail to the FIXED 8x2 geometry the small-parameter
+    // oracles use (in-bucket pair work is quadratic under a fixed
+    // geometry; LshGeomProbe measured 204M->88M candidate pairs at 500k
+    // docs from re-sizing alone) — this query pins the sizing decision
+    // AND the occupancy histogram under it against a DuckDB mirror that
+    // derives the same geometry from count(*) with integer-exact
+    // comparisons (no float log boundary can flip either side).
+    "dedup_minhash_autosize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+      val bandExprs = (0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
+      }
+      withSig.select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("occ"))
+        .groupBy("occ").agg(count(lit(1)).as("n_buckets"))
+        .withColumn("num_bands", lit(bands.toLong))
+        .withColumn("rows_per_band", lit(rows.toLong))
+        .withColumn("n_docs", lit(n))
+    }),
+
     // DEDUP: LSH candidate pairs — docs sharing ≥1 band bucket, with the
     // signature-agreement Jaccard estimate. This is the join that
     // replaces the O(n²) pass at scale: candidates ≪ all pairs.
@@ -1175,6 +1204,29 @@ object SparkEntry {
         min(col("vec_id")).as("min_vec_id"),
         max(col("vec_id")).as("max_vec_id"),
         sum(col("vec_id")).as("sum_vec_id"))
+    }),
+
+    // IVF at 100 TB: train on a SAMPLE, assign the full corpus — the
+    // correct scale split for Lloyd's (per-pass cost follows training
+    // rows; assignment is one broadcast-centroid scan over everything).
+    // The sample is a deterministic md5-hash 1-in-4 slice (engine-
+    // portable, no RNG), training is the same kmeansLloyd, and the
+    // full-corpus assignment goes through assignWithCentroids — the
+    // exact pass kmeansLloyd ends with. Integer-only membership
+    // accounting, as ivf_kmeans_train.
+    "ivf_kmeans_sample_train" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sampled = emb.where(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 4 === 0)
+      val (_, centroids) = VectorFns.kmeansLloyd(
+        sampled, "vec_id", "embedding", k = 4, iters = 2, dim = 64)
+      VectorFns.assignWithCentroids(emb, "embedding", centroids)
+        .groupBy(col("cluster").cast("long").as("cluster")).agg(
+          count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"),
+          sum(col("vec_id")).as("sum_vec_id"))
     }),
 
     // ANN scale path #2: IVF-style probing — per-label centroids
@@ -2509,6 +2561,42 @@ object SparkEntry {
         s"SELECT doc_id, $bands FROM sig"
     },
 
+    // Auto-sized twin: geometry from count(*) with integer-exact
+    // threshold comparisons (r = smallest r with n <= 128*10^r — no
+    // float log whose ceil could flip an ulp), bands gated on b < 16//r,
+    // band key = md5 over the signature SLICE (coalesce('') matches
+    // Spark concat_ws's all-null -> "" behavior for empty-shingle docs).
+    "dedup_minhash_autosize" -> {
+      val shingles =
+        """list_distinct(list_transform(
+          |  generate_series(1, greatest(len(tk) - 2, 0)),
+          |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
+      val mins = (0 until 16).map { p =>
+        val (a, b) = TextFns.minhashPerm(p)
+        s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime})) AS m$p"
+      }.mkString(", ")
+      val smList = (0 until 16).map(p => s"m$p").mkString("[", ", ", "]")
+      val rowsCase = "CASE " + (1 to 15).map { r =>
+        s"WHEN count(*) <= ${128L * math.pow(10, r).toLong} THEN $r"
+      }.mkString(" ") + " ELSE 16 END"
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |d AS (SELECT doc_id, $shingles AS sh FROM w),
+         |sig AS (SELECT doc_id, $mins FROM d),
+         |sm AS (SELECT doc_id, $smList AS sv FROM sig),
+         |params AS (SELECT count(*) AS n, $rowsCase AS r FROM documents),
+         |bkt AS (
+         |  SELECT md5(coalesce(array_to_string(list_transform(
+         |           sv[b * r + 1 : b * r + r], x -> CAST(x AS VARCHAR)), '|'), '')) AS bucket
+         |  FROM sm CROSS JOIN params, unnest(generate_series(0, 15)) AS t(b)
+         |  WHERE b < greatest(1, 16 // r)),
+         |oc AS (SELECT bucket, count(*) AS occ FROM bkt GROUP BY bucket)
+         |SELECT occ, count(*) AS n_buckets,
+         |       (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
+         |       (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band,
+         |       (SELECT n FROM params) AS n_docs
+         |FROM oc GROUP BY occ""".stripMargin
+    },
+
     "htf_aggregate_1h" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
         |                  date_trunc('minute', ts) AS minute FROM events),
@@ -2573,6 +2661,43 @@ object SparkEntry {
         |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
         |c2 AS (SELECT a2.c, dims.d, round(avg(dims.x), 6) AS cx
         |       FROM dims JOIN a2 USING (vec_id) GROUP BY a2.c, dims.d),
+        |d3 AS (SELECT dims.vec_id, c2.c, round(sum((dims.x - c2.cx) * (dims.x - c2.cx)), 6) AS dist
+        |       FROM dims JOIN c2 ON c2.d = dims.d GROUP BY dims.vec_id, c2.c),
+        |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d3) WHERE rn = 1)
+        |SELECT c AS cluster, count(*) AS n_members,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        |FROM a3 GROUP BY c""".stripMargin,
+
+    // Sample-trained twin: the two Lloyd iterations run over the
+    // md5-hash 1-in-4 sample only (sdims); the FINAL assignment pass
+    // (d3/a3) runs over every vector against the sample-trained c2.
+    "ivf_kmeans_sample_train" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |dims AS (SELECT vec_id, i + 1 AS d, vec[CAST(i + 1 AS INT)] AS x
+        |         FROM v, range(64) t(i)),
+        |samp AS (SELECT vec_id FROM embeddings
+        |         WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 0),
+        |sdims AS (SELECT dims.* FROM dims JOIN samp USING (vec_id)),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |                 vec_id
+        |          FROM (SELECT vec_id FROM samp
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+        |c0 AS (SELECT s.c, dm.d, dm.x AS cx FROM seeds s JOIN sdims dm ON dm.vec_id = s.vec_id),
+        |d1 AS (SELECT sdims.vec_id, c0.c, round(sum((sdims.x - c0.cx) * (sdims.x - c0.cx)), 6) AS dist
+        |       FROM sdims JOIN c0 ON c0.d = sdims.d GROUP BY sdims.vec_id, c0.c),
+        |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.c, sdims.d, round(avg(sdims.x), 6) AS cx
+        |       FROM sdims JOIN a1 USING (vec_id) GROUP BY a1.c, sdims.d),
+        |d2 AS (SELECT sdims.vec_id, c1.c, round(sum((sdims.x - c1.cx) * (sdims.x - c1.cx)), 6) AS dist
+        |       FROM sdims JOIN c1 ON c1.d = sdims.d GROUP BY sdims.vec_id, c1.c),
+        |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
+        |c2 AS (SELECT a2.c, sdims.d, round(avg(sdims.x), 6) AS cx
+        |       FROM sdims JOIN a2 USING (vec_id) GROUP BY a2.c, sdims.d),
         |d3 AS (SELECT dims.vec_id, c2.c, round(sum((dims.x - c2.cx) * (dims.x - c2.cx)), 6) AS dist
         |       FROM dims JOIN c2 ON c2.d = dims.d GROUP BY dims.vec_id, c2.c),
         |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER

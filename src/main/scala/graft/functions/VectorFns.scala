@@ -86,6 +86,20 @@ object VectorFns {
        .withColumnRenamed("__cluster", "cluster"), centroids)
   }
 
+  /** Public assignment pass with externally-trained centroids — the
+    * 100 TB IVF shape: Lloyd's cost is per-pass linear in the TRAINING
+    * rows, so train [[kmeansLloyd]] on a deterministic sample and
+    * assign the full corpus here in one broadcast-centroid scan. The
+    * assignment is the exact pass [[kmeansLloyd]] ends with (same
+    * stable-rounded distances, same lowest-id tie-break), so
+    * sample-trained assignment differs from full-trained ONLY through
+    * the centroids, never through the scan. */
+  def assignWithCentroids(df: DataFrame, vecCol: String,
+                          centroids: Seq[(Int, Seq[Double])],
+                          roundScale: Int = 6): DataFrame =
+    assignClusters(df, vecCol, centroids, roundScale)
+      .withColumnRenamed("__cluster", "cluster")
+
   /** One assignment pass: nearest centroid by squared L2, distances
     * double-rounded at `distScale`, lowest cluster id on ties.
     *

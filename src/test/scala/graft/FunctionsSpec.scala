@@ -379,6 +379,19 @@ class FunctionsSpec extends SparkSpec {
       .map(minhashGeometryFor(16, _, 128)._2)
     assert(rows == rows.sorted)
     intercept[IllegalArgumentException](minhashGeometryFor(16, 100, 128, backgroundSim = 1.0))
+
+    // the dedup_minhash_autosize ORACLE derives r with integer threshold
+    // comparisons (smallest r with n <= 128*10^r, capped at 16) — pin the
+    // float-log Scala rule to that chain across magnitudes incl. the
+    // exact power-of-ten boundaries where a log ulp could flip a ceil
+    def oracleRows(n: Long): Int =
+      (1 to 15).find(r => n <= 128L * math.pow(10, r).toLong).getOrElse(16)
+    val probes = Seq(1L, 127L, 128L, 129L, 500L, 1279L, 1280L, 1281L,
+      5000L, 12800L, 12801L, 50000L, 500000L, 128L * 10000000L,
+      128L * 10000000L + 1) ++ (1 to 14).map(r => 128L * math.pow(10, r).toLong)
+    for (n <- probes)
+      assert(minhashGeometryFor(16, n, 128)._2 == oracleRows(n),
+        s"geometry rule diverges from oracle chain at n=$n")
   }
 
   test("Misra-Gries sketch: fixed memory, undercount <= N/k, heavy items always present") {
