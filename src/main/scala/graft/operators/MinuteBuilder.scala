@@ -111,6 +111,35 @@ object MinuteBuilder {
         Ops.lastByOrd(col("micro_price"), col("event_time")).as("micro_price_close"))
   }
 
+  /** Raw `trades` → the same per-minute trade-shape features as
+    * [[aggTradeFrame]] — addendum §I classes `aggTrades` and `trades`
+    * together ("tick/event streams → bucket by minute and aggregate").
+    * Raw rows carry `trade_id` where aggTrades carry `agg_trade_id`;
+    * one rename adapts them and the aggregation is SHARED, not
+    * duplicated (the per-trade columns price/qty/transact_time/
+    * is_buyer_maker coincide by construction of
+    * [[graft.sources.VisionLoader.tradesFromZips]]). */
+  def tradesFrame(records: DataFrame): DataFrame =
+    aggTradeFrame(records.withColumnRenamed("trade_id", "agg_trade_id"))
+
+  /** `bookDepth` snapshots → per-minute depth-at-offset features, one
+    * row per (minute, percentage offset) — addendum §I "Snapshots …
+    * aggregate per minute with locked rule (last-in-minute or mean)":
+    * both locked rules are emitted (close = last snapshot in the
+    * minute by snapshot time, mean = minute average) plus the snapshot
+    * count for completeness accounting. Downstream spine joins treat
+    * each percentage offset as its own column family after a pivot, or
+    * keep the long shape for range queries. */
+  def bookDepthFrame(records: DataFrame): DataFrame =
+    records
+      .withColumn("timestamp", toMinuteTs(col("snapshot_time")))
+      .groupBy("timestamp", "percentage").agg(
+        Ops.lastByOrd(col("depth"), col("snapshot_time")).as("depth_close"),
+        Ops.lastByOrd(col("notional"), col("snapshot_time")).as("notional_close"),
+        avg(col("depth")).as("depth_mean"),
+        avg(col("notional")).as("notional_mean"),
+        count(lit(1)).as("n_snapshots"))
+
   def fundingFrame(records: DataFrame): DataFrame =
     dedupLastByTs(records.withColumn("timestamp", toMinuteTs(col("funding_time"))),
       col("funding_time"))

@@ -170,4 +170,46 @@ class MinuteBuilderSpec extends SparkSpec {
     // taker_buy_ratio = buy_qty / (buy+sell)
     assert(math.abs(v("taker_buy_ratio").asInstanceOf[Double] - 1.005 / totalQty) < 1e-12)
   }
+
+  test("raw trades reuse the aggTrades minute aggregation; bookDepth normalizes last+mean per (minute, offset) (addendum §I)") {
+    val t0 = instant("2026-01-15T10:00:00Z").toEpochMilli
+    // identical per-trade content through both loaders' shapes must
+    // produce identical minute features (shared aggregation, one rename)
+    val agg = Seq(
+      (1L, 100.0, 1.0, 1L, 1L, t0 + 1000, false),
+      (2L, 101.0, 1000.0, 2L, 2L, t0 + 2000, true),
+      (3L, 102.0, 0.005, 3L, 3L, t0 + 3000, false)
+    ).toDF("agg_trade_id", "price", "qty", "first_trade_id", "last_trade_id",
+      "transact_time", "is_buyer_maker")
+    val raw = Seq(
+      (1L, 100.0, 1.0, 100.0, t0 + 1000, false),
+      (2L, 101.0, 1000.0, 101000.0, t0 + 2000, true),
+      (3L, 102.0, 0.005, 0.51, t0 + 3000, false)
+    ).toDF("trade_id", "price", "qty", "quote_qty", "transact_time", "is_buyer_maker")
+    val a = MinuteBuilder.aggTradeFrame(agg).collect().map(_.toString).sorted
+    val b = MinuteBuilder.tradesFrame(raw).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+
+    // bookDepth: two snapshots in minute 0 at +1% (last wins for close,
+    // both average into mean), one at -1%, one in the next minute
+    val depth = Seq(
+      (t0 + 1000, 1L, 100.0, 10000.0),
+      (t0 + 50000, 1L, 120.0, 12000.0),  // later → close
+      (t0 + 2000, -1L, 80.0, 8000.0),
+      (t0 + 61000, 1L, 130.0, 13000.0)
+    ).toDF("snapshot_time", "percentage", "depth", "notional")
+    val out = MinuteBuilder.bookDepthFrame(depth)
+      .orderBy("timestamp", "percentage").collect()
+    assert(out.length == 3)
+    val idx = (c: String) => out.head.schema.fieldIndex(c)
+    val m0p1 = out(1) // minute 0, +1%
+    assert(m0p1.getDouble(idx("depth_close")) == 120.0)
+    assert(m0p1.getDouble(idx("depth_mean")) == 110.0)
+    assert(m0p1.getDouble(idx("notional_close")) == 12000.0)
+    assert(m0p1.getLong(idx("n_snapshots")) == 2L)
+    val m0m1 = out(0) // minute 0, -1%
+    assert(m0m1.getDouble(idx("depth_close")) == 80.0 && m0m1.getLong(idx("n_snapshots")) == 1L)
+    val m1p1 = out(2) // minute 1, +1%
+    assert(m1p1.getDouble(idx("depth_close")) == 130.0)
+  }
 }
