@@ -274,17 +274,141 @@ case class MinHashSig(child: Expression, numPerm: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The fused hyperplane-bucket loop behind [[HyperplaneBucket]], shared
+  * by interpreted eval and generated code (codegen emits ONE static
+  * call — same packaging as [[MinHashKernel]]). */
+object HyperplaneBucketKernel {
+
+  /** Mirrors the HOF form
+    * `aggregate(planes, 0L, (b, pl) -> b + (case when
+    *   aggregate(zip_with(vec, pl.pvec, (x, y) -> cast(x as double) * y),
+    *             0.0d, (a, v) -> a + v) > 0
+    *   then shiftleft(1L, pl.pid) else 0L end))`
+    * EXACTLY: per-plane dot products widen to double and accumulate
+    * left-to-right in ascending dim order (bit-identical IEEE sums); a
+    * null vector, a null element, or a length mismatch (zip_with pads
+    * the shorter side with nulls, and `a + null` poisons the sum)
+    * yields a NULL plane sum, which fails `> 0` and contributes 0; a
+    * NaN sum SETS the bit — Spark SQL orders NaN larger than every
+    * value, so `NaN > 0` is TRUE there (unlike Java's primitive
+    * comparison, which the kernel must therefore special-case). Bits
+    * ADD (`b + …`, matching the HOF
+    * accumulator — identical to OR while pids are distinct), and
+    * `1L << pid` wraps mod 64 exactly like `shiftleft`. */
+  def compute(vec: ArrayData, planes: ArrayData, vecIsFloat: Boolean): Long = {
+    if (planes == null) return 0L
+    var bucket = 0L
+    val np = planes.numElements()
+    var p = 0
+    while (p < np) {
+      if (!planes.isNullAt(p)) {
+        val pl = planes.getStruct(p, 2)
+        if (!pl.isNullAt(0)) {
+          val pid = pl.getInt(0)
+          val pvec = if (pl.isNullAt(1)) null else pl.getArray(1)
+          if (planeSumPositive(vec, pvec, vecIsFloat)) bucket += (1L << pid)
+        }
+      }
+      p += 1
+    }
+    bucket
+  }
+
+  private def planeSumPositive(vec: ArrayData, pvec: ArrayData,
+                               vecIsFloat: Boolean): Boolean = {
+    if (vec == null || pvec == null) return false
+    val n = vec.numElements()
+    if (pvec.numElements() != n) return false // a padded null poisons the sum
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i) || pvec.isNullAt(i)) return false
+      val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      s += x * pvec.getDouble(i)
+      i += 1
+    }
+    // Spark SQL: NaN compares larger than any value, so NaN > 0 is true
+    java.lang.Double.isNaN(s) || s > 0
+  }
+}
+
+/** Native hyperplane-LSH bucket id over an embedding column and the
+  * broadcast plane row (`array<struct<pid:int,pvec:array<double>>>`) —
+  * fourth tier-(b) kernel: the HOF formulation runs, per row, one
+  * outer `aggregate` plus per plane a `zip_with` (allocating a dim-long
+  * product array) and an inner `aggregate` — 2·planes lambda passes and
+  * planes intermediate arrays; this fuses the whole thing into one
+  * allocation-free primitive loop nest inside whole-stage codegen.
+  * Bit-identical to the HOF form ([[HyperplaneBucketKernel.compute]]);
+  * the HOF form stays in [[VectorFns.withHyperplaneBucketHof]] as the
+  * spec cross-check. */
+case class HyperplaneBucket(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(StructType(Array(pid, pvec)), _))
+        if pid.dataType == IntegerType &&
+           pvec.dataType == ArrayType(DoubleType, containsNull = true) ||
+           pvec.dataType == ArrayType(DoubleType, containsNull = false) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      "graft_hyperplane_bucket requires (array<float|double>, " +
+        s"array<struct<pid:int,pvec:array<double>>>), got ${l.sql} and ${r.sql}")
+  }
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val planes = right.eval(input)
+    if (planes == null) return 0L
+    HyperplaneBucketKernel.compute(
+      left.eval(input).asInstanceOf[ArrayData],
+      planes.asInstanceOf[ArrayData], vecIsFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val res = ctx.freshName("bucket")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |long $res = graft.functions.HyperplaneBucketKernel.compute(
+        |  ${leftGen.isNull} ? null : ${leftGen.value},
+        |  ${rightGen.isNull} ? null : ${rightGen.value}, $vecIsFloat);
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(res, LongType))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
   private val simhashIdent = FunctionIdentifier("graft_simhash32")
   private val minhashIdent = FunctionIdentifier("graft_minhash")
+  private val hyperplaneIdent = FunctionIdentifier("graft_hyperplane_bucket")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
     new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
   private def minhashInfo =
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
+  private def hyperplaneInfo =
+    new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -310,6 +434,12 @@ object NativeVectorExprs {
     MinHashSig(children.head, numPerm)
   }
 
+  private def hyperplaneBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"graft_hyperplane_bucket expects 2 arguments, got ${children.size}")
+    HyperplaneBucket(children.head, children(1))
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -325,5 +455,6 @@ object NativeVectorExprs {
     : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq((dotIdent, dotInfo, dotBuilder _),
       (simhashIdent, simhashInfo, simhashBuilder _),
-      (minhashIdent, minhashInfo, minhashBuilder _))
+      (minhashIdent, minhashInfo, minhashBuilder _),
+      (hyperplaneIdent, hyperplaneInfo, hyperplaneBuilder _))
 }

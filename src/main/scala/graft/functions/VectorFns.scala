@@ -197,11 +197,35 @@ object VectorFns {
     * data. The plan stays O(1) regardless — only the broadcast row
     * grows, by dim×8 bytes per extra plane. */
   def withHyperplaneBucket(df: DataFrame, vecCol: String, bucketCol: String,
-                           dim: Int, numPlanes: Int, seed: Int = 7): DataFrame = {
+                           dim: Int, numPlanes: Int, seed: Int = 7): DataFrame =
+    withHyperplaneBucketImpl(df, vecCol, bucketCol, dim, numPlanes, seed,
+      bucketExpr = planesCol =>
+        expr(s"graft_hyperplane_bucket($vecCol, $planesCol)"))
+
+  /** HOF REFERENCE form of [[withHyperplaneBucket]] — per row, one
+    * outer `aggregate` plus per plane a `zip_with` product array and an
+    * inner `aggregate`; kept as the spec cross-check for the native
+    * one-pass [[HyperplaneBucket]] kernel (FunctionsSpec pins the two
+    * bit-identical over randomized vectors incl. null/NaN edges). */
+  def withHyperplaneBucketHof(df: DataFrame, vecCol: String, bucketCol: String,
+                              dim: Int, numPlanes: Int, seed: Int = 7): DataFrame =
+    withHyperplaneBucketImpl(df, vecCol, bucketCol, dim, numPlanes, seed,
+      bucketExpr = planesCol => expr(
+        s"""aggregate($planesCol, 0L, (b, pl) -> b +
+           |  (case when aggregate(zip_with($vecCol, pl.pvec,
+           |          (x, y) -> cast(x as double) * y),
+           |        0.0d, (a, v) -> a + v) > 0
+           |   then shiftleft(1L, pl.pid) else 0L end))""".stripMargin))
+
+  private def withHyperplaneBucketImpl(df: DataFrame, vecCol: String,
+                                       bucketCol: String, dim: Int,
+                                       numPlanes: Int, seed: Int,
+                                       bucketExpr: String => Column): DataFrame = {
     require(!df.columns.contains("__planes"),
       "input must not contain the reserved working column __planes")
     val spark = df.sparkSession
     import spark.implicits._
+    NativeVectorExprs.register(spark)
     val planes = (0 until numPlanes).map { p =>
       (p, (0 until dim).map(d => planeComponent(seed, p, d)))
     }
@@ -209,12 +233,7 @@ object VectorFns {
       .select(col("__planes")
         .cast("array<struct<pid:int,pvec:array<double>>>").as("__planes"))
     df.crossJoin(broadcast(planesDf))
-      .withColumn(bucketCol, expr(
-        s"""aggregate(__planes, 0L, (b, pl) -> b +
-           |  (case when aggregate(zip_with($vecCol, pl.pvec,
-           |          (x, y) -> cast(x as double) * y),
-           |        0.0d, (a, v) -> a + v) > 0
-           |   then shiftleft(1L, pl.pid) else 0L end))""".stripMargin))
+      .withColumn(bucketCol, bucketExpr("__planes"))
       .drop("__planes")
   }
 }

@@ -163,7 +163,8 @@ class FunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import graft.functions.NativeVectorExprs
     NativeVectorExprs.register(spark) // idempotent
-    val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash")
+    val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
+      "graft_hyperplane_bucket")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")
@@ -285,6 +286,40 @@ class FunctionsSpec extends SparkSpec {
     val large = planLen(768, 16)
     assert(large < small + 200,
       s"plan grew with dim x planes: 8x2 -> $small chars, 768x16 -> $large chars")
+  }
+
+  test("native graft_hyperplane_bucket is bit-identical to the HOF formulation, incl. edges") {
+    val rnd = new scala.util.Random(1234)
+    // randomized batch + the HOF-semantics edges: a null ELEMENT or a
+    // length mismatch poisons that plane's sum (-> bit 0), a NaN sum
+    // fails > 0, an all-negative vector flips every bit off
+    val rows: Seq[(Long, Seq[Option[Float]])] =
+      (0 until 200).map { i =>
+        (i.toLong, Seq.fill(16)(Some(rnd.nextFloat() * 2 - 1): Option[Float]))
+      } ++ Seq(
+        (900L, Seq.fill(16)(Some(-0.5f): Option[Float])),
+        (901L, Seq.tabulate(16)(d => if (d == 3) None else Some(0.25f)): Seq[Option[Float]]),
+        (902L, Seq.fill(7)(Some(0.25f): Option[Float])),   // wrong length
+        (903L, Seq.tabulate(16)(d => Some(if (d == 0) Float.NaN else 0.25f)): Seq[Option[Float]]),
+        (904L, Seq.empty[Option[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    def buckets(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(df, "embedding", "bucket", 16, 10, 7)
+        .select("vec_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val native = buckets(VectorFns.withHyperplaneBucket)
+    val hof = buckets(VectorFns.withHyperplaneBucketHof)
+    assert(native == hof)
+    val byId = native.toMap
+    // every plane's sum spans all dims, so a single null element poisons
+    // EVERY plane (null sum fails > 0) — as do the length mismatch and
+    // the empty vector (zip_with padding)...
+    assert(Seq(901L, 902L, 904L).forall(byId(_) == 0L))
+    // ...but a NaN sum sets EVERY bit: Spark SQL orders NaN above all
+    // values, so NaN > 0 is TRUE (the Java-primitive intuition is wrong,
+    // and this row is what pins the kernel to the SQL semantics)
+    assert(byId(903L) == (1L << 10) - 1)
+    assert(native.map(_._2).exists(_ != 0L)) // the healthy batch still buckets
   }
 
   test("hyperplane bucket rejects reserved working-column collisions") {

@@ -80,4 +80,27 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(r.getSeq[Any](3) == r.getSeq[Any](4), s"minhash mismatch id ${r.getLong(0)}")
     }
   }
+
+  test("native hyperplane-bucket kernel matches the HOF form on a randomized batch") {
+    import graft.functions.VectorFns
+    // scalacheck vectors incl. null elements, NaN, wrong lengths, empty
+    // and null arrays — every shape the HOF null/NaN semantics covers
+    val fElem: Gen[Option[Float]] = Gen.frequency(
+      12 -> Gen.chooseNum(-1.0f, 1.0f).map(Option(_)),
+      1 -> Gen.const(Option.empty[Float]),
+      1 -> Gen.const(Option(Float.NaN)))
+    val vec: Gen[Option[Seq[Option[Float]]]] = Gen.frequency(
+      8 -> Gen.listOfN(12, fElem).map(l => Some(l: Seq[Option[Float]])),
+      1 -> Gen.listOfN(5, fElem).map(l => Some(l: Seq[Option[Float]])),
+      1 -> Gen.oneOf(Some(Seq.empty[Option[Float]]), Option.empty[Seq[Option[Float]]]))
+    val seed = org.scalacheck.rng.Seed(20260813L)
+    val cases = Gen.listOfN(300, vec).pureApply(Gen.Parameters.default, seed)
+    val df = cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(df, "emb", "bucket", 12, 8, 7).select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = run(VectorFns.withHyperplaneBucket)
+    val hof = run(VectorFns.withHyperplaneBucketHof)
+    assert(native.size == 300 && native == hof)
+  }
 }
