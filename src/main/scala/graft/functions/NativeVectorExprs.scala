@@ -395,12 +395,156 @@ case class HyperplaneBucket(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The fused nearest-centroid loop behind [[NearestCentroid]], shared by
+  * interpreted eval and generated code (ONE static call, same packaging
+  * as [[MinHashKernel]]/[[HyperplaneBucketKernel]]). */
+object NearestCentroidKernel {
+
+  /** Spark's `round(round(v, scale+5), scale)` for doubles, exactly:
+    * `RoundBase` passes NaN/Infinity through unchanged and otherwise
+    * rounds via `BigDecimal.valueOf(v).setScale(s, HALF_UP)` (the
+    * shortest-decimal valueOf semantics, not the exact binary
+    * constructor). */
+  def stableRound(v: Double, scale: Int): Double = {
+    def r(x: Double, s: Int): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    r(r(v, scale + 5), scale)
+  }
+
+  /** Mirrors
+    * `array_min(transform(cents, c -> named_struct('d',
+    *    round(round(aggregate(zip_with(vec, c.cvec,
+    *      (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+    *    0.0d, (a, v) -> a + v), scale+5), scale), 'cid', c.cid))).cid`
+    * EXACTLY: per-centroid squared-L2 accumulates left-to-right in
+    * double; a null vec / null element / length mismatch poisons that
+    * distance to NULL (zip_with padding + `a + null`); `array_min`'s
+    * struct ordering puts a NULL distance FIRST (nulls smallest), ranks
+    * NaN above every number (`Double.compare`), and breaks distance
+    * ties toward the lowest cid. Returns null only when `cents` is
+    * null/empty (`array_min` over an empty array). */
+  def compute(vec: ArrayData, cents: ArrayData, scale: Int,
+              vecIsFloat: Boolean): Integer = {
+    if (cents == null) return null
+    val nc = cents.numElements()
+    var bestCid = 0
+    var bestDist = 0.0
+    var bestIsNull = false
+    var found = false
+    var c = 0
+    while (c < nc) {
+      if (!cents.isNullAt(c)) {
+        val cent = cents.getStruct(c, 2)
+        val cid = cent.getInt(0)
+        val cvec = if (cent.isNullAt(1)) null else cent.getArray(1)
+        var dNull = vec == null || cvec == null ||
+          cvec.numElements() != vec.numElements()
+        var d = 0.0
+        if (!dNull) {
+          val n = vec.numElements()
+          var i = 0
+          while (i < n && !dNull) {
+            if (vec.isNullAt(i) || cvec.isNullAt(i)) dNull = true
+            else {
+              val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+              val diff = x - cvec.getDouble(i)
+              d += diff * diff
+            }
+            i += 1
+          }
+        }
+        if (!dNull) d = stableRound(d, scale)
+        // struct(d, cid) ascending: null d first; then Double.compare
+        // (NaN greatest); then cid
+        val better =
+          if (!found) true
+          else if (dNull != bestIsNull) dNull
+          else if (dNull) cid < bestCid
+          else {
+            val cmp = java.lang.Double.compare(d, bestDist)
+            cmp < 0 || (cmp == 0 && cid < bestCid)
+          }
+        if (better) { bestCid = cid; bestDist = d; bestIsNull = dNull; found = true }
+      }
+      c += 1
+    }
+    if (!found) null else Integer.valueOf(bestCid)
+  }
+}
+
+/** Native nearest-centroid assignment over an embedding column and the
+  * broadcast centroid row (`array<struct<cid:int,cvec:array<double>>>`)
+  * — fifth tier-(b) kernel: the HOF formulation runs, per row, one
+  * `transform` plus per centroid a `zip_with` (allocating a dim-long
+  * diff array) and an `aggregate` — 2·k lambda passes and k
+  * intermediate arrays (k=64 on the IVF path); this fuses the whole
+  * argmin into one allocation-free loop nest inside whole-stage
+  * codegen. Bit-identical to the HOF form
+  * ([[NearestCentroidKernel.compute]] — incl. Spark's double `round`
+  * semantics and `array_min`'s struct ordering); the HOF form stays in
+  * [[VectorFns]] as the spec cross-check. */
+case class NearestCentroid(left: Expression, right: Expression, scale: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(StructType(Array(cid, cvec)), _))
+        if cid.dataType == IntegerType &&
+           cvec.dataType.isInstanceOf[ArrayType] &&
+           cvec.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      "graft_nearest_centroid requires (array<float|double>, " +
+        s"array<struct<cid:int,cvec:array<double>>>), got ${l.sql} and ${r.sql}")
+  }
+
+  private def vecIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val cents = right.eval(input)
+    if (cents == null) return null
+    NearestCentroidKernel.compute(
+      left.eval(input).asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], scale, vecIsFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val res = ctx.freshName("cid")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |java.lang.Integer $res = ${rightGen.isNull} ? null :
+        |  graft.functions.NearestCentroidKernel.compute(
+        |    ${leftGen.isNull} ? null : ${leftGen.value},
+        |    ${rightGen.value}, $scale, $vecIsFloat);
+        |boolean ${ev.isNull} = ($res == null);
+        |int ${ev.value} = ${ev.isNull} ? -1 : $res.intValue();
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
   private val simhashIdent = FunctionIdentifier("graft_simhash32")
   private val minhashIdent = FunctionIdentifier("graft_minhash")
   private val hyperplaneIdent = FunctionIdentifier("graft_hyperplane_bucket")
+  private val nearestIdent = FunctionIdentifier("graft_nearest_centroid")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
@@ -409,6 +553,8 @@ object NativeVectorExprs {
     new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash")
   private def hyperplaneInfo =
     new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket")
+  private def nearestInfo =
+    new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -440,6 +586,19 @@ object NativeVectorExprs {
     HyperplaneBucket(children.head, children(1))
   }
 
+  private def nearestBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"graft_nearest_centroid expects 3 arguments, got ${children.size}")
+    val scale = children(2) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == IntegerType && lit.value != null =>
+        lit.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_centroid's third argument must be an integer literal, got $other")
+    }
+    NearestCentroid(children.head, children(1), scale)
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -456,5 +615,6 @@ object NativeVectorExprs {
     Seq((dotIdent, dotInfo, dotBuilder _),
       (simhashIdent, simhashInfo, simhashBuilder _),
       (minhashIdent, minhashInfo, minhashBuilder _),
-      (hyperplaneIdent, hyperplaneInfo, hyperplaneBuilder _))
+      (hyperplaneIdent, hyperplaneInfo, hyperplaneBuilder _),
+      (nearestIdent, nearestInfo, nearestBuilder _))
 }

@@ -100,6 +100,18 @@ object VectorFns {
     assignClusters(df, vecCol, centroids, roundScale)
       .withColumnRenamed("__cluster", "cluster")
 
+  /** HOF REFERENCE form of [[assignWithCentroids]] — per row one
+    * `transform` plus per centroid a `zip_with` diff array and an
+    * `aggregate`; kept as the spec cross-check for the native one-pass
+    * [[NearestCentroid]] kernel (FunctionsSpec pins the two
+    * bit-identical, incl. the stable-rounded distances and the
+    * lowest-cid tie-break). */
+  def assignWithCentroidsHof(df: DataFrame, vecCol: String,
+                             centroids: Seq[(Int, Seq[Double])],
+                             roundScale: Int = 6): DataFrame =
+    assignClustersImpl(df, vecCol, centroids, roundScale, useNative = false)
+      .withColumnRenamed("__cluster", "cluster")
+
   /** One assignment pass: nearest centroid by squared L2, distances
     * double-rounded at `distScale`, lowest cluster id on ties.
     *
@@ -116,19 +128,28 @@ object VectorFns {
     * the lowest cluster id, same as before. */
   private def assignClusters(df: DataFrame, vecCol: String,
                              centroids: Seq[(Int, Seq[Double])],
-                             distScale: Int): DataFrame = {
+                             distScale: Int): DataFrame =
+    assignClustersImpl(df, vecCol, centroids, distScale, useNative = true)
+
+  private def assignClustersImpl(df: DataFrame, vecCol: String,
+                                 centroids: Seq[(Int, Seq[Double])],
+                                 distScale: Int, useNative: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    NativeVectorExprs.register(spark)
     val cents = centroids.sortBy(_._1)
       .toDF("cid", "cvec")
       .agg(expr("array_sort(collect_list(struct(cid, cvec)))").as("__cents"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("__cluster", expr(
+    val cluster =
+      if (useNative) expr(s"graft_nearest_centroid($vecCol, __cents, $distScale)")
+      else expr(
         s"""array_min(transform(__cents, c -> named_struct(
            |  'd', round(round(aggregate(zip_with($vecCol, c.cvec,
            |         (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
            |       0.0d, (a, v) -> a + v), ${distScale + 5}), $distScale),
-           |  'cid', c.cid))).cid""".stripMargin))
+           |  'cid', c.cid))).cid""".stripMargin)
+    df.crossJoin(broadcast(cents))
+      .withColumn("__cluster", cluster)
       .drop("__cents")
   }
 

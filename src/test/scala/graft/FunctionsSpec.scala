@@ -164,7 +164,7 @@ class FunctionsSpec extends SparkSpec {
     import graft.functions.NativeVectorExprs
     NativeVectorExprs.register(spark) // idempotent
     val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
-      "graft_hyperplane_bucket")
+      "graft_hyperplane_bucket", "graft_nearest_centroid")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")
@@ -320,6 +320,38 @@ class FunctionsSpec extends SparkSpec {
     // and this row is what pins the kernel to the SQL semantics)
     assert(byId(903L) == (1L << 10) - 1)
     assert(native.map(_._2).exists(_ != 0L)) // the healthy batch still buckets
+  }
+
+  test("native graft_nearest_centroid is bit-identical to the HOF argmin, incl. ties and poisoned rows") {
+    val rnd = new scala.util.Random(77)
+    val rows: Seq[(Long, Seq[Option[Float]])] =
+      (0 until 200).map { i =>
+        (i.toLong, Seq.fill(8)(Some(rnd.nextFloat() * 4 - 2): Option[Float]))
+      } ++ Seq(
+        (900L, Seq.tabulate(8)(d => if (d == 2) None else Some(0.5f)): Seq[Option[Float]]),
+        (901L, Seq.fill(3)(Some(0.5f): Option[Float])), // wrong length
+        (902L, Seq.empty[Option[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    // centroid 5 duplicates centroid 2's vector: equal distances must
+    // break toward the LOWER cid on both paths
+    val base: Seq[(Int, Seq[Double])] = (0 until 5).map { c =>
+      (c, Seq.fill(8)(rnd.nextDouble() * 4 - 2))
+    }
+    val cents2 = base :+ (5 -> base(2)._2)
+    def run(f: (org.apache.spark.sql.DataFrame, String, Seq[(Int, Seq[Double])], Int) => org.apache.spark.sql.DataFrame) =
+      f(df, "embedding", cents2, 6).select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sortBy(_._1).toSeq
+    val native = run(VectorFns.assignWithCentroids(_, _, _, _))
+    val hof = run(VectorFns.assignWithCentroidsHof(_, _, _, _))
+    assert(native == hof)
+    val byId = native.toMap
+    // a poisoned vector (null element / wrong length / empty) NULLs every
+    // distance; array_min's struct ordering puts null first and ties
+    // break to the lowest cid — so these land in cluster 0, not null
+    assert(Seq(900L, 901L, 902L).forall(byId(_) == 0))
+    // ties on distance (duplicate centroid 5 == centroid 2) never pick 5
+    assert(!native.exists(_._2 == 5))
+    assert(native.map(_._2).distinct.size > 1) // healthy rows spread out
   }
 
   test("hyperplane bucket rejects reserved working-column collisions") {
