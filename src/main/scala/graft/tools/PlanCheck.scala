@@ -107,7 +107,9 @@ object PlanCheck {
       "native_enrich_route", "ivf_kmeans_train", "dedup_embed_lsh",
       "dedup_ngram_jaccard_capped",
       "txt_tfidf_bm25", "txt_decontaminate", "txt_repetition_rules",
-      "txt_pack_sequences", "ann_sq8_search", "ann_lsh_recall")
+      "txt_pack_sequences", "ann_sq8_search", "ann_lsh_recall",
+      "ann_lsh_autosize", "ann_ivf_recall", "ivf_kmeans_sample_train",
+      "dedup_minhash_autosize")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
