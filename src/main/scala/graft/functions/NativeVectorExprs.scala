@@ -347,14 +347,17 @@ case class HyperplaneBucket(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
-  override def nullable: Boolean = false
+  // NULL planes must yield NULL, exactly like the HOF
+  // `aggregate(NULL, 0L, ...)`; a null VECTOR stays non-null 0L (every
+  // plane sum poisons to NULL, fails `> 0`, contributes 0) — also HOF.
+  override def nullable: Boolean = right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType | DoubleType, _),
           ArrayType(StructType(Array(pid, pvec)), _))
         if pid.dataType == IntegerType &&
-           pvec.dataType == ArrayType(DoubleType, containsNull = true) ||
-           pvec.dataType == ArrayType(DoubleType, containsNull = false) =>
+           pvec.dataType.isInstanceOf[ArrayType] &&
+           pvec.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       "graft_hyperplane_bucket requires (array<float|double>, " +
@@ -366,10 +369,10 @@ case class HyperplaneBucket(left: Expression, right: Expression)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val planes = right.eval(input)
-    if (planes == null) return 0L
-    HyperplaneBucketKernel.compute(
+    if (planes == null) return null
+    java.lang.Long.valueOf(HyperplaneBucketKernel.compute(
       left.eval(input).asInstanceOf[ArrayData],
-      planes.asInstanceOf[ArrayData], vecIsFloat)
+      planes.asInstanceOf[ArrayData], vecIsFloat))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -377,17 +380,30 @@ case class HyperplaneBucket(left: Expression, right: Expression)
     val rightGen = right.genCode(ctx)
     val res = ctx.freshName("bucket")
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    ev.copy(
-      code = code"""
-        |${leftGen.code}
-        |${rightGen.code}
-        |long $res = graft.functions.HyperplaneBucketKernel.compute(
-        |  ${leftGen.isNull} ? null : ${leftGen.value},
-        |  ${rightGen.isNull} ? null : ${rightGen.value}, $vecIsFloat);
-        |""".stripMargin,
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
-      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
-        .variable(res, LongType))
+    if (nullable) {
+      ev.copy(
+        code = code"""
+          |${leftGen.code}
+          |${rightGen.code}
+          |boolean ${ev.isNull} = ${rightGen.isNull};
+          |long ${ev.value} = ${ev.isNull} ? 0L :
+          |  graft.functions.HyperplaneBucketKernel.compute(
+          |    ${leftGen.isNull} ? null : ${leftGen.value},
+          |    ${rightGen.value}, $vecIsFloat);
+          |""".stripMargin)
+    } else {
+      ev.copy(
+        code = code"""
+          |${leftGen.code}
+          |${rightGen.code}
+          |long $res = graft.functions.HyperplaneBucketKernel.compute(
+          |  ${leftGen.isNull} ? null : ${leftGen.value},
+          |  ${rightGen.value}, $vecIsFloat);
+          |""".stripMargin,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .variable(res, LongType))
+    }
   }
 
   override protected def withNewChildrenInternal(
@@ -423,13 +439,17 @@ object NearestCentroidKernel {
     * distance to NULL (zip_with padding + `a + null`); `array_min`'s
     * struct ordering puts a NULL distance FIRST (nulls smallest), ranks
     * NaN above every number (`Double.compare`), and breaks distance
-    * ties toward the lowest cid. Returns null only when `cents` is
-    * null/empty (`array_min` over an empty array). */
+    * ties toward the lowest cid — with a NULL cid ranking below every
+    * non-null cid (struct ordering is nulls-first ascending), so a
+    * winning null-cid struct yields a NULL result, never a garbage 0.
+    * Returns null when `cents` is null/empty (`array_min` over an
+    * empty array) or the winner's cid is null. */
   def compute(vec: ArrayData, cents: ArrayData, scale: Int,
               vecIsFloat: Boolean): Integer = {
     if (cents == null) return null
     val nc = cents.numElements()
     var bestCid = 0
+    var bestCidIsNull = false
     var bestDist = 0.0
     var bestIsNull = false
     var found = false
@@ -437,7 +457,8 @@ object NearestCentroidKernel {
     while (c < nc) {
       if (!cents.isNullAt(c)) {
         val cent = cents.getStruct(c, 2)
-        val cid = cent.getInt(0)
+        val cidIsNull = cent.isNullAt(0)
+        val cid = if (cidIsNull) 0 else cent.getInt(0)
         val cvec = if (cent.isNullAt(1)) null else cent.getArray(1)
         var dNull = vec == null || cvec == null ||
           cvec.numElements() != vec.numElements()
@@ -457,20 +478,26 @@ object NearestCentroidKernel {
         }
         if (!dNull) d = stableRound(d, scale)
         // struct(d, cid) ascending: null d first; then Double.compare
-        // (NaN greatest); then cid
+        // (NaN greatest); then cid (null cid first)
         val better =
           if (!found) true
-          else if (dNull != bestIsNull) dNull
-          else if (dNull) cid < bestCid
           else {
-            val cmp = java.lang.Double.compare(d, bestDist)
-            cmp < 0 || (cmp == 0 && cid < bestCid)
+            val distCmp =
+              if (dNull && bestIsNull) 0
+              else if (dNull != bestIsNull) { if (dNull) -1 else 1 }
+              else java.lang.Double.compare(d, bestDist)
+            if (distCmp != 0) distCmp < 0
+            else if (cidIsNull != bestCidIsNull) cidIsNull
+            else !cidIsNull && cid < bestCid
           }
-        if (better) { bestCid = cid; bestDist = d; bestIsNull = dNull; found = true }
+        if (better) {
+          bestCid = cid; bestCidIsNull = cidIsNull
+          bestDist = d; bestIsNull = dNull; found = true
+        }
       }
       c += 1
     }
-    if (!found) null else Integer.valueOf(bestCid)
+    if (!found || bestCidIsNull) null else Integer.valueOf(bestCid)
   }
 }
 

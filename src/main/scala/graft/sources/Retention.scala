@@ -27,12 +27,17 @@ object Retention {
     * parquet files AND every file is below `smallFileBytes` — a
     * partition with even one healthy-sized file is left alone (it is
     * either already compacted or still hot). The rewrite is
-    * tmp-dir-then-swap with a row-count check before the original is
-    * deleted (same discipline as the atomic hour writer): a crash
-    * before the swap leaves the original intact plus a `.compact_tmp`
-    * dir that the next run overwrites. Row CONTENT is untouched —
-    * files are read and rewritten column-for-column; only the file
-    * layout changes.
+    * tmp-dir-then-rename-aside-swap with a row-count check before any
+    * move: write `.compact_tmp/<name>`, verify, rename the original
+    * aside to `.compact_old/<name>`, rename tmp into place, delete the
+    * old dir. At no instant does the partition dir hold a MIX of old
+    * and new files (directory renames are atomic on HDFS-like
+    * filesystems), and at no instant is the only copy of the data in a
+    * scratch dir: a crash in any window leaves either the original in
+    * place, or the original under `.compact_old` (restored by
+    * [[recoverCompaction]] on the next run), or the verified new files
+    * already live. Row CONTENT is untouched — files are read and
+    * rewritten column-for-column; only the file layout changes.
     *
     * Scale shape: each partition is an independent bounded job (one
     * day of one table); a 100 TB lake compacts day-by-day behind the
@@ -46,6 +51,7 @@ object Retention {
       spark.sparkContext.hadoopConfiguration)
     val rootPath = new HPath(root)
     if (!fs.exists(rootPath)) return Seq.empty
+    recoverCompaction(fs, rootPath)
     val out = Vector.newBuilder[Compaction]
     for (status <- fs.listStatus(rootPath) if status.isDirectory) {
       val name = status.getPath.getName
@@ -61,8 +67,18 @@ object Retention {
           val after = spark.read.parquet(tmp.toString).count()
           require(after == before,
             s"compaction row-count mismatch for $name: $before -> $after; original kept")
-          fs.delete(status.getPath, true)
-          fs.rename(tmp, status.getPath)
+          // Swap: original aside -> tmp in -> drop aside. The original
+          // is never deleted before the new files are live; see
+          // recoverCompaction for every crash window.
+          val old = new HPath(rootPath, s".compact_old/$name")
+          fs.delete(old, true)
+          fs.mkdirs(old.getParent)
+          require(fs.rename(status.getPath, old),
+            s"compaction: failed to move $name aside; original kept in place")
+          require(fs.rename(tmp, status.getPath),
+            s"compaction: failed to promote new files for $name; " +
+              "original preserved under .compact_old, recovered on next run")
+          fs.delete(old, true)
           val filesAfter = fs.listStatus(status.getPath)
             .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           out += Compaction(name.stripPrefix(s"$partitionCol="),
@@ -71,7 +87,43 @@ object Retention {
       }
     }
     fs.delete(new HPath(rootPath, ".compact_tmp"), true)
+    fs.delete(new HPath(rootPath, ".compact_old"), true)
     out.result()
+  }
+
+  /** Repair any partition left mid-swap by a crashed compaction run.
+    * Crash windows and their recovery:
+    *   - tmp written, original still in place (crash before the swap):
+    *     original is live; the stale tmp is dropped.
+    *   - original moved to `.compact_old/<name>`, tmp not yet promoted:
+    *     partition dir is missing — restore the original from
+    *     `.compact_old` (the verified tmp is then redundant, dropped).
+    *   - tmp promoted, `.compact_old/<name>` not yet deleted: partition
+    *     dir exists with the new files — drop the old copy.
+    * Data loss is impossible: every window leaves at least one complete
+    * copy, and nothing under a scratch dir is deleted until a live
+    * partition dir covers it. */
+  private[sources] def recoverCompaction(fs: FileSystem, rootPath: HPath): Unit = {
+    val oldRoot = new HPath(rootPath, ".compact_old")
+    if (fs.exists(oldRoot)) {
+      for (s <- fs.listStatus(oldRoot) if s.isDirectory) {
+        val live = new HPath(rootPath, s.getPath.getName)
+        if (!fs.exists(live)) require(fs.rename(s.getPath, live),
+          s"compaction recovery: failed to restore ${s.getPath.getName}")
+      }
+      fs.delete(oldRoot, true)
+    }
+    val tmpRoot = new HPath(rootPath, ".compact_tmp")
+    if (fs.exists(tmpRoot)) {
+      for (s <- fs.listStatus(tmpRoot) if s.isDirectory) {
+        val live = new HPath(rootPath, s.getPath.getName)
+        // Only reachable if both the partition dir and .compact_old are
+        // gone — the verified tmp is then the sole complete copy.
+        if (!fs.exists(live)) require(fs.rename(s.getPath, live),
+          s"compaction recovery: failed to promote ${s.getPath.getName}")
+      }
+      fs.delete(tmpRoot, true)
+    }
   }
 
   /** Drop `day=YYYY-MM-DD`-style partitions older than `cutoff` under

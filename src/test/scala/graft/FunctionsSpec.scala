@@ -354,6 +354,60 @@ class FunctionsSpec extends SparkSpec {
     assert(native.map(_._2).distinct.size > 1) // healthy rows spread out
   }
 
+  test("kernel edges pinned (ADVICE r7): null planes null-propagates, bad pid type rejected, null cid never reads garbage") {
+    // 1. NULL planes: the HOF `aggregate(NULL, 0L, ...)` yields NULL and
+    //    the native kernel must match (it used to return 0L)
+    val nullPlanes = spark.sql(
+      """SELECT graft_hyperplane_bucket(array(cast(1.0 as double)),
+        |         cast(null as array<struct<pid:int,pvec:array<double>>>)) AS native,
+        |       aggregate(cast(null as array<struct<pid:int,pvec:array<double>>>),
+        |                 0L, (b, pl) -> b) AS hof""".stripMargin).head
+    assert(nullPlanes.isNullAt(0) && nullPlanes.isNullAt(1))
+    // ...while a null VECTOR over real planes stays 0L on both paths
+    // (every plane sum poisons to NULL, fails > 0, contributes nothing)
+    val nullVec = spark.sql(
+      """SELECT graft_hyperplane_bucket(cast(null as array<double>),
+        |         array(named_struct('pid', 0, 'pvec', array(1.0d)))) AS native,
+        |       aggregate(array(named_struct('pid', 0, 'pvec', array(1.0d))), 0L,
+        |         (b, pl) -> b + (case when aggregate(zip_with(
+        |             cast(null as array<double>), pl.pvec, (x, y) -> x * y),
+        |           0.0d, (a, v) -> a + v) > 0
+        |           then shiftleft(1L, pl.pid) else 0L end)) AS hof""".stripMargin).head
+    assert(nullVec.getLong(0) == 0L && nullVec.getLong(1) == 0L)
+    // 2. a non-int pid must be REJECTED at analysis time — the old
+    //    precedence bug admitted any pid type when pvec was
+    //    array<double> containsNull=false, then read garbage via getInt
+    assertThrows[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT graft_hyperplane_bucket(array(cast(1.0 as double)),
+        |  array(named_struct('pid', 1L, 'pvec', array(1.0d))))""".stripMargin)
+      .collect())
+    // 3. a NULL cid ranks below every non-null cid in array_min's struct
+    //    ordering (nulls-first ascending) — a winning null-cid centroid
+    //    yields NULL on both paths, never a silent 0
+    val nullCid = spark.sql(
+      """SELECT graft_nearest_centroid(array(1.0d), cents, 6) AS native,
+        |  array_min(transform(cents, c -> named_struct('d',
+        |    round(round(aggregate(zip_with(array(1.0d), c.cvec,
+        |      (x, y) -> (x - y) * (x - y)), 0.0d, (a, v) -> a + v), 11), 6),
+        |    'cid', c.cid))).cid AS hof
+        |FROM (SELECT array(
+        |  named_struct('cid', cast(null as int), 'cvec', array(1.0d)),
+        |  named_struct('cid', 7, 'cvec', array(1.0d))) AS cents)""".stripMargin).head
+    assert(nullCid.isNullAt(0) && nullCid.isNullAt(1))
+    // a farther null-cid centroid loses normally: the non-null winner
+    // comes through untouched on both paths
+    val farNull = spark.sql(
+      """SELECT graft_nearest_centroid(array(1.0d), cents, 6) AS native,
+        |  array_min(transform(cents, c -> named_struct('d',
+        |    round(round(aggregate(zip_with(array(1.0d), c.cvec,
+        |      (x, y) -> (x - y) * (x - y)), 0.0d, (a, v) -> a + v), 11), 6),
+        |    'cid', c.cid))).cid AS hof
+        |FROM (SELECT array(
+        |  named_struct('cid', cast(null as int), 'cvec', array(9.0d)),
+        |  named_struct('cid', 7, 'cvec', array(1.0d))) AS cents)""".stripMargin).head
+    assert(farNull.getInt(0) == 7 && farNull.getInt(1) == 7)
+  }
+
   test("hyperplane bucket rejects reserved working-column collisions") {
     val df = Seq((1L, Array(1.0f), 0)).toDF("vec_id", "embedding", "__planes")
     assertThrows[IllegalArgumentException](

@@ -194,6 +194,81 @@ class LakeWriterSpec extends SparkSpec {
     assert(graft.sources.Retention.compactDayPartitions(spark, dir, "day").isEmpty)
   }
 
+  test("compaction crash recovery: every crash window keeps one complete copy; reader sees old or new, never a mix (ADVICE r7)") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    def mkPartition(dir: String): Unit = (1 to 6).foreach { i =>
+      Seq((i.toLong, 100.0 + i)).toDF("event_id", "px")
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=2026-01-10")
+    }
+    def rowsOf(dir: String): Seq[Long] =
+      spark.read.parquet(s"$dir/day=2026-01-10").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    def moveDir(from: String, to: String): Unit = {
+      JFiles.createDirectories(Paths.get(to).getParent)
+      JFiles.move(Paths.get(from), Paths.get(to), StandardCopyOption.ATOMIC_MOVE)
+    }
+    def bogusTmp(dir: String): Unit =
+      Seq((99L, 0.0)).toDF("event_id", "px")
+        .coalesce(1).write.parquet(s"$dir/.compact_tmp/day=2026-01-10")
+    def scratchGone(dir: String): Unit = {
+      assert(!new java.io.File(s"$dir/.compact_tmp").exists())
+      assert(!new java.io.File(s"$dir/.compact_old").exists())
+    }
+
+    // window 1 — crash BEFORE the swap: original live + stale tmp with
+    // divergent content. The stale tmp must be discarded, never promoted.
+    val d1 = Files.createTempDirectory("graft-crash1").toString
+    mkPartition(d1); bogusTmp(d1)
+    val done1 = graft.sources.Retention.compactDayPartitions(spark, d1, "day")
+    assert(rowsOf(d1) == (1L to 6L)) // original content survived (and compacted)
+    assert(done1.map(_.rows) == Seq(6L)); scratchGone(d1)
+
+    // window 2 — crash BETWEEN the renames: partition dir missing, the
+    // only original copy sits under .compact_old, a verified tmp exists.
+    // Recovery must restore the ORIGINAL (the pre-fix code deleted it).
+    val d2 = Files.createTempDirectory("graft-crash2").toString
+    mkPartition(d2)
+    moveDir(s"$d2/day=2026-01-10", s"$d2/.compact_old/day=2026-01-10")
+    bogusTmp(d2)
+    assert(!new java.io.File(s"$d2/day=2026-01-10").exists())
+    graft.sources.Retention.compactDayPartitions(spark, d2, "day")
+    assert(rowsOf(d2) == (1L to 6L)); scratchGone(d2)
+
+    // window 3 — crash AFTER the promote, before the old copy is
+    // dropped: the live dir already holds ONLY new files (the swap is a
+    // dir rename, so a reader never observes an old/new mix). Recovery
+    // just drops the leftover old copy.
+    val d3 = Files.createTempDirectory("graft-crash3").toString
+    mkPartition(d3)
+    moveDir(s"$d3/day=2026-01-10", s"$d3/.compact_old/day=2026-01-10")
+    spark.read.parquet(s"$d3/.compact_old/day=2026-01-10").coalesce(1)
+      .write.parquet(s"$d3/day=2026-01-10") // the promoted tmp
+    val liveFiles = new java.io.File(s"$d3/day=2026-01-10").listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(liveFiles == 1) // all-new, no mix
+    graft.sources.Retention.compactDayPartitions(spark, d3, "day")
+    assert(rowsOf(d3) == (1L to 6L)); scratchGone(d3)
+
+    // window 4 (defensive) — partition AND .compact_old both gone, the
+    // verified tmp is the sole complete copy: it must be promoted.
+    val d4 = Files.createTempDirectory("graft-crash4").toString
+    mkPartition(d4)
+    moveDir(s"$d4/day=2026-01-10", s"$d4/.compact_tmp/day=2026-01-10")
+    graft.sources.Retention.compactDayPartitions(spark, d4, "day")
+    assert(rowsOf(d4) == (1L to 6L)); scratchGone(d4)
+
+    // a reader opened across the swap resolves files at action time:
+    // re-running an aggregation over the same lazy frame after a
+    // compaction returns identical results
+    val d5 = Files.createTempDirectory("graft-crash5").toString
+    mkPartition(d5)
+    val lazyReader = spark.read.parquet(s"$d5/day=2026-01-10")
+    assert(lazyReader.agg(sum("event_id")).head.getLong(0) == 21L)
+    graft.sources.Retention.compactDayPartitions(spark, d5, "day")
+    assert(spark.read.parquet(s"$d5/day=2026-01-10")
+      .agg(sum("event_id")).head.getLong(0) == 21L)
+  }
+
   test("partition directory discovery for change detection (source_reader.py:61-69)") {
     val (writer, reader, _) = newLake()
     writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
