@@ -15,13 +15,19 @@ import org.apache.spark.sql.SparkSession
   * pause, a background build on the same machine) no longer distorts
   * the official total.
   *
-  * Output contract (two rounds of driver captures truncated the HEAD of
-  * a single giant line, losing the alphabetically-first ann/dedup/ivf
-  * keys): stdout carries exactly ONE short JSON line — medians only, no
-  * samples blob — so the capture buffer can never clip it. The raw
-  * per-sample values go to stderr, and the full JSON (medians + samples)
-  * is also written to BENCH_LOCAL.json in the working directory so a
-  * skewed run stays inspectable after the fact.
+  * Output contract (two rounds of driver captures truncated a single
+  * giant line — head once, tail once): stdout carries the medians-only
+  * headline line FIRST, then the same medians again as numbered part
+  * lines of ~20 queries each (`"metric":"part","part":"i/n"`), then the
+  * headline line once more LAST. Any single clipped line — head or
+  * tail — is recoverable from the others; every line stays well under
+  * 1 KB. The raw per-sample values go to stderr, and the full JSON
+  * (medians + samples) is also written to BENCH_LOCAL.json in the
+  * working directory so a skewed run stays inspectable after the fact.
+  *
+  * Queries in [[SparkEntry.oracleOnly]] (the intentionally-quadratic
+  * exact-accuracy baselines) are excluded — the correctness gate still
+  * checks them; timing the documented anti-pattern is not a signal.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +64,7 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(SparkEntry.oracleOnly)
     val results = names.map { n =>
       val samples = Seq.fill(nSamples)(run(n))
       // a failed sample (-1) poisons the median on purpose: a query
@@ -79,6 +86,13 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
+    println(medians)
+    val parts = results.grouped(20).toSeq
+    parts.zipWithIndex.foreach { case (grp, i) =>
+      val pqs = grp.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"part","part":"${i + 1}/${parts.size}","queries":$pqs}""")
+    }
     println(medians)
     System.err.println(s"[bench] samples: $raw")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -141,6 +141,14 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Correctness-only tier: intentionally-quadratic EXACT baselines kept
+    * solely as accuracy oracles for their scale-safe counterparts
+    * (`dedup_embed_lsh*` / `dedup_ngram_jaccard_capped`). The DuckDB
+    * correctness gate still runs them every round; [[Bench]] skips them —
+    * they are the documented anti-pattern at scale, and timing them tells
+    * us nothing about the engine (VERDICT r7 #8). */
+  val oracleOnly: Set[String] = Set("dedup_embed_cosine", "dedup_ngram_jaccard")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1: pruned parquet scan → filter + projection + hash agg. The plan
