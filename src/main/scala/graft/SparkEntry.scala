@@ -1013,6 +1013,42 @@ object SparkEntry {
                 (col("id") === col("component_id")).as("is_canonical"))
     }),
 
+    // DEDUP at scale, fully composed: AUTO-SIZED banding
+    // (TextFns.minhashGeometryFor — the geometry a 100 TB corpus would
+    // actually run) → candidate pairs → connected components → canonical
+    // pick. Identical pipeline to dedup_cc_canonical except the band
+    // geometry is derived from count(*) instead of fixed 8×2 — the fixed
+    // form is the measured scale-killer (in-bucket pair work quadratic
+    // under constant geometry: exponent 1.58 sf3→sf10, 338 s vs 166 s
+    // auto-sized at sf10, LshGeomProbe r7). The DuckDB mirror re-derives
+    // the SAME geometry from count(*) via an integer threshold chain and
+    // runs the same cc over it, so a drift in the sizing rule OR in the
+    // composed pipeline flips the hash. num_bands/rows_per_band ride
+    // along so the sizing decision itself is hash-pinned.
+    "dedup_cc_autosize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+      val bandExprs = (0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
+      }
+      val bandsDf = withSig
+        .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+      val a = bandsDf.select(col("doc_id").as("src"), col("bucket"))
+      val bSide = bandsDf.select(col("doc_id").as("dst"), col("bucket"))
+      val pairs = a.join(bSide, Seq("bucket")).where(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component_id"),
+                (col("id") === col("component_id")).as("is_canonical"))
+        .withColumn("num_bands", lit(bands.toLong))
+        .withColumn("rows_per_band", lit(rows.toLong))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1502,6 +1538,79 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("cos"))
     }),
 
+    // DEDUP: embedding near-dup with an SQ8 SHORTLIST in the pair
+    // scorer — same 2-band × 4-plane candidate generation as
+    // dedup_embed_lsh, but candidate pairs are first scored on packed
+    // 8-bit codes (graft_sq8_pack → 64 BYTES per side instead of 64
+    // doubles ≈ 8× narrower pair shuffle; graft_sq8_dot → one integer
+    // byte-loop per pair) against a LOOSE dequantized-cosine gate
+    // (0.40 < the 0.42 exact gate); only the survivors re-join the full
+    // embeddings for the exact cosine. This is the ann_sq8_search
+    // shortlist+re-rank pattern applied to the near-dup scorer — the
+    // r7 sf1 probe traced dedup_embed_lsh's 23.7 s tail to pair
+    // SCORING, not bucketing. The estimate needs no per-pair doubles:
+    // dequantized cosine expands algebraically to
+    //   (64·mnₐ·mn_b + mnₐ·sc_b·Σq_b + mn_b·scₐ·Σqₐ + scₐ·sc_b·⟨qₐ,q_b⟩)
+    //     / (qnrmₐ·qnrm_b)
+    // so the pair-level work is ONE integer dot; everything else is
+    // per-vector scalars computed once. The DuckDB mirror evaluates the
+    // identical expansion in the identical operation order.
+    "dedup_embed_lsh_sq8" -> ((s, dir) => {
+      val enc = t(s, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mn", array_min(col("emb")))
+        .withColumn("mx", array_max(col("emb")))
+        .withColumn("sc", (col("mx") - col("mn")) / 255.0)
+        .withColumn("codes", expr(
+          "transform(emb, x -> CASE WHEN mx = mn THEN 0L ELSE " +
+            "least(255L, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) END)"))
+        .withColumn("packed", expr("graft_sq8_pack(codes)"))
+        .withColumn("sumq", expr("aggregate(codes, 0L, (a, q) -> a + q)"))
+        .withColumn("qnrm", sqrt(expr(
+          "aggregate(codes, 0.0d, (a, q) -> a + (mn + q * sc) * (mn + q * sc))")))
+        .select(col("vec_id"), col("mn"), col("sc"), col("packed"),
+          col("sumq"), col("qnrm"))
+      val ids = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
+        VectorFns.withHyperplaneBucket(
+          t(s, dir, "embeddings"), "embedding", "bucket",
+          dim = 64, numPlanes = 4, seed = seed)
+          .select(col("vec_id"), lit(bi).as("band"), col("bucket"))
+      }.reduce(_ unionByName _)
+      val pairs = ids.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+        .join(ids.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+          Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b")
+      val shortlist = pairs
+        .join(enc.select(col("vec_id").as("id_a"), col("packed").as("pk_a"),
+          col("mn").as("mn_a"), col("sc").as("sc_a"), col("sumq").as("sq_a"),
+          col("qnrm").as("qn_a")), Seq("id_a"))
+        .join(enc.select(col("vec_id").as("id_b"), col("packed").as("pk_b"),
+          col("mn").as("mn_b"), col("sc").as("sc_b"), col("sumq").as("sq_b"),
+          col("qnrm").as("qn_b")), Seq("id_b"))
+        .withColumn("iscore", expr("graft_sq8_dot(pk_a, pk_b)"))
+        .withColumn("est", round(
+          (lit(64.0) * col("mn_a") * col("mn_b")
+            + col("mn_a") * col("sc_b") * col("sq_b").cast("double")
+            + col("mn_b") * col("sc_a") * col("sq_a").cast("double")
+            + col("sc_a") * col("sc_b") * col("iscore").cast("double"))
+            / (col("qn_a") * col("qn_b")), 5))
+        .where(col("est") >= 0.40)
+        .select("id_a", "id_b")
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", VectorFns.l2Norm("embedding"))
+      shortlist
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("nrm").as("nrm_b")), Seq("id_b"))
+        .withColumn("cos",
+          round(VectorFns.dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 5))
+        .where(col("cos") >= 0.42)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }),
+
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
     // against the full embedding table; one narrow pass + per-query
     // top-k (the baseline; LSH/IVF prune candidates at scale).
@@ -1887,6 +1996,38 @@ object SparkEntry {
       s"d AS (SELECT doc_id, $shingles AS sh FROM w), " +
       s"sig AS (SELECT doc_id, $minCols FROM d), " +
       s"bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig)"
+  }
+
+  /** Shared DuckDB CTE chain mirroring the AUTO-SIZED banding: same
+    * shingle→signature text as [[minhashBandsCtes]], then `params`
+    * derives `rows_per_band` from `count(*)` via an integer threshold
+    * chain (exactly `TextFns.minhashGeometryFor(16, n, 128)`: rows =
+    * ceil(log10(n/128)) clamped to [1,16], bands = max(1, 16/rows) —
+    * n ≤ 128·10^r ⟺ ceil ≤ r, so no float log boundary can disagree)
+    * and `abands(doc_id, bucket)` banding under that geometry. */
+  private lazy val minhashAutosizeBandsCtes: String = {
+    val shingles =
+      """list_distinct(list_transform(
+        |  generate_series(1, greatest(len(tk) - 2, 0)),
+        |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
+    val mins = (0 until 16).map { p =>
+      val (a, b) = TextFns.minhashPerm(p)
+      s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime})) AS m$p"
+    }.mkString(", ")
+    val smList = (0 until 16).map(p => s"m$p").mkString("[", ", ", "]")
+    val rowsCase = "CASE " + (1 to 15).map { r =>
+      s"WHEN count(*) <= ${128L * math.pow(10, r).toLong} THEN $r"
+    }.mkString(" ") + " ELSE 16 END"
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       |d AS (SELECT doc_id, $shingles AS sh FROM w),
+       |sig AS (SELECT doc_id, $mins FROM d),
+       |sm AS (SELECT doc_id, $smList AS sv FROM sig),
+       |params AS (SELECT count(*) AS n, $rowsCase AS r FROM documents),
+       |abands AS (
+       |  SELECT doc_id, md5(coalesce(array_to_string(list_transform(
+       |           sv[b * r + 1 : b * r + r], x -> CAST(x AS VARCHAR)), '|'), '')) AS bucket
+       |  FROM sm CROSS JOIN params, unnest(generate_series(0, 15)) AS t(b)
+       |  WHERE b < greatest(1, 16 // r))""".stripMargin
   }
 
   def oracleSql: Map[String, String] =
@@ -2574,36 +2715,29 @@ object SparkEntry {
     // float log whose ceil could flip an ulp), bands gated on b < 16//r,
     // band key = md5 over the signature SLICE (coalesce('') matches
     // Spark concat_ws's all-null -> "" behavior for empty-shingle docs).
-    "dedup_minhash_autosize" -> {
-      val shingles =
-        """list_distinct(list_transform(
-          |  generate_series(1, greatest(len(tk) - 2, 0)),
-          |  i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT))""".stripMargin
-      val mins = (0 until 16).map { p =>
-        val (a, b) = TextFns.minhashPerm(p)
-        s"list_min(list_transform(sh, h -> ($a * (h % 4294967296) + $b) % ${TextFns.MinhashPrime})) AS m$p"
-      }.mkString(", ")
-      val smList = (0 until 16).map(p => s"m$p").mkString("[", ", ", "]")
-      val rowsCase = "CASE " + (1 to 15).map { r =>
-        s"WHEN count(*) <= ${128L * math.pow(10, r).toLong} THEN $r"
-      }.mkString(" ") + " ELSE 16 END"
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-         |d AS (SELECT doc_id, $shingles AS sh FROM w),
-         |sig AS (SELECT doc_id, $mins FROM d),
-         |sm AS (SELECT doc_id, $smList AS sv FROM sig),
-         |params AS (SELECT count(*) AS n, $rowsCase AS r FROM documents),
-         |bkt AS (
-         |  SELECT md5(coalesce(array_to_string(list_transform(
-         |           sv[b * r + 1 : b * r + r], x -> CAST(x AS VARCHAR)), '|'), '')) AS bucket
-         |  FROM sm CROSS JOIN params, unnest(generate_series(0, 15)) AS t(b)
-         |  WHERE b < greatest(1, 16 // r)),
-         |oc AS (SELECT bucket, count(*) AS occ FROM bkt GROUP BY bucket)
+    "dedup_minhash_autosize" ->
+      s"""WITH $minhashAutosizeBandsCtes,
+         |oc AS (SELECT bucket, count(*) AS occ FROM abands GROUP BY bucket)
          |SELECT occ, count(*) AS n_buckets,
          |       (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
          |       (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band,
          |       (SELECT n FROM params) AS n_docs
-         |FROM oc GROUP BY occ""".stripMargin
-    },
+         |FROM oc GROUP BY occ""".stripMargin,
+
+    "dedup_cc_autosize" ->
+      s"""WITH RECURSIVE $minhashAutosizeBandsCtes,
+         |pairs AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+         |  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(id, rr) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr)
+         |SELECT id AS doc_id, min(rr) AS component_id,
+         |  (min(rr) = id) AS is_canonical,
+         |  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
+         |  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band
+         |FROM reach GROUP BY id""".stripMargin,
 
     "htf_aggregate_1h" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
@@ -2942,6 +3076,64 @@ object SparkEntry {
          |           (ea.nrm * eb.nrm), 5) AS cos
          |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
          |            JOIN e eb ON eb.vec_id = cand.id_b)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42""".stripMargin
+    },
+
+    "dedup_embed_lsh_sq8" -> {
+      def bucketExpr(seed: Int): String = (0 until 4).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
+          s"CAST(embedding[d] AS DOUBLE) * " +
+          s"((('0x' || substr(md5('$seed:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      // mirrors the Spark pipeline EXACTLY, incl. the algebraic
+      // expansion of the dequantized-cosine estimate and its operation
+      // order (both engines left-associate * and +)
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |         sqrt(list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, embedding, emb, nrm,
+         |             list_min(emb) AS mn, list_max(emb) AS mx FROM e),
+         |c AS (
+         |  SELECT vec_id, nrm, mn, (mx - mn) / 255.0 AS sc,
+         |         list_transform(emb, x -> CASE WHEN mx = mn THEN 0
+         |           ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+         |           END) AS codes
+         |  FROM m),
+         |st AS (
+         |  SELECT vec_id, nrm, mn, sc, codes,
+         |         CAST(list_sum(codes) AS BIGINT) AS sumq,
+         |         sqrt(list_sum(list_transform(codes,
+         |           q -> (mn + q * sc) * (mn + q * sc)))) AS qnrm
+         |  FROM c),
+         |b AS (
+         |  SELECT vec_id, 0 AS band, ${bucketExpr(11)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS band, ${bucketExpr(23)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket
+         |    AND a.vec_id < bb.vec_id),
+         |sl AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN st sa ON sa.vec_id = cand.id_a
+         |            JOIN st sb ON sb.vec_id = cand.id_b
+         |  WHERE round((64.0 * sa.mn * sb.mn
+         |      + sa.mn * sb.sc * CAST(sb.sumq AS DOUBLE)
+         |      + sb.mn * sa.sc * CAST(sa.sumq AS DOUBLE)
+         |      + sa.sc * sb.sc * CAST(list_sum(list_transform(generate_series(1, 64),
+         |          j -> sa.codes[j] * sb.codes[j])) AS DOUBLE))
+         |    / (sa.qnrm * sb.qnrm), 5) >= 0.40),
+         |p AS (
+         |  SELECT id_a, id_b,
+         |         round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+         |           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+         |           (ea.nrm * eb.nrm), 5) AS cos
+         |  FROM sl JOIN e ea ON ea.vec_id = sl.id_a
+         |          JOIN e eb ON eb.vec_id = sl.id_b)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42""".stripMargin
     },
 

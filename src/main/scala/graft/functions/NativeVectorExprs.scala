@@ -565,6 +565,137 @@ case class NearestCentroid(left: Expression, right: Expression, scale: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** The pack loop behind [[Sq8Pack]], shared by interpreted eval and
+  * generated code (one static call, same packaging as the other
+  * kernels). */
+object Sq8PackKernel {
+
+  /** Packs an `array<bigint>` of SQ8 codes (the quantizer's 0..255
+    * output domain) into one byte per element — an 8× narrower pair-
+    * shuffle payload than the long array (and 64× narrower than the
+    * original doubles). A null ARRAY or a null ELEMENT yields NULL (a
+    * byte array cannot carry an element null, and a poisoned code
+    * vector must not silently score); values wrap mod 256 exactly like
+    * a CAST to BYTE — unreachable from the quantizer, pinned so the
+    * kernel is total. */
+  def compute(codes: ArrayData): Array[Byte] = {
+    if (codes == null) return null
+    val n = codes.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      out(i) = codes.getLong(i).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Packs SQ8 codes (`array<bigint>`, 0..255) into a `binary` column —
+  * sixth tier-(b) kernel, the carrier half of the SQ8 pair scorer: the
+  * candidate-pair join then shuffles 64 BYTES per side instead of 64
+  * longs (or the 64 doubles of the exact path). Unpack never happens —
+  * [[Sq8Dot]] scores the packed form directly. */
+case class Sq8Pack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_pack requires array<bigint>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Sq8PackKernel.compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |byte[] ${ev.value} = graft.functions.Sq8PackKernel.compute(
+        |  ${childGen.isNull} ? null : ${childGen.value});
+        |boolean ${ev.isNull} = (${ev.value} == null);
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The fused unsigned-byte dot loop behind [[Sq8Dot]]. */
+object Sq8DotKernel {
+
+  /** Integer dot product of two packed SQ8 code vectors, read as
+    * UNSIGNED bytes (codes are 0..255). Mirrors the HOF reference form
+    * `aggregate(zip_with(codes_a, codes_b, (a, b) -> a * b), 0L,
+    * (acc, x) -> acc + x)` over the unpacked long arrays EXACTLY: NULL
+    * on a null side, and NULL on a length mismatch (zip_with pads the
+    * shorter side with nulls and `acc + null` poisons the sum). Exact
+    * in long arithmetic — no rounding anywhere. */
+  def compute(a: Array[Byte], b: Array[Byte]): java.lang.Long = {
+    if (a == null || b == null || a.length != b.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += ((a(i) & 0xFF).toLong * (b(i) & 0xFF).toLong)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** Unsigned-byte integer dot product over two [[Sq8Pack]]ed code
+  * columns — seventh tier-(b) kernel, the scoring half of the SQ8 pair
+  * scorer: one primitive byte loop per candidate pair inside
+  * whole-stage codegen, no unpacking, no doubles until the survivors'
+  * exact re-rank. Bit-identical to the HOF form over the unpacked long
+  * arrays ([[Sq8DotKernel.compute]]); FunctionsSpec pins the two. */
+case class Sq8Dot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_dot requires two binary arguments, got ${l.sql} and ${r.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Sq8DotKernel.compute(
+      left.eval(input).asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val res = ctx.freshName("iscore")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |java.lang.Long $res = graft.functions.Sq8DotKernel.compute(
+        |  ${leftGen.isNull} ? null : ${leftGen.value},
+        |  ${rightGen.isNull} ? null : ${rightGen.value});
+        |boolean ${ev.isNull} = ($res == null);
+        |long ${ev.value} = ${ev.isNull} ? 0L : $res.longValue();
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
@@ -572,6 +703,8 @@ object NativeVectorExprs {
   private val minhashIdent = FunctionIdentifier("graft_minhash")
   private val hyperplaneIdent = FunctionIdentifier("graft_hyperplane_bucket")
   private val nearestIdent = FunctionIdentifier("graft_nearest_centroid")
+  private val sq8PackIdent = FunctionIdentifier("graft_sq8_pack")
+  private val sq8DotIdent = FunctionIdentifier("graft_sq8_dot")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
@@ -582,6 +715,10 @@ object NativeVectorExprs {
     new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hyperplane_bucket")
   private def nearestInfo =
     new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid")
+  private def sq8PackInfo =
+    new ExpressionInfo(classOf[Sq8Pack].getName, "graft_sq8_pack")
+  private def sq8DotInfo =
+    new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -626,6 +763,18 @@ object NativeVectorExprs {
     NearestCentroid(children.head, children(1), scale)
   }
 
+  private def sq8PackBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"graft_sq8_pack expects 1 argument, got ${children.size}")
+    Sq8Pack(children.head)
+  }
+
+  private def sq8DotBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"graft_sq8_dot expects 2 arguments, got ${children.size}")
+    Sq8Dot(children.head, children(1))
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -643,5 +792,7 @@ object NativeVectorExprs {
       (simhashIdent, simhashInfo, simhashBuilder _),
       (minhashIdent, minhashInfo, minhashBuilder _),
       (hyperplaneIdent, hyperplaneInfo, hyperplaneBuilder _),
-      (nearestIdent, nearestInfo, nearestBuilder _))
+      (nearestIdent, nearestInfo, nearestBuilder _),
+      (sq8PackIdent, sq8PackInfo, sq8PackBuilder _),
+      (sq8DotIdent, sq8DotInfo, sq8DotBuilder _))
 }

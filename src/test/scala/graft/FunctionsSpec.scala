@@ -164,7 +164,8 @@ class FunctionsSpec extends SparkSpec {
     import graft.functions.NativeVectorExprs
     NativeVectorExprs.register(spark) // idempotent
     val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
-      "graft_hyperplane_bucket", "graft_nearest_centroid")
+      "graft_hyperplane_bucket", "graft_nearest_centroid",
+      "graft_sq8_pack", "graft_sq8_dot")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")
@@ -352,6 +353,41 @@ class FunctionsSpec extends SparkSpec {
     // ties on distance (duplicate centroid 5 == centroid 2) never pick 5
     assert(!native.exists(_._2 == 5))
     assert(native.map(_._2).distinct.size > 1) // healthy rows spread out
+  }
+
+  test("native graft_sq8_pack/graft_sq8_dot are bit-identical to the HOF integer dot, incl. edges") {
+    val rnd = new scala.util.Random(42)
+    // randomized code vectors in the quantizer's 0..255 domain, plus the
+    // edges: length mismatch (zip_with padding poisons the HOF sum ->
+    // NULL), empty arrays (aggregate over empty = 0), a null element
+    // (pack nulls -> dot NULL; HOF: null product poisons the sum), and
+    // the 255 extremes (unsigned-byte read must not sign-flip)
+    val rows: Seq[(Long, Seq[Option[Long]], Seq[Option[Long]])] =
+      (0 until 100).map { i =>
+        (i.toLong,
+          Seq.fill(64)(Some(rnd.nextInt(256).toLong): Option[Long]),
+          Seq.fill(64)(Some(rnd.nextInt(256).toLong): Option[Long]))
+      } ++ Seq(
+        (900L, Seq.fill(64)(Some(255L): Option[Long]), Seq.fill(64)(Some(255L): Option[Long])),
+        (901L, Seq.fill(7)(Some(3L): Option[Long]), Seq.fill(64)(Some(3L): Option[Long])),
+        (902L, Seq.empty[Option[Long]], Seq.empty[Option[Long]]),
+        (903L, Seq(Some(1L), None, Some(2L)), Seq.fill(3)(Some(1L): Option[Long])))
+    val df = rows.toDF("row_id", "ca", "cb")
+    val out = df.select(col("row_id"),
+      expr("graft_sq8_dot(graft_sq8_pack(ca), graft_sq8_pack(cb))").as("native"),
+      expr("aggregate(zip_with(ca, cb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+    out.foreach { case (id, native, hof) =>
+      assert(native == hof, s"row $id: native=$native hof=$hof")
+    }
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(900L) == 64L * 255L * 255L) // unsigned extremes
+    assert(byId(901L) == null)              // length mismatch
+    assert(byId(902L) == 0L)                // empty
+    assert(byId(903L) == null)              // null element
   }
 
   test("kernel edges pinned (ADVICE r7): null planes null-propagates, bad pid type rejected, null cid never reads garbage") {
