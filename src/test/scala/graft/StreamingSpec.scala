@@ -565,4 +565,229 @@ class StreamingSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM fp_null_pos_test").count() == 2)
     } finally query.stop()
   }
+
+  test("END-TO-END live path: raw WS JSON -> stateful book -> resync supervisor -> feature overlay -> served bars, across a checkpoint restart (websocket.py:2121-2306 + service.py:968-1034)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DepthFeatures, DepthResyncSupervisor, WsPayloadProcessor}
+    import graft.streaming.DepthFeatures.{DepthMinuteFeatures, DepthMsg}
+
+    val m0 = ms("2026-01-15T10:00:00Z")
+    val (m1, m2, m3) = (m0 + 60000L, m0 + 120000L, m0 + 180000L)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-e2e-ckpt").toString
+
+    val stream = MemoryStream[DepthMsg]
+    val liqs = scala.collection.mutable.ArrayBuffer[LiquidationEvent]()
+    // the WS payload processor feeds the SAME ingestion surface the
+    // reference collector exposes: parsed depth diffs enter the
+    // streaming book's input, liquidations accumulate for the liq
+    // feature pass
+    val collector = new WsPayloadProcessor.Collector {
+      def ingestDepthDiff(e: DepthDiffEvent, transactTime: Option[Long],
+                          arrivalTime: Option[Long]): Unit = {
+        stream.addData(DepthMsg.diff(e)); ()
+      }
+      def ingestLiquidation(e: LiquidationEvent): Unit = { liqs += e; () }
+      def ingestTrade(symbol: String, eventTime: Option[Long],
+                      transactTime: Option[Long], arrivalTime: Option[Long]): Unit = ()
+      def ingestPredictedFunding(eventTime: Long, predictedFunding: Option[Double],
+                                 nextFundingTime: Option[Long],
+                                 arrivalTime: Option[Long]): Unit = ()
+    }
+    val proc = new WsPayloadProcessor.Processor(collector, "BTCUSDT")
+
+    def depthJson(sym: String, e: Long, u0: Long, u1: Long,
+                  bid: (Double, Double), ask: (Double, Double)): String =
+      s"""{"stream":"${sym.toLowerCase}@depth@100ms","data":{"s":"$sym","E":$e,"U":$u0,"u":$u1,""" +
+        s""""b":[["${bid._1}","${bid._2}"]],"a":[["${ask._1}","${ask._2}"]]}}"""
+
+    var clock = m0 - 1000L
+    val ethFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ethSup = new DepthResyncSupervisor("ETHUSDT",
+      fetchSnapshot = () => {
+        // first fetch = reference start(); second = the post-break REST
+        // snapshot, whose lastUpdateId is bridged by the buffered
+        // follow-up diff (U=136 <= 136 <= u=140)
+        Some(DepthResyncSupervisor.Snapshot(
+          if (ethFetches.incrementAndGet() == 1) 100 else 136,
+          Seq((99.0, 2000.0), (98.5, 2000.0)),
+          Seq((100.5, 2000.0), (101.0, 2000.0))))
+      },
+      inject = msg => { stream.addData(msg); () },
+      nowMs = () => clock)
+    val btcFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val btcSup = new DepthResyncSupervisor("BTCUSDT",
+      fetchSnapshot = () => {
+        btcFetches.incrementAndGet()
+        Some(DepthResyncSupervisor.Snapshot(200,
+          Seq((50.0, 4000.0)), Seq((50.5, 4000.0), (51.0, 4000.0))))
+      },
+      inject = msg => { stream.addData(msg); () },
+      nowMs = () => clock)
+
+    val collected = scala.collection.mutable.ArrayBuffer[DepthMinuteFeatures]()
+    def startQuery() = DepthFeatures.depthFeaturesStream(stream.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DepthMinuteFeatures], _: Long) =>
+        val rows = batch.collect()
+        collected.synchronized { collected ++= rows }
+        ethSup.observe(rows.toSeq); btcSup.observe(rows.toSeq)
+      }.start()
+
+    // reference start() choreography: initial REST snapshots enter the
+    // stream as control messages before any diff
+    ethSup.start(); btcSup.start()
+    assert(ethSup.resyncCount == 1 && btcSup.resyncCount == 1)
+
+    // ---- micro-batch 1 (query 1): healthy m0 for both symbols
+    Seq(
+      depthJson("ETHUSDT", m0 + 1000, 101, 105, (99.0, 3000.0), (101.0, 3000.0)),
+      depthJson("ETHUSDT", m0 + 2000, 106, 110, (99.5, 1500.0), (100.8, 3000.0)),
+      depthJson("BTCUSDT", m0 + 1000, 201, 205, (50.0, 5000.0), (50.5, 5000.0)),
+      depthJson("BTCUSDT", m0 + 2000, 206, 210, (50.1, 5000.0), (50.6, 5000.0))
+    ).foreach(proc.processCombinedPayload(_))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // ---- kill point: the collector keeps ingesting while the sink is
+    // down. The m1 diffs are CONTINUOUS for both symbols, so a healthy
+    // m1 after restart proves both books' GroupState survived the
+    // checkpoint (a lost book would report m1 unsynced-degraded).
+    clock = m1
+    Seq(
+      depthJson("ETHUSDT", m1 + 500, 111, 115, (99.2, 1800.0), (100.9, 2500.0)),
+      depthJson("BTCUSDT", m1 + 500, 211, 215, (50.2, 5000.0), (50.7, 5000.0))
+    ).foreach(proc.processCombinedPayload(_))
+    // raw liquidation JSON for BTC in m1 (forceOrder payload gates)
+    proc.processCombinedPayload(
+      s"""{"stream":"btcusdt@forceOrder","data":{"E":${m1 + 800},""" +
+        """"o":{"s":"BTCUSDT","S":"SELL","ap":"100.0","q":"3.0","z":"2.0"}}}""")
+
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+
+      // ---- continuity break at m2 (U=130 > expected 116) plus a
+      // follow-up diff that buffers while unsynced; the supervisor sees
+      // the degraded m2 output, re-snapshots through the injected
+      // transport, and the buffered replay resyncs the book. BTC's
+      // stream stays continuous — break isolation by group key.
+      clock = m2
+      Seq(
+        depthJson("ETHUSDT", m2 + 500, 130, 135, (99.3, 1200.0), (100.7, 1800.0)),
+        depthJson("ETHUSDT", m2 + 1500, 136, 140, (99.4, 1300.0), (100.6, 2000.0)),
+        depthJson("BTCUSDT", m2 + 500, 216, 220, (50.3, 5000.0), (50.8, 5000.0))
+      ).foreach(proc.processCombinedPayload(_))
+      q2.processAllAvailable()
+      assert(ethSup.resyncCount == 2 && ethFetches.get == 2) // exactly one re-fetch
+      assert(btcSup.resyncCount == 1 && btcFetches.get == 1) // BTC never refetched
+
+      // ---- m3: recovered
+      clock = m3
+      Seq(
+        depthJson("ETHUSDT", m3 + 500, 141, 145, (99.5, 1400.0), (100.5, 2500.0)),
+        depthJson("BTCUSDT", m3 + 500, 221, 225, (50.4, 5000.0), (50.9, 5000.0))
+      ).foreach(proc.processCombinedPayload(_))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // ---- overlay into served bars: the last emission per (symbol,
+    // minute) plus the liq features form MinuteBuilder's live frame;
+    // the canonical window then serves through the query path
+    val liqFx = LiveCollector.liquidationMinuteFeaturesBatch(liqs.toSeq.toDS())
+      .collect().map(f => (f.symbol, f.timestampMs) -> f).toMap
+    def liveRows(sym: String): Seq[LiveRowFx] =
+      collected.synchronized(collected.toSeq).filter(_.symbol == sym)
+        .groupBy(_.timestampMs).toSeq.map { case (tsMs, rows) =>
+          val d = rows.last
+          val lq = liqFx.get((sym, tsMs))
+          LiveRowFx(tsMs,
+            has_ws_latency = false, has_depth = d.hasDepth,
+            has_liq = lq.exists(_.hasLiq), has_ls_ratio = false,
+            event_time = None, transact_time = None, arrival_time = None,
+            latency_engine = None, latency_network = None, ws_latency_bad = None,
+            update_id_start = d.updateIdStart, update_id_end = d.updateIdEnd,
+            price_impact_100k = d.priceImpact100k,
+            impact_fillable = d.impactFillable,
+            depth_degraded = Some(d.depthDegraded),
+            liq_long_vol_usdt = lq.flatMap(_.liqLongVolUsdt),
+            liq_short_vol_usdt = lq.flatMap(_.liqShortVolUsdt),
+            liq_long_count = lq.flatMap(_.liqLongCount),
+            liq_short_count = lq.flatMap(_.liqShortCount),
+            liq_avg_fill_price = lq.flatMap(_.liqAvgFillPrice),
+            liq_unfilled_ratio = lq.flatMap(_.liqUnfilledRatio),
+            liq_unfilled_supported = lq.flatMap(_.liqUnfilledSupported),
+            predicted_funding = None, next_funding_time = None)
+        }
+
+    def servedBars(sym: String) = {
+      val frame = graft.operators.MinuteBuilder.buildCanonicalFrame(
+        spark, java.time.Instant.ofEpochMilli(m0), java.time.Instant.ofEpochMilli(m3),
+        liveFeatures = Some(liveRows(sym).toDS().toDF()))
+      graft.service.QueryService.candleBarsFromFrame(
+        frame, graft.schema.Timeframes.parse("1m"), limit = 10)
+        .orderBy("timestamp").collect()
+    }
+
+    val eth = servedBars("ETHUSDT")
+    assert(eth.length == 4)
+    val ethIdx = (c: String) => eth.head.schema.fieldIndex(c)
+    // m0 and m1 healthy — m1's health PROVES the mid-stream checkpoint
+    // restart recovered the book (its diffs arrived while the sink was
+    // down and apply cleanly only onto the recovered update-id cursor)
+    for (i <- Seq(0, 1)) {
+      assert(eth(i).getBoolean(ethIdx("has_depth")))
+      assert(!eth(i).getBoolean(ethIdx("depth_degraded")))
+      assert(!eth(i).isNullAt(ethIdx("price_impact_100k")))
+      assert(eth(i).getBoolean(ethIdx("impact_fillable")))
+    }
+    // m2 degrade window is NULL-GATED: flags say broken, measures say
+    // nothing — but the update-id span of the broken window survives
+    assert(eth(2).getBoolean(ethIdx("has_depth")))
+    assert(eth(2).getBoolean(ethIdx("depth_degraded")))
+    assert(eth(2).isNullAt(ethIdx("price_impact_100k")))
+    assert(eth(2).isNullAt(ethIdx("spread_pct")))
+    assert(eth(2).isNullAt(ethIdx("avg_bid_depth")))
+    assert(eth(2).getLong(ethIdx("update_id_start")) == 130L)
+    assert(eth(2).getLong(ethIdx("update_id_end")) == 140L)
+    // m3 recovered via the supervisor's re-snapshot + buffered replay
+    assert(!eth(3).getBoolean(ethIdx("depth_degraded")))
+    assert(!eth(3).isNullAt(ethIdx("price_impact_100k")))
+
+    val btc = servedBars("BTCUSDT")
+    assert(btc.length == 4)
+    val btcIdx = (c: String) => btc.head.schema.fieldIndex(c)
+    // BTC stayed healthy across the whole run: the break is isolated to
+    // its group key
+    assert((0 to 3).forall(i => !btc(i).getBoolean(btcIdx("depth_degraded"))))
+    // liq overlay: m1 carries the parsed forceOrder; minutes without
+    // liquidations NULL-gate every liq field via has_liq
+    assert(btc(1).getBoolean(btcIdx("has_liq")))
+    assert(btc(1).getDouble(btcIdx("liq_long_vol_usdt")) == 200.0)
+    assert(btc(1).getLong(btcIdx("liq_long_count")) == 1L)
+    assert(math.abs(btc(1).getDouble(btcIdx("liq_unfilled_ratio")) - 1.0 / 3.0) < 1e-12)
+    assert(!btc(0).getBoolean(btcIdx("has_liq")))
+    assert(btc(0).isNullAt(btcIdx("liq_long_vol_usdt")))
+  }
 }
+
+/** Live-row fixture for [[graft.operators.MinuteBuilder.liveFrame]] —
+  * snake_case field names become the LiveMinuteFeatures columns the
+  * canonical build overlays (reference `minute_builder.py:456-489`). */
+private[graft] final case class LiveRowFx(
+    timestamp_ms: Long,
+    has_ws_latency: Boolean, has_depth: Boolean, has_liq: Boolean,
+    has_ls_ratio: Boolean,
+    event_time: Option[Long], transact_time: Option[Long],
+    arrival_time: Option[Long], latency_engine: Option[Long],
+    latency_network: Option[Long], ws_latency_bad: Option[Boolean],
+    update_id_start: Option[Long], update_id_end: Option[Long],
+    price_impact_100k: Option[Double], impact_fillable: Option[Boolean],
+    depth_degraded: Option[Boolean],
+    liq_long_vol_usdt: Option[Double], liq_short_vol_usdt: Option[Double],
+    liq_long_count: Option[Long], liq_short_count: Option[Long],
+    liq_avg_fill_price: Option[Double], liq_unfilled_ratio: Option[Double],
+    liq_unfilled_supported: Option[Boolean],
+    predicted_funding: Option[Double], next_funding_time: Option[Long])
