@@ -1538,24 +1538,38 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("cos"))
     }),
 
-    // DEDUP: embedding near-dup with an SQ8 SHORTLIST in the pair
-    // scorer — same 2-band × 4-plane candidate generation as
-    // dedup_embed_lsh, but candidate pairs are first scored on packed
-    // 8-bit codes (graft_sq8_pack → 64 BYTES per side instead of 64
-    // doubles ≈ 8× narrower pair shuffle; graft_sq8_dot → one integer
-    // byte-loop per pair) against a LOOSE dequantized-cosine gate
-    // (0.40 < the 0.42 exact gate); only the survivors re-join the full
-    // embeddings for the exact cosine. This is the ann_sq8_search
-    // shortlist+re-rank pattern applied to the near-dup scorer — the
-    // r7 sf1 probe traced dedup_embed_lsh's 23.7 s tail to pair
-    // SCORING, not bucketing. The estimate needs no per-pair doubles:
-    // dequantized cosine expands algebraically to
+    // DEDUP: the PRODUCTION embedding near-dup stack — auto-sized LSH
+    // geometry composed with an SQ8 shortlist gate. Two levers, both
+    // proven separately and composed here:
+    //  1. planesFor(count, 128) sizes the hyperplane count to the
+    //     corpus (the ann_lsh_autosize rule) — the fixed 2-band×4-plane
+    //     dedup_embed_lsh spreads any corpus over 16 buckets/band, so
+    //     its candidate volume grows quadratically (≈1.5·10⁸ pairs at
+    //     sf1; measured: candidate VOLUME, not scoring width, is the
+    //     whole tail — swapping the scorer alone was a wash).
+    //  2. packed 8-bit codes (graft_sq8_pack → 64 bytes;
+    //     graft_sq8_dot → one integer byte-loop) ride THROUGH the
+    //     bucket self-join, so the loose dequantized-cosine gate (0.40,
+    //     below the 0.42 exact gate) runs INSIDE the join's output
+    //     stage — candidates collapse in a codegen filter BEFORE any
+    //     shuffle, and only est-survivors (tiny) are deduped and
+    //     exact-re-ranked. dedup_embed_lsh must instead dropDuplicates
+    //     the full pair list first (embeddings are 8× wider than codes,
+    //     so attaching them to the join was never affordable).
+    // Gate-then-distinct ≡ distinct-then-gate for a deterministic
+    // per-pair score, so the DuckDB mirror keeps the readable
+    // distinct-first form; it re-derives the SAME plane count from
+    // count(*) and gates 12 generated plane terms on p < planes (the
+    // ann_lsh_autosize technique), and num_planes rides in the output
+    // so the sizing decision is hash-pinned. The estimate needs no
+    // per-pair doubles: dequantized cosine expands algebraically to
     //   (64·mnₐ·mn_b + mnₐ·sc_b·Σq_b + mn_b·scₐ·Σqₐ + scₐ·sc_b·⟨qₐ,q_b⟩)
     //     / (qnrmₐ·qnrm_b)
-    // so the pair-level work is ONE integer dot; everything else is
-    // per-vector scalars computed once. The DuckDB mirror evaluates the
-    // identical expansion in the identical operation order.
+    // — per-vector scalars plus ONE integer dot, mirrored in the
+    // identical operation order.
     "dedup_embed_lsh_sq8" -> ((s, dir) => {
+      val nVec = t(s, dir, "embeddings").count()
+      val planes = VectorFns.planesFor(nVec, targetBucketSize = 128, maxPlanes = 12)
       val enc = t(s, dir, "embeddings")
         .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("mn", array_min(col("emb")))
@@ -1573,22 +1587,21 @@ object SparkEntry {
       val ids = Seq(11, 23).zipWithIndex.map { case (seed, bi) =>
         VectorFns.withHyperplaneBucket(
           t(s, dir, "embeddings"), "embedding", "bucket",
-          dim = 64, numPlanes = 4, seed = seed)
+          dim = 64, numPlanes = planes, seed = seed)
           .select(col("vec_id"), lit(bi).as("band"), col("bucket"))
       }.reduce(_ unionByName _)
-      val pairs = ids.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
-        .join(ids.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
-          Seq("band", "bucket"))
+      // codes + scalars join the band rows BEFORE the self-join: each
+      // side of the bucket join carries ~100 bytes, and the join output
+      // feeds the gate without materializing anywhere
+      val banded = ids.join(enc, Seq("vec_id"))
+      val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
+        col("packed").as("pk_a"), col("mn").as("mn_a"), col("sc").as("sc_a"),
+        col("sumq").as("sq_a"), col("qnrm").as("qn_a"))
+      val b = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"),
+        col("packed").as("pk_b"), col("mn").as("mn_b"), col("sc").as("sc_b"),
+        col("sumq").as("sq_b"), col("qnrm").as("qn_b"))
+      val shortlist = a.join(b, Seq("band", "bucket"))
         .where(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .select("id_a", "id_b")
-      val shortlist = pairs
-        .join(enc.select(col("vec_id").as("id_a"), col("packed").as("pk_a"),
-          col("mn").as("mn_a"), col("sc").as("sc_a"), col("sumq").as("sq_a"),
-          col("qnrm").as("qn_a")), Seq("id_a"))
-        .join(enc.select(col("vec_id").as("id_b"), col("packed").as("pk_b"),
-          col("mn").as("mn_b"), col("sc").as("sc_b"), col("sumq").as("sq_b"),
-          col("qnrm").as("qn_b")), Seq("id_b"))
         .withColumn("iscore", expr("graft_sq8_dot(pk_a, pk_b)"))
         .withColumn("est", round(
           (lit(64.0) * col("mn_a") * col("mn_b")
@@ -1597,6 +1610,7 @@ object SparkEntry {
             + col("sc_a") * col("sc_b") * col("iscore").cast("double"))
             / (col("qn_a") * col("qn_b")), 5))
         .where(col("est") >= 0.40)
+        .dropDuplicates("id_a", "id_b")
         .select("id_a", "id_b")
       val emb = t(s, dir, "embeddings")
         .withColumn("nrm", VectorFns.l2Norm("embedding"))
@@ -1609,6 +1623,7 @@ object SparkEntry {
           round(VectorFns.dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 5))
         .where(col("cos") >= 0.42)
         .select(col("id_a"), col("id_b"), col("cos"))
+        .withColumn("num_planes", lit(planes.toLong))
     }),
 
     // ANN: brute-force cosine top-k — query set (vec_id < 10) broadcast
@@ -3080,16 +3095,24 @@ object SparkEntry {
     },
 
     "dedup_embed_lsh_sq8" -> {
-      def bucketExpr(seed: Int): String = (0 until 4).map { p =>
+      // 12 generated plane terms gated on p < planes — the
+      // ann_lsh_autosize technique, with planesFor's count re-derived
+      // from count(*) in params
+      def bucketExpr(seed: Int): String = (0 until 12).map { p =>
         val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
           s"CAST(embedding[d] AS DOUBLE) * " +
           s"((('0x' || substr(md5('$seed:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
-        s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+        s"(CASE WHEN $p < (SELECT planes FROM params) AND ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
       // mirrors the Spark pipeline EXACTLY, incl. the algebraic
       // expansion of the dequantized-cosine estimate and its operation
       // order (both engines left-associate * and +)
-      s"""WITH e AS (
+      s"""WITH params AS (
+         |  SELECT count(*) AS n,
+         |         least(12, greatest(1,
+         |           CAST(ceil(log2(ceil(count(*) / 128.0))) AS INT))) AS planes
+         |  FROM embeddings),
+         |e AS (
          |  SELECT vec_id, embedding,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
          |         sqrt(list_sum(list_transform(embedding,
@@ -3134,7 +3157,9 @@ object SparkEntry {
          |           (ea.nrm * eb.nrm), 5) AS cos
          |  FROM sl JOIN e ea ON ea.vec_id = sl.id_a
          |          JOIN e eb ON eb.vec_id = sl.id_b)
-         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.42""".stripMargin
+         |SELECT id_a, id_b, cos,
+         |       (SELECT CAST(planes AS BIGINT) FROM params) AS num_planes
+         |FROM p WHERE cos >= 0.42""".stripMargin
     },
 
     "ann_ivf_probe" ->
