@@ -107,12 +107,17 @@ object ServiceScaleProbe {
       val reader = new MinuteLakeReader(root)
       if (w >= fanoutSymbols && fanoutLake.isEmpty) fanoutLake = Some((w, reader))
 
-      // pruning: the single-symbol scan must push a symbol partition
-      // filter (reads ONE symbol's dirs no matter how wide the lake is)
-      val plan = reader.scanSymbol(spark, "SYM0001")
-        .queryExecution.executedPlan.toString
-      val pruned = plan.contains("PartitionFilters") && plan.contains("symbol")
-      require(pruned, s"single-symbol scan lost its partition filter:\n$plan")
+      // scoping: the single-symbol scan's file index must be rooted at
+      // the symbol's OWN subtree (listing bounded by one symbol, not
+      // the lake width — partition pruning alone still lists everything)
+      val roots = reader.scanSymbol(spark, "SYM0001")
+        .queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.getOrElse(Nil)
+      val pruned = roots.nonEmpty && roots.forall(_.contains("symbol=SYM0001"))
+      require(pruned,
+        s"single-symbol scan is not scoped to the symbol subtree: $roots")
 
       val samples = (1 to 5).map(_ => timeRequest(spark, reader, "SYM0001", "15m"))
       val med = samples.sorted.apply(samples.size / 2)
@@ -123,7 +128,7 @@ object ServiceScaleProbe {
     // ---- probe 2: the fan-out path over the widest lake that covers it
     val (fw, freader) = fanoutLake.getOrElse(
       sys.error(s"no lake width >= $fanoutSymbols in $widths"))
-    val symbols = (1 to fanoutSymbols).map(i => f"SYM$i%04d")
+    val symbols = (0 until fanoutSymbols).map(i => f"SYM$i%04d")
     val cache = new ResultCache[(String, String, Int, Long), Seq[(Long, String)]](
       maxEntries = 4096)
     val svc = new QueryService.CachedCandleService(cache,
