@@ -1015,16 +1015,28 @@ object SparkEntry {
 
     // DEDUP at scale, fully composed: AUTO-SIZED banding
     // (TextFns.minhashGeometryFor — the geometry a 100 TB corpus would
-    // actually run) → candidate pairs → connected components → canonical
-    // pick. Identical pipeline to dedup_cc_canonical except the band
-    // geometry is derived from count(*) instead of fixed 8×2 — the fixed
-    // form is the measured scale-killer (in-bucket pair work quadratic
-    // under constant geometry: exponent 1.58 sf3→sf10, 338 s vs 166 s
-    // auto-sized at sf10, LshGeomProbe r7). The DuckDB mirror re-derives
-    // the SAME geometry from count(*) via an integer threshold chain and
-    // runs the same cc over it, so a drift in the sizing rule OR in the
-    // composed pipeline flips the hash. num_bands/rows_per_band ride
-    // along so the sizing decision itself is hash-pinned.
+    // actually run) → STAR edges → connected components → canonical
+    // pick. Two exact scale levers over dedup_cc_canonical:
+    //  1. band geometry derived from count(*) instead of fixed 8×2 (the
+    //     fixed form's random-collision pair mass is quadratic under
+    //     constant geometry — §8.11/§8.12 probes);
+    //  2. STAR edge generation: for bucket-closure dedup (two docs are
+    //     duplicates iff they share ≥1 band bucket — exactly this
+    //     query's semantics, no pair-verification step) connecting each
+    //     bucket member to the bucket MINIMUM yields IDENTICAL
+    //     connected components to the all-pairs self-join with c−1
+    //     edges per bucket instead of c·(c−1)/2 — on ~100-way
+    //     duplicated corpora that is ×50 fewer edges, exactly, and the
+    //     edge count is bounded by n·bands regardless of skew. (When a
+    //     Jaccard-verify step gates edges, the shortcut does NOT apply —
+    //     real pairs must be scored; that path is dedup_minhash_pairs /
+    //     dedup_embed_lsh_sq8.)
+    // The DuckDB mirror re-derives the SAME geometry from count(*) via
+    // an integer threshold chain and builds the SAME star edges, so a
+    // drift in the sizing rule, the edge rule, or the composed pipeline
+    // flips the hash. num_bands/rows_per_band ride along so the sizing
+    // decision itself is hash-pinned; GraphOpsSpec pins star ≡ all-pairs
+    // component equality on real corpus data.
     "dedup_cc_autosize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
@@ -1037,12 +1049,12 @@ object SparkEntry {
       }
       val bandsDf = withSig
         .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
-      val a = bandsDf.select(col("doc_id").as("src"), col("bucket"))
-      val bSide = bandsDf.select(col("doc_id").as("dst"), col("bucket"))
-      val pairs = a.join(bSide, Seq("bucket")).where(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+      val bucketMin = bandsDf.groupBy("bucket").agg(min(col("doc_id")).as("src"))
+      val edges = bandsDf.join(bucketMin, Seq("bucket"))
+        .where(col("src") < col("doc_id"))
+        .select(col("src"), col("doc_id").as("dst")).distinct()
       graft.operators.GraphOps
-        .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .connectedComponents(docs.select(col("doc_id").as("id")), edges)
         .select(col("id").as("doc_id"), col("component_id"),
                 (col("id") === col("component_id")).as("is_canonical"))
         .withColumn("num_bands", lit(bands.toLong))
@@ -2741,8 +2753,9 @@ object SparkEntry {
 
     "dedup_cc_autosize" ->
       s"""WITH RECURSIVE $minhashAutosizeBandsCtes,
-         |pairs AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
-         |  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |bmin AS (SELECT bucket, min(doc_id) AS src FROM abands GROUP BY bucket),
+         |pairs AS (SELECT DISTINCT m.src, a.doc_id AS dst
+         |  FROM abands a JOIN bmin m ON a.bucket = m.bucket AND m.src < a.doc_id),
          |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
          |reach(id, rr) AS (
          |  SELECT doc_id, doc_id FROM documents

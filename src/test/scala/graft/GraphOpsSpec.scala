@@ -39,4 +39,36 @@ class GraphOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       cc((1L to 40L).toSeq, (1L until 40L).map(i => (i, i + 1)), maxRounds = 2))
   }
+
+  test("star edges yield IDENTICAL components to the all-pairs bucket self-join (the dedup_cc_autosize shortcut)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // real corpus buckets (8x2 minhash bands over sf0.001 documents) so
+    // the equivalence is pinned on genuinely overlapping, multi-band
+    // bucket structure, not a toy graph
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withSig = docs
+      .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+    val bandExprs = (0 until 8).map { b =>
+      md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+        col("sig").getItem(b * 2 + 1).cast("string")))
+    }
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+    val allPairs = bands.select(col("doc_id").as("src"), col("bucket"))
+      .join(bands.select(col("doc_id").as("dst"), col("bucket")), Seq("bucket"))
+      .where(col("src") < col("dst")).select("src", "dst").distinct()
+    val bucketMin = bands.groupBy("bucket").agg(min(col("doc_id")).as("src"))
+    val star = bands.join(bucketMin, Seq("bucket"))
+      .where(col("src") < col("doc_id"))
+      .select(col("src"), col("doc_id").as("dst")).distinct()
+    val nPairs = allPairs.count()
+    val nStar = star.count()
+    assert(nStar < nPairs, s"star ($nStar) should be smaller than all-pairs ($nPairs)")
+    val vertices = docs.select(col("doc_id").as("id"))
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      GraphOps.connectedComponents(vertices, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(star) == comps(allPairs))
+  }
 }
