@@ -269,6 +269,29 @@ class LakeWriterSpec extends SparkSpec {
       .agg(sum("event_id")).head.getLong(0) == 21L)
   }
 
+  test("single-symbol scan is scoped to the symbol subtree (listing bounded by one symbol, not lake width)") {
+    val (writer, reader, _) = newLake()
+    writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
+      canonicalRow("2026-01-15T10:00:00Z", 100.0))
+    writer.writeHourPartition("ETHUSDT", instant("2026-01-15T10:00:00Z"),
+      canonicalRow("2026-01-15T10:00:00Z", 50.0))
+    // the scan's file index must be rooted at symbol=BTCUSDT — reading
+    // the lake root and filtering prunes partitions but lists EVERY
+    // symbol's directories first (measured x2.7 request inflation at
+    // 1000 symbols, ServiceScaleProbe r8)
+    val roots = reader.scanSymbol(spark, "BTCUSDT")
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.getOrElse(Nil)
+    assert(roots.nonEmpty && roots.forall(_.contains("symbol=BTCUSDT")),
+      s"scan not scoped: $roots")
+    // behavior unchanged: only the scoped symbol's rows come back, and
+    // a missing symbol still yields an empty canonical frame
+    assert(reader.scanSymbol(spark, "BTCUSDT").count() == 1)
+    assert(reader.scanSymbol(spark, "NOPEUSDT").count() == 0)
+  }
+
   test("partition directory discovery for change detection (source_reader.py:61-69)") {
     val (writer, reader, _) = newLake()
     writer.writeHourPartition("BTCUSDT", instant("2026-01-15T10:00:00Z"),
