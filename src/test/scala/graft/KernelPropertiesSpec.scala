@@ -103,4 +103,33 @@ class KernelPropertiesSpec extends SparkSpec {
     val hof = run(VectorFns.withHyperplaneBucketHof)
     assert(native.size == 300 && native == hof)
   }
+
+  test("native sq8 pack/dot kernels match the HOF integer dot on a randomized batch") {
+    // scalacheck code vectors in and OUTSIDE the quantizer's 0..255
+    // domain (the pack wraps mod 256 like CAST AS BYTE; pairs whose
+    // codes stay in-domain must match the HOF dot bit-for-bit), plus
+    // null elements, empties, nulls, and length mismatches
+    val inDomain: Gen[Option[Long]] = Gen.frequency(
+      10 -> Gen.chooseNum(0L, 255L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val vec: Gen[Option[Seq[Option[Long]]]] = Gen.frequency(
+      8 -> Gen.listOfN(16, inDomain).map(l => Some(l: Seq[Option[Long]])),
+      1 -> Gen.listOfN(9, inDomain).map(l => Some(l: Seq[Option[Long]])),
+      1 -> Gen.oneOf(Some(Seq.empty[Option[Long]]), Option.empty[Seq[Option[Long]]]))
+    val seed = org.scalacheck.rng.Seed(20260813L)
+    val cases = Gen.listOfN(300, Gen.zip(vec, vec))
+      .pureApply(Gen.Parameters.default, seed)
+    val df = cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "ca", "cb")
+    val rows = df.select(col("id"),
+      expr("graft_sq8_dot(graft_sq8_pack(ca), graft_sq8_pack(cb))").as("native"),
+      expr("aggregate(zip_with(ca, cb, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    assert(rows.length == 300)
+    for (r <- rows) {
+      val native = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      val hof = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+      assert(native == hof, s"sq8 dot mismatch id ${r.getLong(0)}: $native vs $hof")
+    }
+  }
 }
