@@ -1061,6 +1061,69 @@ object SparkEntry {
         .withColumn("rows_per_band", lit(rows.toLong))
     }),
 
+    // DEDUP, INCREMENTAL: dedup a batch of NEW documents against an
+    // already-deduped corpus — the only affordable daily-ingestion
+    // shape at 100 TB (a growing corpus must not re-close itself on
+    // every increment). Deterministic split stands in for the two
+    // snapshots: existing = doc_id % 4 != 0, new = the rest. The
+    // increment's edge set is
+    //   (a) the EXISTING assignment as star edges (component → member:
+    //       exactly the connectivity already proven, n_old edges — in
+    //       production this is the loaded assignment table, recomputed
+    //       here so the query is self-contained), plus
+    //   (b) star edges over ONLY the band buckets that contain ≥1 NEW
+    //       doc (the increment's touch set — an old-only bucket's
+    //       connectivity is already inside (a), so it is never
+    //       re-paired; per-increment work scales with the new batch,
+    //       not the corpus).
+    // cc over (a) ∪ (b) handles every incremental case including a new
+    // doc BRIDGING two existing components (they merge — plain
+    // attach-to-nearest cannot do this), and equals the full-corpus
+    // batch closure by construction: GraphOpsSpec pins incremental ≡
+    // batch on real corpus buckets, and the DuckDB mirror runs the
+    // same two-phase recursion. is_new rides along for the ingestion
+    // accounting; num_bands/rows_per_band hash-pin the geometry.
+    "dedup_cc_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+      val bandExprs = (0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
+      }
+      val bandsDf = withSig
+        .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"),
+          (col("doc_id") % 4 === 0).as("is_new"))
+      def starEdges(bk: DataFrame): DataFrame = {
+        val bmin = bk.groupBy("bucket").agg(min(col("doc_id")).as("src"))
+        bk.join(bmin, Seq("bucket"))
+          .where(col("src") < col("doc_id"))
+          .select(col("src"), col("doc_id").as("dst")).distinct()
+      }
+      // phase 1 — "yesterday": closure over existing docs only
+      val existingIds = docs.where(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("id"))
+      val assign = graft.operators.GraphOps.connectedComponents(
+        existingIds, starEdges(bandsDf.where(!col("is_new"))))
+      // phase 2 — the increment: existing assignment as star edges +
+      // closure of new-touched buckets only
+      val assignEdges = assign.where(col("component_id") =!= col("id"))
+        .select(col("component_id").as("src"), col("id").as("dst"))
+      val touched = bandsDf.where(col("is_new")).select("bucket").distinct()
+      val touchedEdges = starEdges(
+        bandsDf.join(touched, Seq("bucket")).select("doc_id", "bucket"))
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")),
+          assignEdges.unionByName(touchedEdges))
+        .select(col("id").as("doc_id"), col("component_id"),
+          (col("id") === col("component_id")).as("is_canonical"),
+          (col("id") % 4 === 0).as("is_new"))
+        .withColumn("num_bands", lit(bands.toLong))
+        .withColumn("rows_per_band", lit(rows.toLong))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2766,6 +2829,37 @@ object SparkEntry {
          |  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
          |  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band
          |FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_cc_incremental" ->
+      s"""WITH RECURSIVE $minhashAutosizeBandsCtes,
+         |sp AS (SELECT a.doc_id, a.bucket, (a.doc_id % 4 = 0) AS is_new FROM abands a),
+         |eb AS (SELECT doc_id, bucket FROM sp WHERE NOT is_new),
+         |ebm AS (SELECT bucket, min(doc_id) AS src FROM eb GROUP BY bucket),
+         |ep AS (SELECT DISTINCT m.src, a.doc_id AS dst
+         |  FROM eb a JOIN ebm m ON a.bucket = m.bucket AND m.src < a.doc_id),
+         |ee AS (SELECT src, dst FROM ep UNION SELECT dst, src FROM ep),
+         |er(id, rr) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 4 <> 0
+         |  UNION
+         |  SELECT er.id, e.dst FROM er JOIN ee e ON e.src = er.rr),
+         |assign AS (SELECT id, min(rr) AS comp FROM er GROUP BY id),
+         |ae AS (SELECT comp AS src, id AS dst FROM assign WHERE comp <> id),
+         |touched AS (SELECT DISTINCT bucket FROM sp WHERE is_new),
+         |tb AS (SELECT s.doc_id, s.bucket FROM sp s JOIN touched t ON t.bucket = s.bucket),
+         |tbm AS (SELECT bucket, min(doc_id) AS src FROM tb GROUP BY bucket),
+         |tp AS (SELECT DISTINCT m.src, a.doc_id AS dst
+         |  FROM tb a JOIN tbm m ON a.bucket = m.bucket AND m.src < a.doc_id),
+         |al0 AS (SELECT src, dst FROM ae UNION SELECT src, dst FROM tp),
+         |al AS (SELECT src, dst FROM al0 UNION SELECT dst, src FROM al0),
+         |r2(id, rr) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r2.id, e.dst FROM r2 JOIN al e ON e.src = r2.rr)
+         |SELECT id AS doc_id, min(rr) AS component_id,
+         |  (min(rr) = id) AS is_canonical, (id % 4 = 0) AS is_new,
+         |  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
+         |  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band
+         |FROM r2 GROUP BY id""".stripMargin,
 
     "htf_aggregate_1h" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,

@@ -71,4 +71,50 @@ class GraphOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(comps(star) == comps(allPairs))
   }
+
+  test("incremental closure (existing assignment stars + new-touched buckets) equals the full batch closure") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // the dedup_cc_incremental construction on real corpus buckets:
+    // splitting must not change the final components — including the
+    // case where a NEW doc bridges two EXISTING components
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withSig = docs
+      .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+    val bandExprs = (0 until 8).map { b =>
+      md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+        col("sig").getItem(b * 2 + 1).cast("string")))
+    }
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"),
+        (col("doc_id") % 4 === 0).as("is_new"))
+    def starEdges(bk: org.apache.spark.sql.DataFrame) = {
+      val bmin = bk.groupBy("bucket").agg(min(col("doc_id")).as("src"))
+      bk.join(bmin, Seq("bucket"))
+        .where(col("src") < col("doc_id"))
+        .select(col("src"), col("doc_id").as("dst")).distinct()
+    }
+    val vertices = docs.select(col("doc_id").as("id"))
+    val batch = GraphOps.connectedComponents(vertices, starEdges(bands))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val assign = GraphOps.connectedComponents(
+      docs.where(col("doc_id") % 4 =!= 0).select(col("doc_id").as("id")),
+      starEdges(bands.where(!col("is_new"))))
+    val assignEdges = assign.where(col("component_id") =!= col("id"))
+      .select(col("component_id").as("src"), col("id").as("dst"))
+    val touched = bands.where(col("is_new")).select("bucket").distinct()
+    val touchedEdges = starEdges(
+      bands.join(touched, Seq("bucket")).select("doc_id", "bucket"))
+    val incremental = GraphOps.connectedComponents(
+        vertices, assignEdges.unionByName(touchedEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(incremental == batch)
+    // sanity: the split actually produced both populations and at least
+    // one bucket mixing old and new (otherwise the test proves nothing)
+    assert(bands.where(col("is_new")).count() > 0)
+    assert(bands.groupBy("bucket")
+      .agg(countDistinct(col("is_new")).as("k")).where(col("k") === 2)
+      .count() > 0, "no bucket mixes old and new docs — split degenerate")
+  }
 }
