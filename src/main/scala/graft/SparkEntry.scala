@@ -940,8 +940,15 @@ object SparkEntry {
         md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
           col("sig").getItem(b * 2 + 1).cast("string")))
       }
+      // materialize the signature scan ONCE: the band frame feeds both
+      // sides of the self-join, and without the checkpoint the whole
+      // tokenize→shingle→md5→minhash pipeline is evaluated twice (the
+      // scan dominates the dedup family's wall — measured ~41 s of a
+      // ~122 s cc run at sf10 PER evaluation). On a fault-tolerant
+      // cluster swap for reliable checkpoint, as in GraphOps.
       val bands = withSig
         .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
+        .localCheckpoint()
       val a = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
       val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
       a.join(b, Seq("bucket"))
@@ -973,6 +980,7 @@ object SparkEntry {
       }
       val bands = withSig
         .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+        .localCheckpoint() // consumed 3x (occupancy + semi-join + drops)
       val (kept, dropped) = Ops.capBucketOccupancy(bands, Seq("bucket"), cap = 2)
       val keptHist = kept.groupBy("bucket")
         .agg(count(lit(1)).as("occupancy"))
@@ -1001,6 +1009,7 @@ object SparkEntry {
       }
       val bands = withSig
         .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+        .localCheckpoint() // signature scan once, not per join side
       val a = bands.select(col("doc_id").as("src"), col("bucket"))
       val b = bands.select(col("doc_id").as("dst"), col("bucket"))
       // id-only pair dedup: nothing wider than two longs crosses the
@@ -1049,6 +1058,7 @@ object SparkEntry {
       }
       val bandsDf = withSig
         .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+        .localCheckpoint() // signature scan once (bucket-min + join sides)
       val bucketMin = bandsDf.groupBy("bucket").agg(min(col("doc_id")).as("src"))
       val edges = bandsDf.join(bucketMin, Seq("bucket"))
         .where(col("src") < col("doc_id"))
@@ -1096,6 +1106,7 @@ object SparkEntry {
       val bandsDf = withSig
         .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"),
           (col("doc_id") % 4 === 0).as("is_new"))
+        .localCheckpoint() // signature scan once across both phases
       def starEdges(bk: DataFrame): DataFrame = {
         val bmin = bk.groupBy("bucket").agg(min(col("doc_id")).as("src"))
         bk.join(bmin, Seq("bucket"))
@@ -1596,6 +1607,7 @@ object SparkEntry {
           dim = 64, numPlanes = 4, seed = seed)
           .select(col("vec_id"), lit(bi).as("band"), col("bucket"))
       }.reduce(_ unionByName _)
+        .localCheckpoint() // bucket scan once, not per join side
       val pairs = ids.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
         .join(ids.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
           Seq("band", "bucket"))
@@ -1668,7 +1680,7 @@ object SparkEntry {
       // codes + scalars join the band rows BEFORE the self-join: each
       // side of the bucket join carries ~100 bytes, and the join output
       // feeds the gate without materializing anywhere
-      val banded = ids.join(enc, Seq("vec_id"))
+      val banded = ids.join(enc, Seq("vec_id")).localCheckpoint()
       val a = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"),
         col("packed").as("pk_a"), col("mn").as("mn_a"), col("sc").as("sc_a"),
         col("sumq").as("sq_a"), col("qnrm").as("qn_a"))
