@@ -229,6 +229,106 @@ object MinHashKernel {
   }
 }
 
+/** The fused shingle-hash loop behind [[ShingleHash]]. */
+object ShingleHashKernel {
+
+  /** Mirrors
+    * `case when size(tk) >= n then array_distinct(transform(
+    *    sequence(0, size(tk) - n),
+    *    i -> cast(conv(substr(md5(concat_ws(' ', tk[i], …, tk[i+n-1])),
+    *                   1, 15), 16, 10) as bigint)))
+    *  else cast(array() as array<bigint>) end`
+    * EXACTLY, byte for byte: the joined shingle is the tokens' UTF-8
+    * bytes separated by 0x20 with `concat_ws`'s null-skip rule (a null
+    * token contributes neither bytes nor separator); the hash value is
+    * the digest's first 15 hex digits = its first 60 bits (eight
+    * big-endian bytes >>> 4, always non-negative so the signed parse
+    * agrees); `array_distinct` keeps first-occurrence order; a NULL or
+    * shorter-than-n token array yields the non-null EMPTY array (size's
+    * NULL falls to the else branch). One reused MessageDigest and zero
+    * string allocations replace, per shingle, a concat string, a
+    * 32-char hex string, a substr and a base-16 parse. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (tokens == null) return new GenericArrayData(Array.empty[Any])
+    val sz = tokens.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= sz - n) {
+      md.reset()
+      var first = true
+      var j = 0
+      while (j < n) {
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(i + j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+      seen.add(java.lang.Long.valueOf(v >>> 4))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]]
+      .map(x => x: Any))
+  }
+}
+
+/** Native n-gram shingle hashing over a token array (`array<string>` →
+  * `array<bigint>`) — eighth tier-(b) kernel, and the one that attacks
+  * the dedup family's measured dominant term: after the r8 star-edge +
+  * single-scan work, ~90% of the cc pipeline wall IS the
+  * tokenize→shingle→md5→minhash scan, and per shingle the SQL form
+  * allocates a concatenated string, md5's 32-char hex string, a substr
+  * and a conv parse. The kernel feeds token bytes straight into one
+  * reused MessageDigest and emits the digest's top 60 bits.
+  * Bit-identical to the SQL form ([[ShingleHashKernel.compute]]); the
+  * SQL form stays as [[TextFns.shingleHashesFromTextHof]], the spec
+  * cross-check. */
+case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash requires a positive shingle width, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash requires array<string>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    ShingleHashKernel.compute(
+      child.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val res = ctx.freshName("shingles")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData $res =
+        |  graft.functions.ShingleHashKernel.compute(
+        |    ${childGen.isNull} ? null : ${childGen.value}, $n);
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(res, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native MinHash signature over pre-hashed shingles (`array<bigint>`) —
   * third tier-(b) kernel: the SQL formulation runs `numPerm` separate
   * `array_min(transform(...))` lambda passes per row (16 on the dedup
@@ -705,6 +805,7 @@ object NativeVectorExprs {
   private val nearestIdent = FunctionIdentifier("graft_nearest_centroid")
   private val sq8PackIdent = FunctionIdentifier("graft_sq8_pack")
   private val sq8DotIdent = FunctionIdentifier("graft_sq8_dot")
+  private val shingleIdent = FunctionIdentifier("graft_shingle_hash")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
@@ -719,6 +820,8 @@ object NativeVectorExprs {
     new ExpressionInfo(classOf[Sq8Pack].getName, "graft_sq8_pack")
   private def sq8DotInfo =
     new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot")
+  private def shingleInfo =
+    new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -775,6 +878,19 @@ object NativeVectorExprs {
     Sq8Dot(children.head, children(1))
   }
 
+  private def shingleBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"graft_shingle_hash expects 2 arguments, got ${children.size}")
+    val n = children(1) match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == IntegerType && lit.value != null =>
+        lit.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_hash's second argument must be an integer literal, got $other")
+    }
+    ShingleHash(children.head, n)
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -794,5 +910,6 @@ object NativeVectorExprs {
       (hyperplaneIdent, hyperplaneInfo, hyperplaneBuilder _),
       (nearestIdent, nearestInfo, nearestBuilder _),
       (sq8PackIdent, sq8PackInfo, sq8PackBuilder _),
-      (sq8DotIdent, sq8DotInfo, sq8DotBuilder _))
+      (sq8DotIdent, sq8DotInfo, sq8DotBuilder _),
+      (shingleIdent, shingleInfo, shingleBuilder _))
 }

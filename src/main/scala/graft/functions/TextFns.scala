@@ -72,19 +72,29 @@ object TextFns {
 
   /** Distinct 60-bit shingle hashes straight from the text column, with
     * the token array BOUND (one regex split per evaluation, even after
-    * predicate-pushdown substitution). Prefer this over
-    * `tokens` + [[shingleHashesFromTokens]] in query plans. */
+    * predicate-pushdown substitution) and the hashing fused into the
+    * native [[graft.functions.ShingleHash]] kernel (sessions must run
+    * [[NativeVectorExprs.register]] or load [[graft.GraftExtensions]]).
+    * Prefer this over `tokens` + [[shingleHashesFromTokens]] in query
+    * plans. */
   def shingleHashesFromText(textCol: String, n: Int): Column =
+    expr(bound(tokensSql(textCol), "__tk")(s"graft_shingle_hash(__tk, $n)"))
+
+  /** The pre-kernel SQL formulation (one md5 hex round-trip per
+    * shingle) — retained as the bit-parity cross-check for
+    * [[graft.functions.ShingleHashKernel]] (FunctionsSpec /
+    * KernelPropertiesSpec). */
+  def shingleHashesFromTextHof(textCol: String, n: Int): Column =
     expr(bound(tokensSql(textCol), "__tk")(shingleHashesSql("__tk", n)))
 
-  /** MinHash signature straight from text: tokens and shingle hashes
-    * both bound, one split + one md5 per shingle per evaluation, then
-    * the native one-pass kernel [[MinHashSig]] (sessions must run
-    * [[NativeVectorExprs.register]] or load [[graft.GraftExtensions]]). */
+  /** MinHash signature straight from text: tokens bound, then BOTH hot
+    * loops native — [[graft.functions.ShingleHash]] for the shingle
+    * hashing and [[MinHashSig]] for the permutation minima (sessions
+    * must run [[NativeVectorExprs.register]] or load
+    * [[graft.GraftExtensions]]). */
   def minhashSignatureFromText(textCol: String, shingleN: Int, numPerm: Int): Column =
     expr(bound(tokensSql(textCol), "__tk")(
-      bound(shingleHashesSql("__tk", shingleN), "__hs")(
-        s"graft_minhash(__hs, $numPerm)")))
+      s"graft_minhash(graft_shingle_hash(__tk, $shingleN), $numPerm)"))
 
   /** 32-bit SimHash straight from text (tokens bound — one tokenization
     * and one md5 pass, then the native single-pass vote kernel

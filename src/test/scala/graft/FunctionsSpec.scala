@@ -165,7 +165,7 @@ class FunctionsSpec extends SparkSpec {
     NativeVectorExprs.register(spark) // idempotent
     val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
       "graft_hyperplane_bucket", "graft_nearest_centroid",
-      "graft_sq8_pack", "graft_sq8_dot")
+      "graft_sq8_pack", "graft_sq8_dot", "graft_shingle_hash")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")

@@ -104,6 +104,39 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(native.size == 300 && native == hof)
   }
 
+  test("native shingle-hash kernel matches the md5 SQL form on a randomized batch") {
+    import graft.functions.TextFns
+    // token arrays with multi-byte unicode, empty strings, null
+    // elements, short/empty/null arrays — the joined-bytes + top-60-bit
+    // rule must match conv(substr(md5(concat_ws(' ', ...)),1,15),16,10)
+    // byte for byte, incl. concat_ws's null-skip
+    val tok: Gen[Option[String]] = Gen.frequency(
+      8 -> Gen.nonEmptyListOf(Gen.frequency(
+        6 -> Gen.alphaNumChar.map(_.toString),
+        1 -> Gen.oneOf("é", "ß", "中", "🦀", "Ж"),
+        1 -> Gen.oneOf("-", "_", "."))).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.const(null: String)).map(Option(_).filter(_ != null))
+    val arr: Gen[Option[Seq[Option[String]]]] = Gen.frequency(
+      7 -> Gen.chooseNum(3, 12).flatMap(k => Gen.listOfN(k, tok))
+        .map(l => Some(l: Seq[Option[String]])),
+      1 -> Gen.listOfN(2, tok).map(l => Some(l: Seq[Option[String]])),
+      1 -> Gen.oneOf(Some(Seq.empty[Option[String]]), Option.empty[Seq[Option[String]]]))
+    val seed = org.scalacheck.rng.Seed(20260813L)
+    val cases = Gen.listOfN(300, arr).pureApply(Gen.Parameters.default, seed)
+    val df = cases.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
+    val rows = df.select(col("id"),
+      expr("graft_shingle_hash(toks, 3)").as("native"),
+      TextFns.shingleHashesFromTokens("toks", 3).as("hof")).collect()
+    assert(rows.length == 300)
+    for (r <- rows) {
+      assert(!r.isNullAt(1) && !r.isNullAt(2),
+        s"shingle arrays must be non-null (id ${r.getLong(0)})")
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"shingle hash mismatch id ${r.getLong(0)}")
+    }
+  }
+
   test("native sq8 pack/dot kernels match the HOF integer dot on a randomized batch") {
     // scalacheck code vectors in and OUTSIDE the quantizer's 0..255
     // domain (the pack wraps mod 256 like CAST AS BYTE; pairs whose
