@@ -229,6 +229,67 @@ object MinHashKernel {
   }
 }
 
+/** The fused token-hash loop behind [[TokenHash32]]. */
+object TokenHash32Kernel {
+
+  /** Mirrors `transform(tk, t -> cast(conv(substr(md5(t), 1, 8), 16,
+    * 10) as bigint))` EXACTLY: per token the first 8 hex digits of its
+    * UTF-8 md5 = the digest's first 4 bytes as an unsigned 32-bit
+    * value; a null TOKEN yields a null element (md5(NULL) is NULL); a
+    * null ARRAY yields NULL (`transform` null-propagates). One reused
+    * MessageDigest, no hex strings. */
+  def compute(tokens: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (tokens == null) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val d = md.digest()
+        out(i) = java.lang.Long.valueOf(
+          ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native 32-bit token hashing (`array<string>` → `array<bigint>`) —
+  * ninth tier-(b) kernel, the SimHash twin of [[ShingleHash]]: the SQL
+  * form pays the md5 hex-string round-trip per TOKEN on the simhash
+  * path. Composes with [[SimHash32]] —
+  * `graft_simhash32(graft_token_hash32(tokens))` — so both hot loops
+  * of the simhash pipeline are native. Bit-identical to the SQL form
+  * ([[TokenHash32Kernel.compute]]); the SQL form stays as
+  * [[TextFns.tokenHashes32]], the spec cross-check. */
+case class TokenHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_hash32 requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    TokenHash32Kernel.compute(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.TokenHash32Kernel.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The fused shingle-hash loop behind [[ShingleHash]]. */
 object ShingleHashKernel {
 
@@ -806,6 +867,7 @@ object NativeVectorExprs {
   private val sq8PackIdent = FunctionIdentifier("graft_sq8_pack")
   private val sq8DotIdent = FunctionIdentifier("graft_sq8_dot")
   private val shingleIdent = FunctionIdentifier("graft_shingle_hash")
+  private val tokenHashIdent = FunctionIdentifier("graft_token_hash32")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
@@ -822,6 +884,8 @@ object NativeVectorExprs {
     new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot")
   private def shingleInfo =
     new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash")
+  private def tokenHashInfo =
+    new ExpressionInfo(classOf[TokenHash32].getName, "graft_token_hash32")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -891,6 +955,12 @@ object NativeVectorExprs {
     ShingleHash(children.head, n)
   }
 
+  private def tokenHashBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"graft_token_hash32 expects 1 argument, got ${children.size}")
+    TokenHash32(children.head)
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -911,5 +981,6 @@ object NativeVectorExprs {
       (nearestIdent, nearestInfo, nearestBuilder _),
       (sq8PackIdent, sq8PackInfo, sq8PackBuilder _),
       (sq8DotIdent, sq8DotInfo, sq8DotBuilder _),
-      (shingleIdent, shingleInfo, shingleBuilder _))
+      (shingleIdent, shingleInfo, shingleBuilder _),
+      (tokenHashIdent, tokenHashInfo, tokenHashBuilder _))
 }

@@ -96,14 +96,13 @@ object TextFns {
     expr(bound(tokensSql(textCol), "__tk")(
       s"graft_minhash(graft_shingle_hash(__tk, $shingleN), $numPerm)"))
 
-  /** 32-bit SimHash straight from text (tokens bound — one tokenization
-    * and one md5 pass, then the native single-pass vote kernel
-    * [[SimHash32]]; sessions must run [[NativeVectorExprs.register]] or
-    * load [[graft.GraftExtensions]]). */
+  /** 32-bit SimHash straight from text (tokens bound, then BOTH hot
+    * loops native — [[graft.functions.TokenHash32]] for the per-token
+    * md5 and [[SimHash32]] for the bit votes; sessions must run
+    * [[NativeVectorExprs.register]] or load [[graft.GraftExtensions]]). */
   def simhash32FromText(textCol: String): Column =
     expr(bound(tokensSql(textCol), "__tk")(
-      "graft_simhash32(transform(__tk, t -> " +
-        "cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)))"))
+      "graft_simhash32(graft_token_hash32(__tk))"))
 
   /** Document fingerprint: md5 of lower-cased whitespace-collapsed text
     * (exact-dedup key). */
@@ -239,8 +238,10 @@ object TextFns {
     (math.max(1, numPerm / rows), rows)
   }
 
-  /** 32-bit token hashes (input to [[simhash32FromHashes]]): computed
-    * once into a column so the 32 bit-votes below don't re-hash. */
+  /** 32-bit token hashes (input to [[simhash32FromHashes]]) in the SQL
+    * md5 hex round-trip form — retained as the bit-parity cross-check
+    * for the native [[graft.functions.TokenHash32]] kernel the hot path
+    * uses (FunctionsSpec / KernelPropertiesSpec). */
   def tokenHashes32(tokCol: String): Column =
     expr(s"transform($tokCol, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))")
 

@@ -165,7 +165,8 @@ class FunctionsSpec extends SparkSpec {
     NativeVectorExprs.register(spark) // idempotent
     val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
       "graft_hyperplane_bucket", "graft_nearest_centroid",
-      "graft_sq8_pack", "graft_sq8_dot", "graft_shingle_hash")
+      "graft_sq8_pack", "graft_sq8_dot", "graft_shingle_hash",
+      "graft_token_hash32")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")

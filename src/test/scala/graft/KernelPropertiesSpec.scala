@@ -127,13 +127,23 @@ class KernelPropertiesSpec extends SparkSpec {
     val df = cases.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "toks")
     val rows = df.select(col("id"),
       expr("graft_shingle_hash(toks, 3)").as("native"),
-      TextFns.shingleHashesFromTokens("toks", 3).as("hof")).collect()
+      TextFns.shingleHashesFromTokens("toks", 3).as("hof"),
+      expr("graft_token_hash32(toks)").as("th_native"),
+      TextFns.tokenHashes32("toks").as("th_hof")).collect()
     assert(rows.length == 300)
     for (r <- rows) {
       assert(!r.isNullAt(1) && !r.isNullAt(2),
         s"shingle arrays must be non-null (id ${r.getLong(0)})")
       assert(r.getSeq[Any](1) == r.getSeq[Any](2),
         s"shingle hash mismatch id ${r.getLong(0)}")
+      // token-hash kernel: null array -> null, null token -> null
+      // element, values = md5's first 8 hex digits — same rows exercise
+      // the same unicode/null edges
+      assert(r.isNullAt(3) == r.isNullAt(4),
+        s"token hash nullability mismatch id ${r.getLong(0)}")
+      if (!r.isNullAt(3))
+        assert(r.getSeq[Any](3) == r.getSeq[Any](4),
+          s"token hash mismatch id ${r.getLong(0)}")
     }
   }
 
