@@ -109,7 +109,8 @@ object PlanCheck {
       "txt_tfidf_bm25", "txt_decontaminate", "txt_repetition_rules",
       "txt_pack_sequences", "ann_sq8_search", "ann_lsh_recall",
       "ann_lsh_autosize", "ann_ivf_recall", "ivf_kmeans_sample_train",
-      "dedup_minhash_autosize", "dedup_cc_autosize", "dedup_embed_lsh_sq8")
+      "dedup_minhash_autosize", "dedup_cc_autosize", "dedup_embed_lsh_sq8",
+      "dedup_cc_incremental")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
