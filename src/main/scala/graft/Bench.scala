@@ -38,6 +38,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,11 +90,16 @@ object Bench {
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _, s) =>
       "\"" + k + "\":[" + s.map(ms).mkString(",") + "]" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    // a run with ANY failed query reports an INVALID total (-1): summing
+    // only the survivors silently masks a regression as a speedup when
+    // round-over-round totals are compared (round-9 lesson).
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"samples":$raw,"sf":"$sfDir"}"""
     println(medians)
     val parts = results.grouped(20).toSeq
     parts.zipWithIndex.foreach { case (grp, i) =>
@@ -102,10 +108,20 @@ object Bench {
       println(s"""{"metric":"part","part":"${i + 1}/${parts.size}","queries":$pqs}""")
     }
     println(medians)
+    // The driver's capture keeps only the LAST ~2000 chars of output; the
+    // full headline (~2.3 KB for 84 queries) never fits, so its `parsed`
+    // field has been null every round. End with a compact summary line
+    // (<200 chars) that always survives the tail window intact — per-query
+    // medians remain in the headline/part lines above and BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     System.err.println(s"[bench] samples: $raw")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(3) // nonzero rc so exit-code gating can't green-light a bad run
+    }
   }
 }

@@ -98,11 +98,16 @@ object SparkEntry {
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native
-    // type for — with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    // Verify/Bench session builders) it surfaces as epoch-ns long; floor
-    // to µs (the data is µs-precision) and restore TimestampType.
+    // The driver's testdata timestamp encoding has changed across rounds
+    // (TIMESTAMP(NANOS) → tz-naive timestamp[us]); normalize every
+    // variant to plain TimestampType so downstream unix_millis/encoders
+    // see one stable type regardless of which generation is on disk.
+    // - nanosAsLong=true: TIMESTAMP(NANOS) (no native Spark type)
+    //   surfaces as epoch-ns long; floored to µs below.
+    // - inferTimestampNTZ=false: tz-naive parquet timestamps read as
+    //   TimestampType (session tz is UTC, so instants are identical).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     graft.functions.NativeVectorExprs.register(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
@@ -110,6 +115,13 @@ object SparkEntry {
       // integer division — `/` on longs is DOUBLE division in Spark and
       // would round epoch-ns (≈1.7e18 > 2^53) by hundreds of ns
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (df.schema.exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      // belt-and-braces: if a pre-existing session already resolved the
+      // file with NTZ inference on, cast in place (UTC session tz makes
+      // the conversion the identity on the underlying micros).
+      df.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .foldLeft(df)((d, f) => d.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
     else df
   }
 

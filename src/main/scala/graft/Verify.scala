@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,13 +19,28 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (local iteration only;
     // the driver never sets it, so its runs cover every query).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        // A thrown query must surface as an explicit RED row in the
+        // driver's correctness report, not vanish (round-9 lesson: 8
+        // broken queries produced no output dir and the report falsely
+        // read as a clean 100% pass). Write a marker result whose schema
+        // can never match any oracle, so the compare records the failure.
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +58,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure ledger next to the dumps (empty = clean
+    // run). rc stays 0 — the marker rows above already force red entries
+    // in the compare, and a nonzero rc could make the driver discard the
+    // 70+ good results along with the broken ones.
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -37,6 +37,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con, oracle = load(sf_dir, out_dir)
     n_pass = n_fail = 0
+    # Oracle queries with NO output dir are failures, not skips — a thrown
+    # query that produced nothing must not read as a clean run (r9 lesson).
+    # Skipped when the dump is a small subset (SPARK_GRAFT_ONLY iteration).
+    dumped = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{out_dir}/*/")}
+    if len(dumped) > len(oracle) // 2:
+        for name in sorted(set(oracle) - dumped):
+            print(f"FAIL {name}: no output dir (query threw before writing?)")
+            n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         spark_df = pd.concat(
