@@ -33,6 +33,7 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // events.ts is TIMESTAMP(NANOS): surfaces as epoch-ns long; the
       // copy writes it back as int64, which SparkEntry.t() converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -580,4 +580,47 @@ class FunctionsSpec extends SparkSpec {
     // guarantees are partitioning-independent (mergeable summaries)
     check(tokens.repartition(7).select(HeavyHitters.misraGries(k)).head())
   }
+
+  test("dedup_minhash_pairs_est: signature gate loses no qualifying pair (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val gated = SparkEntry.queries("dedup_minhash_pairs_est")(spark, dir)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // UNGATED reference: every LSH candidate pair exact-scored — same
+    // bands, same exact-Jaccard integer threshold, NO agreement gate.
+    // Equality proves the est-gate costs zero recall on this corpus
+    // (precision is free: the gate only ever removes pairs, and any
+    // removed pair failing 3i >= ssum was never in the reference).
+    val docsSf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+    val withSig = docsSf
+      .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
+    val bandExprs = (0 until 8).map { b =>
+      md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
+        col("sig").getItem(b * 2 + 1).cast("string")))
+    }
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
+    val cand = bands.select(col("doc_id").as("id_a"), col("bucket"))
+      .join(bands.select(col("doc_id").as("id_b"), col("bucket")), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ungated = cand
+      .join(docsSf.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docsSf.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+      .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
+      .withColumn("jaccard", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.round(
+          col("i").cast("double") / (col("ssum") - col("i")).cast("double"), 11), 6))
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    assert(ungated.nonEmpty, "reference produced no qualifying pairs — corpus assumption broken")
+    assert(gated.keySet === ungated.keySet,
+      s"gate changed the qualifying pair set: missing=${ungated.keySet -- gated.keySet} extra=${gated.keySet -- ungated.keySet}")
+    for ((k, v) <- ungated) assert(gated(k) === v, s"jaccard drifted for $k")
+  }
 }
