@@ -1215,16 +1215,20 @@ object SparkEntry {
         .select(col("doc_id").as("id"))
       val assign = graft.operators.GraphOps.connectedComponents(
         existingIds, starEdges(bandsDf.where(!col("is_new"))))
-      // phase 2 — the increment: existing assignment as star edges +
-      // closure of new-touched buckets only
-      val assignEdges = assign.where(col("component_id") =!= col("id"))
-        .select(col("component_id").as("src"), col("id").as("dst"))
+      // phase 2 — the increment, through GraphOps.incrementalComponents:
+      // only the components AFFECTED by the touch set re-close (with
+      // the affected slice of the assignment as star edges, so a new
+      // doc bridging two existing components still merges them);
+      // unaffected components pass through untouched. Per-increment
+      // work scales with the increment's footprint, not the corpus —
+      // row-identical to the full-corpus closure (GraphOpsSpec).
       val touched = bandsDf.where(col("is_new")).select("bucket").distinct()
       val touchedEdges = starEdges(
-        bandsDf.join(touched, Seq("bucket")).select("doc_id", "bucket"))
+        bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket"))
+      val newIds = docs.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("id"))
       graft.operators.GraphOps
-        .connectedComponents(docs.select(col("doc_id").as("id")),
-          assignEdges.unionByName(touchedEdges))
+        .incrementalComponents(assign, newIds, touchedEdges)
         .select(col("id").as("doc_id"), col("component_id"),
           (col("id") === col("component_id")).as("is_canonical"),
           (col("id") % 4 === 0).as("is_new"))

@@ -11,17 +11,30 @@ import graft.operators.GraphOps
   * existing docs, which production loads rather than recomputes) and
   * phase 2 (the actual per-increment work: existing-assignment star
   * edges + closure of buckets touched by new docs) — plus the bucket
-  * FOOTPRINT of the increment (touched vs total buckets). On ×N
-  * replicated ScaleProbe data every duplicate group receives new
-  * members, so the touch set approaches 100% and phase 2 costs ≈ a
-  * full closure — an artifact to report, not hide: on a real corpus
-  * the increment touches ≤ |new|·bands buckets of a much larger bucket
-  * population and phase 2 is bounded by the increment's footprint.
+  * FOOTPRINT of the increment (touched vs total buckets).
   *
-  * Run: `sbt "runMain graft.tools.IncrementalCcProbe <sfDir>"`. */
+  * Two corpus modes:
+  *
+  *  - `replicated` (legacy): new = every 4th existing doc. On ×N
+  *    replicated ScaleProbe data every duplicate group receives new
+  *    members, so the touch set approaches 100% and phase 2 costs ≈ a
+  *    full closure — an artifact to report, not hide.
+  *  - `realistic` (default): the actual daily-ingestion shape. The
+  *    increment is SMALL (`newFrac`, default 2% of the corpus) and
+  *    MOSTLY NOVEL (90% of new docs get globally-unique synthetic
+  *    token streams that share no shingle with anything; 10% are
+  *    verbatim copies of existing docs, joining existing duplicate
+  *    groups). Here the touch set obeys the ≤ |new|·bands bound
+  *    against a bucket population that grows with the corpus, so
+  *    phase 2 ≪ full batch — the footprint lever the annex needs a
+  *    measured number for.
+  *
+  * Run: `sbt "runMain graft.tools.IncrementalCcProbe <sfDir> [realistic|replicated] [newFrac]"`. */
 object IncrementalCcProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mode = args.lift(1).getOrElse("realistic")
+    val newFrac = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.02)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,18 +44,49 @@ object IncrementalCcProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.NativeVectorExprs.register(spark)
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val n = docs.count()
+    val existing = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val nExisting = existing.count()
+
+    // Corpus = existing ∪ new, per mode. `is_new` marks the increment.
+    val corpus: DataFrame = mode match {
+      case "replicated" =>
+        existing.withColumn("is_new", col("doc_id") % 4 === 0)
+      case _ =>
+        // deterministic pseudo-random pick via md5 of the id — no RNG,
+        // stable across runs. 90% of picks become NOVEL docs (50
+        // unique tokens each — shingles collide with nothing), 10%
+        // stay verbatim duplicates of their source doc (they join its
+        // existing duplicate group). New ids live above the existing
+        // id space.
+        val pick = conv(substring(md5(concat(lit("inc"), col("doc_id"))), 1, 6), 16, 10)
+          .cast("long")
+        val newDocs = existing
+          .withColumn("r", pick % 10000L)
+          .where(col("r") < lit((newFrac * 10000).toLong))
+          .withColumn("novel", col("r") % 10 < 9)
+          .select(
+            (col("doc_id") + lit(1000000000L)).as("doc_id"),
+            when(col("novel"), concat_ws(" ",
+              (1 to 50).map(i => md5(concat(col("doc_id"), lit(s"-tok$i")))): _*))
+              .otherwise(col("text")).as("text"),
+            lit(true).as("is_new"))
+        existing.withColumn("is_new", lit(false)).unionByName(newDocs)
+    }
+    val cached = corpus.localCheckpoint()
+    val n = cached.count()
+    val nNew = cached.where(col("is_new")).count()
+
+    // geometry from the FULL corpus count, as production would size it
     val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
-    val withSig = docs
+    val withSig = cached
       .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
     val bandExprs = (0 until bands).map { b =>
       md5(concat_ws("|",
         (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
     }
     val bandsDf = withSig
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"),
-        (col("doc_id") % 4 === 0).as("is_new"))
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"), col("is_new"))
       .localCheckpoint() // bands computed once; we time the closures
 
     def starEdges(bk: DataFrame): DataFrame = {
@@ -57,32 +101,45 @@ object IncrementalCcProbe {
 
     val totalBuckets = bandsDf.select("bucket").distinct().count()
     val touched = bandsDf.where(col("is_new")).select("bucket").distinct()
+      .localCheckpoint()
     val touchedCount = touched.count()
 
     val (assign, p1) = timed {
       GraphOps.connectedComponents(
-        docs.where(col("doc_id") % 4 =!= 0).select(col("doc_id").as("id")),
+        cached.where(!col("is_new")).select(col("doc_id").as("id")),
         starEdges(bandsDf.where(!col("is_new"))))
         .localCheckpoint()
     }
-    val (_, p2) = timed {
-      val assignEdges = assign.where(col("component_id") =!= col("id"))
-        .select(col("component_id").as("src"), col("id").as("dst"))
+    def phase2Once(): Double = timed {
+      // broadcast the touch set: the band-index lookup is a scan + hash
+      // probe, not a corpus shuffle (production stores the index
+      // bucket-partitioned; the broadcast semi-join is the local twin)
       val touchedEdges = starEdges(
-        bandsDf.join(touched, Seq("bucket")).select("doc_id", "bucket"))
-      GraphOps.connectedComponents(docs.select(col("doc_id").as("id")),
-        assignEdges.unionByName(touchedEdges))
+        bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket"))
+      GraphOps.incrementalComponents(assign,
+        cached.where(col("is_new")).select(col("doc_id").as("id")),
+        touchedEdges)
         .select(countDistinct(col("component_id"))).collect()
-    }
+    }._2
+    val p2 = math.min(phase2Once(), phase2Once()) // JIT/GC-noise floor
+    val touchedEdgeCount = starEdges(
+      bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket")).count()
+    val affected = assign.join(
+      broadcast(bandsDf.join(broadcast(touched), Seq("bucket"))
+        .select(col("doc_id").as("id")).distinct()), Seq("id"))
+      .select("component_id").distinct().count()
     val (_, pb) = timed {
-      GraphOps.connectedComponents(docs.select(col("doc_id").as("id")),
+      GraphOps.connectedComponents(cached.select(col("doc_id").as("id")),
         starEdges(bandsDf.select("doc_id", "bucket")))
         .select(countDistinct(col("component_id"))).collect()
     }
-    println(f"[inc-cc] n=$n bands=$bands rows=$rows " +
+    println(f"[inc-cc] mode=$mode n=$n (existing=$nExisting new=$nNew) " +
+      f"bands=$bands rows=$rows " +
       f"touchedBuckets=$touchedCount/$totalBuckets " +
-      f"(${100.0 * touchedCount / totalBuckets}%.1f%%) " +
-      f"phase1=$p1%.1f s phase2=$p2%.1f s fullBatch=$pb%.1f s")
+      f"(${100.0 * touchedCount / totalBuckets}%.1f%% vs bound |new|*bands=${nNew * bands}) " +
+      f"deltaEdges=$touchedEdgeCount affectedComps=$affected " +
+      f"phase1=$p1%.1f s phase2=$p2%.1f s fullBatch=$pb%.1f s " +
+      f"speedup=${pb / p2}%.1fx")
     spark.stop()
   }
 }

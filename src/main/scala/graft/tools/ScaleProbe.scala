@@ -42,8 +42,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional 4th arg: csv of tables to derive (default all) — a
+    // documents-only sf100 for the dedup probes costs seconds instead
+    // of replicating 600M event rows nobody reads
+    val tablesFilter = args.lift(3).map(_.split(",").toSet)
     val offset = 100000000L
     def scaled(table: String)(remap: DataFrame => DataFrame): Unit = {
+      if (!tablesFilter.forall(_.contains(table))) return
       val rep = spark.read.parquet(s"$src/$table.parquet")
         .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
       remap(rep).drop("__c").coalesce(8)
@@ -69,7 +74,8 @@ object ScaleProbe {
     scaled("orders")(_
       .withColumn("o_orderkey", off("o_orderkey"))
       .withColumn("o_custkey", off("o_custkey")))
-    for (t <- Seq("nation", "region", "part", "supplier"))
+    for (t <- Seq("nation", "region", "part", "supplier")
+         if tablesFilter.forall(_.contains(t)))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     spark.stop()

@@ -110,11 +110,32 @@ class GraphOpsSpec extends SparkSpec {
         vertices, assignEdges.unionByName(touchedEdges))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(incremental == batch)
+    // the affected-subgraph form (production phase 2: only components
+    // touched by the increment re-close, the rest pass through) must
+    // give the SAME assignment as the full closure
+    val affectedOnly = GraphOps.incrementalComponents(assign,
+        docs.where(col("doc_id") % 4 === 0).select(col("doc_id").as("id")),
+        touchedEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(affectedOnly == batch)
     // sanity: the split actually produced both populations and at least
     // one bucket mixing old and new (otherwise the test proves nothing)
     assert(bands.where(col("is_new")).count() > 0)
     assert(bands.groupBy("bucket")
       .agg(countDistinct(col("is_new")).as("k")).where(col("k") === 2)
       .count() > 0, "no bucket mixes old and new docs — split degenerate")
+  }
+
+  test("incrementalComponents: isolated new vertices become singletons; bridge merges two components") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // existing: {1,2} and {3,4} as two components; new: 10 bridges 2-3,
+    // 11 is isolated
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "component_id")
+    val newIds = Seq(10L, 11L).toDF("id")
+    val delta = Seq((2L, 10L), (10L, 3L)).toDF("src", "dst")
+    val got = GraphOps.incrementalComponents(assign, newIds, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L, 11L -> 11L))
   }
 }
