@@ -320,13 +320,10 @@ object AggregatorRunner {
                         allowIncomplete: Boolean = false,
                         repairLookbackMinutes: Long = 120): IncrementalResult = {
     import spark.implicits._
-    val minutesOpt = reader.scanAllSymbols(spark)
-    if (minutesOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
-
-    // per-symbol latest minute (one small aggregation)
-    val latest = minutesOpt.get.groupBy("symbol")
-      .agg(max("timestamp").as("latest")).collect()
-      .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+    // per-symbol latest via partition-directory descent (reads ONE hour
+    // partition per symbol, not the lake's history — the steady-state
+    // tick must not scale with lake depth)
+    val latest = reader.latestMinuteAllSymbols(spark)
     if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
 
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
@@ -376,11 +373,44 @@ object AggregatorRunner {
       val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
       val nKept = if (allowIncomplete) total else nComplete
       var repaired = 0L
+      var nWritten = 0L
       if (nKept > 0) {
-        repaired = kept.join(
-          existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
-          Seq("symbol", "bucket_start"), "left_semi").count()
-        writer.writeBucketsBulkAllSymbols(spark, spec.name, kept)
+        // steady-state write-skip: the repair window re-AGGREGATES every
+        // tick (that is the late-correction contract), but only buckets
+        // whose CONTENT differs from the stored row are re-WRITTEN. A
+        // no-news tick over a 1000-symbol lake otherwise rewrites
+        // lookback/bucket buckets per symbol per cadence — measured
+        // 3000 bucket writes per no-op tick at width 1000 (HtfWidthProbe).
+        // Null-sentinel fingerprint: concat_ws skips nulls, so every
+        // null becomes an explicit marker to keep the hash positional.
+        val tfDirPath = new HPath(tfDir)
+        val changed =
+          if (!fs.exists(tfDirPath)) kept
+          else {
+            val existingFull = spark.read.parquet(tfDir)
+              .drop("year", "month", "day")
+              .where(col("bucket_start") >= java.sql.Timestamp.from(
+                spec.floorInstant(globalLo)))
+            val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
+            def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
+              md5(concat_ws("|",
+                cmpCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+            fp(kept).join(fp(existingFull).select("symbol", "bucket_start", "__fp"),
+                Seq("symbol", "bucket_start", "__fp"), "left_anti")
+              .drop("__fp")
+          }
+        val changedPersisted = changed.persist()
+        try {
+          nWritten = changedPersisted.count()
+          if (nWritten > 0) {
+            repaired = changedPersisted.join(
+              existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
+              Seq("symbol", "bucket_start"), "left_semi").count()
+            writer.writeBucketsBulkAllSymbols(spark, spec.name, changedPersisted)
+          }
+        } finally { changedPersisted.unpersist(); () }
+        // watermarks advance on every observed-complete bucket, written
+        // or skipped-as-unchanged — both mean the bucket is current
         aggregated.where(col("bucket_complete"))
           .groupBy("symbol").agg(max("bucket_start").as("wm"))
           .collect()
@@ -400,7 +430,7 @@ object AggregatorRunner {
       val lag =
         if (perSymbolLag.exists(_.isEmpty)) None
         else perSymbolLag.flatten.maxOption
-      IncrementalResult(total, nKept,
+      IncrementalResult(total, nWritten,
         if (allowIncomplete) 0L else total - nComplete, repaired, lag)
     } finally aggregated.unpersist()
   }

@@ -86,17 +86,58 @@ class MinuteLakeReader(root: String) {
     else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
 
   /** Whole-lake windowed read with per-(symbol, minute) latest-wins
-    * dedup — the multi-symbol form of [[readWindow]]. */
+    * dedup — the multi-symbol form of [[readWindow]]. The window is
+    * pushed into the PARTITION columns (lpad-normalized hour key, so
+    * int- or string-inferred partition values both compare correctly):
+    * a 2-hour repair window over a years-deep 1000-symbol lake must
+    * prune to the touched hour directories, not scan-and-filter the
+    * whole lake on a data column. */
   def readWindowAllSymbols(spark: SparkSession, start: Instant,
-                           end: Instant): Option[DataFrame] =
-    scanAllSymbols(spark).map { df =>
-      Ops.dedupKeepLast(
-        df.where(col("timestamp").between(
-          java.sql.Timestamp.from(start), java.sql.Timestamp.from(end))),
-        Seq("symbol", "timestamp"),
-        Seq(col("arrival_time"), col("event_time"), col("transact_time"),
-          col("update_id_end")))
+                           end: Instant): Option[DataFrame] = {
+    if (!hasData(spark)) return None
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
+      .withZone(java.time.ZoneOffset.UTC)
+    val hourKey = concat(
+      lpad(col("year").cast("string"), 4, "0"),
+      lpad(col("month").cast("string"), 2, "0"),
+      lpad(col("day").cast("string"), 2, "0"),
+      lpad(col("hour").cast("string"), 2, "0"))
+    val df = spark.read.parquet(lakeDir)
+      .where(hourKey.between(fmt.format(start), fmt.format(end)))
+      .drop("year", "month", "day", "hour")
+    Some(Ops.dedupKeepLast(
+      df.where(col("timestamp").between(
+        java.sql.Timestamp.from(start), java.sql.Timestamp.from(end))),
+      Seq("symbol", "timestamp"),
+      Seq(col("arrival_time"), col("event_time"), col("transact_time"),
+        col("update_id_end"))))
+  }
+
+  /** Per-symbol latest minute for EVERY symbol via partition-directory
+    * descent: walk each symbol's max year → month → day → hour by
+    * directory LISTING (metadata only), then read just those max-hour
+    * directories in one job. The steady-state incremental tick needs
+    * per-symbol latest every cadence — computing it from a full-lake
+    * scan reads the whole history per tick; this form reads one hour
+    * partition per symbol regardless of lake depth. */
+  def latestMinuteAllSymbols(spark: SparkSession): Map[String, Instant] = {
+    if (!hasData(spark)) return Map.empty
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    def maxChild(p: HPath): Option[HPath] = {
+      val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("="))
+      if (kids.isEmpty) None else Some(kids.maxBy(_.getName))
     }
+    val hourDirs = fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("symbol="))
+      .flatMap(sd => maxChild(sd).flatMap(maxChild).flatMap(maxChild).flatMap(maxChild))
+      .map(_.toString)
+    if (hourDirs.isEmpty) return Map.empty
+    spark.read.option("basePath", lakeDir).parquet(hourDirs.toIndexedSeq: _*)
+      .groupBy("symbol").agg(max("timestamp").as("latest"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+  }
 
   /** min/max timestamp — parquet footer statistics make this a
     * metadata-only scan (S2). */

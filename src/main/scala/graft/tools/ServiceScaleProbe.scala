@@ -40,7 +40,7 @@ object ServiceScaleProbe {
   private val Hours = 4
   private val Start = Instant.parse("2026-01-15T00:00:00Z")
 
-  private def buildLake(spark: SparkSession, root: String, nSymbols: Int): Unit = {
+  private[tools] def buildLake(spark: SparkSession, root: String, nSymbols: Int): Unit = {
     val minutes = Hours * 60
     val base = spark.range(nSymbols.toLong)
       .selectExpr("format_string('SYM%04d', id) AS symbol")

@@ -159,8 +159,13 @@ class AggregatorRunnerSpec extends SparkSpec {
       canonicalMinutes("2026-01-01T00:00:00Z", 10, baseOpen = 2000.0))
     val inc = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
       s"$dir/htf", Timeframes.parse("5m"))
-    assert(inc.bucketsWritten >= 3) // repaired 00:00 ×2 + new 00:05 ×2 (≥)
-    assert(inc.repaired >= 2)       // both symbols' 00:00 rewritten
+    // content-aware write-skip: BTC 00:00 is rewritten (the late
+    // correction changed its close), both symbols' new 00:05 buckets
+    // are written, but ETH 00:00 re-aggregates to IDENTICAL content and
+    // must NOT be rewritten (the steady-state tick would otherwise
+    // rewrite lookback-window buckets for every symbol every cadence)
+    assert(inc.bucketsWritten == 3)
+    assert(inc.repaired == 1) // only BTC 00:00 — changed ∩ existing-complete
     assert(inc.lagMinutes.contains(0L))
     val htf = spark.read.parquet(s"$dir/htf/timeframe=5m")
     assert(htf.where(col("symbol") === "BTCUSDT").count() == 2)
