@@ -1010,9 +1010,11 @@ object SparkEntry {
         // first() — same result, explicitly deterministic
         .groupBy("id_a", "id_b", "sig_a", "sig_b")
         .agg(count(lit(1)).as("n_shared_bands"))
+        // native agreement kernel: the HOF aggregate(zip_with(...)) form
+        // is CodegenFallback and runs per JOIN ROW (kernel #10,
+        // graft_sig_agree; HOF form pinned bit-identical in FunctionsSpec)
         .withColumn("est_jaccard", round(
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> case when x = y then 1 else 0 end), 0, (a, x) -> a + x)")
-            .cast("double") / 16.0, 6))
+          expr("graft_sig_agree(sig_a, sig_b)").cast("double") / 16.0, 6))
         .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
     }),
 
@@ -1044,8 +1046,11 @@ object SparkEntry {
       val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
       val survivors = a.join(b, Seq("bucket"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("agree", expr(
-          "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+        // the gate runs per JOIN ROW, so it must be codegen — the HOF
+        // aggregate(zip_with(...)) form is CodegenFallback and its
+        // interpreted lambdas dominated the gated path at scale
+        // (kernel #10, graft_sig_agree)
+        .withColumn("agree", expr("graft_sig_agree(sig_a, sig_b)"))
         .where(col("agree") >= 4) // GATE: survivors ≪ candidates
         .groupBy("id_a", "id_b", "agree")
         .agg(count(lit(1)).as("n_shared_bands"))

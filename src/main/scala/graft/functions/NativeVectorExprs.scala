@@ -857,6 +857,82 @@ case class Sq8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SigAgreeKernel {
+
+  /** Count of positionally-equal elements of two long arrays — the
+    * MinHash signature-agreement statistic (matching minima / numPerm
+    * estimates Jaccard). Mirrors the HOF reference form
+    * `aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0
+    * END), 0, (acc, v) -> acc + v)` EXACTLY: a null side → NULL;
+    * zip_with pads a length mismatch with nulls and `null = x` is
+    * null-false through the CASE, so unmatched tails and null elements
+    * count 0. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    if (a == null || b == null) return null
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        acc += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+}
+
+/** Signature-agreement count over two `array<bigint>` MinHash
+  * signatures — tenth tier-(b) kernel, the gating half of the text
+  * est-gate (`dedup_minhash_pairs_est`): the agreement statistic runs
+  * per candidate-pair JOIN ROW, and the HOF `aggregate(zip_with(...))`
+  * form is CodegenFallback — measured ~7 s of interpreted lambda per
+  * 25 M join rows at the sf1 16×1 probe, dominating the very work the
+  * gate exists to avoid. One primitive loop in whole-stage codegen
+  * instead; bit-identical to the HOF form ([[SigAgreeKernel.compute]],
+  * FunctionsSpec parity rows). */
+case class SigAgree(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sig_agree requires two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreeKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      .intValue()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("agree")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVectorExprs {
 
   private val dotIdent = FunctionIdentifier("graft_dot")
@@ -868,6 +944,7 @@ object NativeVectorExprs {
   private val sq8DotIdent = FunctionIdentifier("graft_sq8_dot")
   private val shingleIdent = FunctionIdentifier("graft_shingle_hash")
   private val tokenHashIdent = FunctionIdentifier("graft_token_hash32")
+  private val sigAgreeIdent = FunctionIdentifier("graft_sig_agree")
 
   private def dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   private def simhashInfo =
@@ -886,6 +963,8 @@ object NativeVectorExprs {
     new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash")
   private def tokenHashInfo =
     new ExpressionInfo(classOf[TokenHash32].getName, "graft_token_hash32")
+  private def sigAgreeInfo =
+    new ExpressionInfo(classOf[SigAgree].getName, "graft_sig_agree")
 
   private def dotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
@@ -961,6 +1040,12 @@ object NativeVectorExprs {
     TokenHash32(children.head)
   }
 
+  private def sigAgreeBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"graft_sig_agree expects 2 arguments, got ${children.size}")
+    SigAgree(children.head, children(1))
+  }
+
   /** Runtime registration for sessions not built with
     * [[graft.GraftExtensions]] (tests, the driver's own builders).
     * Idempotent. */
@@ -982,5 +1067,6 @@ object NativeVectorExprs {
       (sq8PackIdent, sq8PackInfo, sq8PackBuilder _),
       (sq8DotIdent, sq8DotInfo, sq8DotBuilder _),
       (shingleIdent, shingleInfo, shingleBuilder _),
-      (tokenHashIdent, tokenHashInfo, tokenHashBuilder _))
+      (tokenHashIdent, tokenHashInfo, tokenHashBuilder _),
+      (sigAgreeIdent, sigAgreeInfo, sigAgreeBuilder _))
 }

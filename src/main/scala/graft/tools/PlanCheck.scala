@@ -111,7 +111,7 @@ object PlanCheck {
       "txt_pack_sequences", "ann_sq8_search", "ann_lsh_recall",
       "ann_lsh_autosize", "ann_ivf_recall", "ivf_kmeans_sample_train",
       "dedup_minhash_autosize", "dedup_cc_autosize", "dedup_embed_lsh_sq8",
-      "dedup_cc_incremental")
+      "dedup_cc_incremental", "dedup_minhash_pairs_est", "j9_star_join_bucketed")
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -46,7 +46,22 @@ object ScaleProbe {
     // documents-only sf100 for the dedup probes costs seconds instead
     // of replicating 600M event rows nobody reads
     val tablesFilter = args.lift(3).map(_.split(",").toSet)
-    val offset = 100000000L
+    // ONE offset for every remapped key, sized from the source's actual
+    // key space: a FIXED offset collides as soon as the source is itself
+    // a derivation (sf1 ids reach 9e8, so sf1 -> sf10 under a 1e8 offset
+    // mapped copy 9 of id x onto copy 0 of id x+9e8 — measured: 500k
+    // sf10 docs had only 95k distinct doc_ids, poisoning every pair
+    // query run on that corpus). The offset stays GLOBAL, not per-table:
+    // orders.o_custkey and customer.c_custkey must shift by the same
+    // amount or the remapped joins break.
+    val keyCols = Seq("customer" -> "c_custkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id", "events" -> "event_id", "events" -> "user_id",
+      "lineitem" -> "l_orderkey", "orders" -> "o_orderkey", "orders" -> "o_custkey")
+    val maxKey = keyCols.map { case (t, c) =>
+      spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).collect()(0).getLong(0)
+    }.max
+    val offset = BigDecimal(10).pow(math.ceil(math.log10((maxKey + 1).toDouble)).toInt)
+      .toLongExact.max(100000000L)
     def scaled(table: String)(remap: DataFrame => DataFrame): Unit = {
       if (!tablesFilter.forall(_.contains(table))) return
       val rep = spark.read.parquet(s"$src/$table.parquet")
@@ -57,10 +72,24 @@ object ScaleProbe {
     def off(c: String) = col(c) + col("__c") * offset
 
     scaled("customer")(_.withColumn("c_custkey", off("c_custkey")))
+    // optional 5th arg, documents text mode:
+    //  - "suffix" (default): copies share most shingles with their source
+    //    (near-dup variants) — duplicate CLUSTER SIZE grows with every
+    //    derivation level (sf0.1 → sf1 → sf10 → sf100 chains 100-member
+    //    clusters), the worst case for incremental dedup probes;
+    //  - "novel": copies get globally-unique synthetic token streams —
+    //    cluster structure of the SOURCE corpus is preserved and copies
+    //    add no cross-copy duplicates, the realistic shape for corpus
+    //    growth (real dup clusters don't grow with corpus size).
+    val docsMode = args.lift(4).getOrElse("suffix")
     scaled("documents")(_
       .withColumn("doc_id", off("doc_id"))
-      .withColumn("text", when(col("__c") === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" cp"), col("__c"))))
+      .withColumn("text", docsMode match {
+        case "novel" => when(col("__c") === 0, col("text")).otherwise(concat_ws(" ",
+          (1 to 40).map(i => substring(md5(concat(col("doc_id"), lit(s"-nt$i"))), 1, 8)): _*))
+        case _ => when(col("__c") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" cp"), col("__c")))
+      })
       .withColumn("n_chars", length(col("text")).cast("long")))
     scaled("embeddings")(_
       .withColumn("vec_id", off("vec_id"))

@@ -166,7 +166,7 @@ class FunctionsSpec extends SparkSpec {
     val kernels = Set("graft_dot", "graft_simhash32", "graft_minhash",
       "graft_hyperplane_bucket", "graft_nearest_centroid",
       "graft_sq8_pack", "graft_sq8_dot", "graft_shingle_hash",
-      "graft_token_hash32")
+      "graft_token_hash32", "graft_sig_agree")
     for (f <- kernels)
       assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(f)),
         s"$f not registered")
@@ -389,6 +389,42 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(901L) == null)              // length mismatch
     assert(byId(902L) == 0L)                // empty
     assert(byId(903L) == null)              // null element
+  }
+
+  test("native graft_sig_agree is bit-identical to the HOF agreement count, incl. edges") {
+    val rnd = new scala.util.Random(7)
+    // randomized signature pairs with forced agreement positions, plus
+    // the edges: length mismatch (zip_with pads with nulls -> CASE's
+    // ELSE 0, so the shorter prefix still counts), empty arrays (0),
+    // null elements (null-false equality counts 0), and a NULL side
+    // (whole result NULL)
+    val rows: Seq[(Long, Seq[Option[Long]], Seq[Option[Long]])] =
+      (0 until 100).map { i =>
+        val a = Seq.fill(16)(Some(rnd.nextLong(1000000L)): Option[Long])
+        val b = a.zipWithIndex.map { case (v, j) =>
+          if (rnd.nextBoolean()) v else Some(rnd.nextLong(1000000L)): Option[Long] }
+        (i.toLong, a, b)
+      } ++ Seq(
+        (900L, Seq.fill(5)(Some(9L): Option[Long]), Seq.fill(16)(Some(9L): Option[Long])),
+        (901L, Seq.empty[Option[Long]], Seq.fill(16)(Some(1L): Option[Long])),
+        (902L, Seq(Some(1L), None, Some(2L)), Seq(Some(1L), None, Some(2L))),
+        (903L, null, Seq.fill(16)(Some(1L): Option[Long])))
+    val df = rows.toDF("row_id", "sa", "sb")
+    val out = df.select(col("row_id"),
+      expr("graft_sig_agree(sa, sb)").as("native"),
+      expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Integer.valueOf(r.getInt(1)),
+        if (r.isNullAt(2)) null else java.lang.Integer.valueOf(r.getInt(2))))
+    out.foreach { case (id, native, hof) =>
+      assert(native == hof, s"row $id: native=$native hof=$hof")
+    }
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(900L) == 5)    // mismatch: shorter prefix still counts
+    assert(byId(901L) == 0)    // empty side
+    assert(byId(902L) == 2)    // null elements count 0, others match
+    assert(byId(903L) == null) // null side
   }
 
   test("kernel edges pinned (ADVICE r7): null planes null-propagates, bad pid type rejected, null cid never reads garbage") {
