@@ -1034,11 +1034,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
         .localCheckpoint() // ONE tokenize+shingle pass feeds sig AND verify
+      // geometry from count(*) (the ann_lsh_autosize rule): the gate and
+      // the sizing knob COMPOSE, like the sq8 path — fixed 8×2 coverage
+      // stays with dedup_minhash_pairs; num_bands/rows_per_band ride in
+      // the output so the sizing decision is hash-pinned
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
       val withSig = docs
         .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
-      val bandExprs = (0 until 8).map { b =>
-        md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
-          col("sig").getItem(b * 2 + 1).cast("string")))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
       }
       val bands = withSig
         .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
@@ -1064,6 +1070,8 @@ object SparkEntry {
           round(col("agree").cast("double") / 16.0, 6).as("est_jaccard"),
           round(col("i").cast("double") / (col("ssum") - col("i")).cast("double"), 6)
             .as("jaccard"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
     // DEDUP guard: hot-bucket cap with ACCOUNTED drops — the occupancy
@@ -2877,16 +2885,19 @@ object SparkEntry {
         s"FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b"
     },
 
-    // Est-gated exact verify: same integer gates as the Spark side
-    // (agree >= 4; 3*i >= sz_a+sz_b with i >= 1) so no float boundary
-    // can flip a row; DuckDB keeps the readable distinct-first form
+    // Est-gated exact verify under AUTO-SIZED banding: same integer
+    // gates as the Spark side (agree >= 4; 3*i >= sz_a+sz_b with
+    // i >= 1) so no float boundary can flip a row; the geometry is
+    // re-derived from count(*) via the integer threshold chain and
+    // num_bands/rows_per_band ride in the output, hash-pinning the
+    // sizing decision. DuckDB keeps the readable distinct-first form
     // (gate-then-distinct ≡ distinct-then-gate for a deterministic
     // per-pair estimate).
     "dedup_minhash_pairs_est" -> {
       val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"WITH $minhashBandsCtes, " +
+      s"WITH $minhashAutosizeBandsCtes, " +
         s"pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands " +
-        s"  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        s"  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
         s"gated AS (SELECT p.id_a, p.id_b, p.n_shared_bands, ($agree) AS agree " +
         s"  FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b), " +
         s"surv AS (SELECT * FROM gated WHERE agree >= 4), " +
@@ -2896,7 +2907,9 @@ object SparkEntry {
         s"  FROM surv s JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b) " +
         s"SELECT id_a, id_b, n_shared_bands, " +
         s"  round(CAST(agree AS DOUBLE) / 16.0, 6) AS est_jaccard, " +
-        s"  round(CAST(i AS DOUBLE) / CAST(ssum - i AS DOUBLE), 6) AS jaccard " +
+        s"  round(CAST(i AS DOUBLE) / CAST(ssum - i AS DOUBLE), 6) AS jaccard, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
         s"FROM ex WHERE i >= 1 AND i * 3 >= ssum"
     },
 

@@ -624,17 +624,20 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
     // UNGATED reference: every LSH candidate pair exact-scored — same
-    // bands, same exact-Jaccard integer threshold, NO agreement gate.
-    // Equality proves the est-gate costs zero recall on this corpus
-    // (precision is free: the gate only ever removes pairs, and any
-    // removed pair failing 3i >= ssum was never in the reference).
+    // AUTO-SIZED bands as the query, same exact-Jaccard integer
+    // threshold, NO agreement gate. Equality proves the est-gate costs
+    // zero recall on this corpus (precision is free: the gate only
+    // ever removes pairs, and any removed pair failing 3i >= ssum was
+    // never in the reference).
     val docsSf = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+    val nDocs = docsSf.count()
+    val (gBands, gRows) = TextFns.minhashGeometryFor(16, nDocs, targetBucketSize = 128)
     val withSig = docsSf
       .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
-    val bandExprs = (0 until 8).map { b =>
-      md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
-        col("sig").getItem(b * 2 + 1).cast("string")))
+    val bandExprs = (0 until gBands).map { b =>
+      md5(concat_ws("|",
+        (0 until gRows).map(r => col("sig").getItem(b * gRows + r).cast("string")): _*))
     }
     val bands = withSig
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"))
