@@ -984,13 +984,20 @@ object SparkEntry {
 
     // DEDUP: LSH candidate pairs — docs sharing ≥1 band bucket, with the
     // signature-agreement Jaccard estimate. This is the join that
-    // replaces the O(n²) pass at scale: candidates ≪ all pairs.
+    // replaces the O(n²) pass at scale: candidates ≪ all pairs. Geometry
+    // from count(*) (minhashGeometryFor — the fixed 8×2 form cost 198 s
+    // at clean sf10 purely from in-bucket false-candidate volume; the
+    // fixed banding itself stays covered by dedup_minhash_bands);
+    // num_bands/rows_per_band ride along, hash-pinning the sizing.
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val withSig = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
         .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
-      val bandExprs = (0 until 8).map { b =>
-        md5(concat_ws("|", col("sig").getItem(b * 2).cast("string"),
-          col("sig").getItem(b * 2 + 1).cast("string")))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
       }
       // materialize the signature scan ONCE: the band frame feeds both
       // sides of the self-join, and without the checkpoint the whole
@@ -1016,6 +1023,8 @@ object SparkEntry {
         .withColumn("est_jaccard", round(
           expr("graft_sig_agree(sig_a, sig_b)").cast("double") / 16.0, 6))
         .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
     // DEDUP est-gate: the TEXT twin of the SQ8 in-join gate (VERDICT r8
@@ -2877,11 +2886,13 @@ object SparkEntry {
 
     "dedup_minhash_pairs" -> {
       val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"WITH $minhashBandsCtes, " +
+      s"WITH $minhashAutosizeBandsCtes, " +
         s"pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared_bands " +
-        s"  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        s"  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
         s"SELECT p.id_a, p.id_b, p.n_shared_bands, " +
-        s"  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard " +
+        s"  round(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
         s"FROM pairs p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b"
     },
 
