@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench/Verify print machine-parsed JSON on stdout. With fork:=true the
+// child's output normally routes through sbt's logger (every line gains
+// an "[info] " prefix) and sbt appends a "[success] Total time ..."
+// epilogue after the run — both defeat a parser that keys on the LAST
+// undecorated stdout line (BENCH_r*.json `parsed: null` three rounds
+// running). Route forked output raw and drop the epilogue so the
+// summary line is the literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false

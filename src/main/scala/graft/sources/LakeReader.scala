@@ -124,10 +124,22 @@ class MinuteLakeReader(root: String) {
     if (!hasData(spark)) return Map.empty
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
+    // maxBy the PARSED numeric value after '=': lexicographic compare is
+    // only correct on zero-padded names (our writer pads, but a lake with
+    // int-inferred dirs has 'month=9' > 'month=12' and the descent would
+    // silently return a stale "latest"). Non-numeric values fall back to
+    // string order.
     def maxChild(p: HPath): Option[HPath] = {
       val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.contains("="))
-      if (kids.isEmpty) None else Some(kids.maxBy(_.getName))
+      if (kids.isEmpty) None
+      else Some(kids.maxBy { k =>
+        val v = k.getName.substring(k.getName.indexOf('=') + 1)
+        v.toLongOption match {
+          case Some(n) => (1, n, "")
+          case None    => (0, 0L, v)
+        }
+      })
     }
     val hourDirs = fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("symbol="))
