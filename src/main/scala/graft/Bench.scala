@@ -28,10 +28,24 @@ import org.apache.spark.sql.SparkSession
   * Queries in [[SparkEntry.oracleOnly]] (the intentionally-quadratic
   * exact-accuracy baselines) are excluded — the correctness gate still
   * checks them; timing the documented anti-pattern is not a signal.
+  *
+  * `runMain graft.Bench --solo <query> [samples]` pins ONE query with an
+  * isolated 10-sample run (after the standard warm-up) — the drift-
+  * pinning protocol that has separated contention from regression three
+  * times, as a one-command reproduction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // `--solo <query> [samples]`: pin one query with a 10-sample isolated
+    // run (median + min + max + all samples printed). Contention on the
+    // shared box has explained three "regressions" across four rounds
+    // (p3, qagg, mm_*); this makes the pinning protocol a one-command
+    // reproduction instead of a hand-built harness each time.
+    val soloIdx = args.indexOf("--solo")
+    val solo = if (soloIdx >= 0) Some(args(soloIdx + 1)) else None
+    val soloSamples = if (soloIdx >= 0)
+      args.lift(soloIdx + 2).flatMap(_.toIntOption).getOrElse(10) else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,6 +79,21 @@ object Bench {
     run("txt_langid")         // documents
     run("ann_sq8_quantize")   // embeddings
     run("s2_minmax_ts")       // events
+
+    if (solo.isDefined) {
+      val q = solo.get
+      require(SparkEntry.queries.contains(q), s"unknown query: $q")
+      val samples = Seq.fill(soloSamples)(run(q))
+      val ok = samples.filter(_ >= 0).sorted
+      def ms3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val med = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+      println(s"""{"metric":"solo","query":"$q","median":${ms3(med)},""" +
+        s""""min":${ms3(ok.headOption.getOrElse(-1.0))},"max":${ms3(ok.lastOption.getOrElse(-1.0))},""" +
+        s""""samples":[${samples.map(ms3).mkString(",")}],"sf":"$sfDir"}""")
+      spark.stop()
+      if (ok.size < samples.size) sys.exit(3)
+      return
+    }
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration only;
     // the driver never sets it, so the reported bench covers everything).

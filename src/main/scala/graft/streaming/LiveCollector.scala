@@ -226,15 +226,19 @@ object LiveCollector {
     * (symbol, minute); emits an updated feature row per micro-batch.
     * Run with OutputMode.Update.
     *
-    * `cleanupTimeout = true` evicts group state 3 minutes after the last
-    * event (the reference's safety lag, `core/config.py:19`) via
-    * ProcessingTimeTimeout. Note: a processing-time timeout makes the
-    * stateful operator request a micro-batch on every trigger even with
-    * no data (timeout sweep) — correct on a cluster, but pass `false`
-    * where continuous empty batches are undesirable (tests, ad hoc). */
+    * `cleanupTimeout = true` evicts group state `timeoutDuration` (the
+    * reference's 3-minute safety lag, `core/config.py:19`) after the
+    * last event via ProcessingTimeTimeout. Note: a processing-time
+    * timeout makes the stateful operator request a micro-batch on every
+    * trigger even with no data (timeout sweep) — correct on a cluster,
+    * but pass `false` where continuous empty batches are undesirable
+    * (tests, ad hoc). `timeoutDuration` exists so the eviction soak can
+    * compress hours of cadence into seconds of wall clock; production
+    * keeps the default. */
   def liquidationMinuteFeaturesStream(events: Dataset[LiquidationEvent],
                                       unfilledSupported: Boolean = true,
-                                      cleanupTimeout: Boolean = false): Dataset[LiqMinuteFeatures] = {
+                                      cleanupTimeout: Boolean = false,
+                                      timeoutDuration: String = "3 minutes"): Dataset[LiqMinuteFeatures] = {
     implicit val outEnc = Encoders.product[LiqMinuteFeatures]
     implicit val stateEnc = Encoders.product[LiqState]
 
@@ -259,7 +263,7 @@ object LiveCollector {
         acc.liqShortCount, acc.liqQtyTotal, acc.liqWeightedPriceSum,
         acc.liqEventCount, acc.liqOrigQtyTotal, acc.liqExecutedQtyTotal,
         acc.liqUnfilledSupported))
-      if (cleanupTimeout) state.setTimeoutDuration("3 minutes")
+      if (cleanupTimeout) state.setTimeoutDuration(timeoutDuration)
       Iterator.single(acc.liqFeatures(key._1, key._2, unfilledSupported))
     }
 
