@@ -1550,6 +1550,52 @@ object SparkEntry {
           sum(col("vec_id")).as("sum_vec_id"))
     }),
 
+    // ANN, INCREMENTAL: the IVF index's daily tick. A 100 TB embedding
+    // corpus cannot re-assign itself on every ingest; the affordable
+    // tick is: keep yesterday's centroids (retrain on drift is a
+    // scheduled, rarer event), push ONLY the new vectors through the
+    // broadcast-centroid assignment (|new| rows, zero corpus scan),
+    // and MERGE the delta into yesterday's per-cluster accounting —
+    // count/sum add, min/max fold, all mergeable aggregates, the same
+    // algebra a partial-aggregate shuffle uses. Deterministic split
+    // stands in for the two snapshots: existing = vec_id % 4 != 0,
+    // new = the rest; centroids sample-train on existing (production
+    // loads them — recomputed here so the query is self-contained, as
+    // dedup_cc_incremental's phase 1). Incremental ≡ one-shot full
+    // assignment with the same centroids holds by pointwise-assignment
+    // identity PLUS merge correctness — the DuckDB oracle computes the
+    // one-shot form, so a drift in either flips the hash. n_new rides
+    // along so the tick's ingestion accounting is itself pinned.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val existing = emb.where(col("vec_id") % 4 =!= 0)
+      val newVecs = emb.where(col("vec_id") % 4 === 0)
+      val sampled = existing.where(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 4 === 0)
+      val (_, centroids) = VectorFns.kmeansLloyd(
+        sampled, "vec_id", "embedding", k = 4, iters = 2, dim = 64)
+      def stats(df: DataFrame, isNew: Boolean) =
+        VectorFns.assignWithCentroids(df, "embedding", centroids)
+          .groupBy(col("cluster").cast("long").as("cluster")).agg(
+            count(lit(1)).as("n_members"),
+            min(col("vec_id")).as("min_vec_id"),
+            max(col("vec_id")).as("max_vec_id"),
+            sum(col("vec_id")).as("sum_vec_id"),
+            (if (isNew) count(lit(1)) else lit(0L)).as("n_new"))
+      // yesterday's index accounting — construction cost here,
+      // a loaded table in production
+      val yesterday = stats(existing, isNew = false)
+      // the tick: assign the increment, merge mergeable stats
+      val delta = stats(newVecs, isNew = true)
+      yesterday.unionByName(delta).groupBy("cluster").agg(
+        sum(col("n_members")).as("n_members"),
+        min(col("min_vec_id")).as("min_vec_id"),
+        max(col("max_vec_id")).as("max_vec_id"),
+        sum(col("sum_vec_id")).as("sum_vec_id"),
+        sum(col("n_new")).as("n_new"))
+    }),
+
     // ANN scale path #2: IVF-style probing — per-label centroids
     // (element-wise mean via posexplode + two-level agg), each query
     // probes its nearest centroid by cosine and ranks only that
@@ -3242,6 +3288,47 @@ object SparkEntry {
         |SELECT c AS cluster, count(*) AS n_members,
         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        |FROM a3 GROUP BY c""".stripMargin,
+
+    // Incremental IVF tick: the oracle computes the ONE-SHOT full
+    // assignment under the same existing-only sample-trained centroids
+    // — the Spark side's yesterday+delta merge must equal it exactly,
+    // so both the pointwise assignment and the mergeable-stats algebra
+    // are hash-pinned.
+    "ann_ivf_incremental" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |           FROM embeddings),
+        |dims AS (SELECT vec_id, i + 1 AS d, vec[CAST(i + 1 AS INT)] AS x
+        |         FROM v, range(64) t(i)),
+        |samp AS (SELECT vec_id FROM embeddings
+        |         WHERE vec_id % 4 != 0
+        |           AND (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 0),
+        |sdims AS (SELECT dims.* FROM dims JOIN samp USING (vec_id)),
+        |seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+        |                 vec_id
+        |          FROM (SELECT vec_id FROM samp
+        |                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+        |c0 AS (SELECT s.c, dm.d, dm.x AS cx FROM seeds s JOIN sdims dm ON dm.vec_id = s.vec_id),
+        |d1 AS (SELECT sdims.vec_id, c0.c, round(sum((sdims.x - c0.cx) * (sdims.x - c0.cx)), 6) AS dist
+        |       FROM sdims JOIN c0 ON c0.d = sdims.d GROUP BY sdims.vec_id, c0.c),
+        |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.c, sdims.d, round(avg(sdims.x), 6) AS cx
+        |       FROM sdims JOIN a1 USING (vec_id) GROUP BY a1.c, sdims.d),
+        |d2 AS (SELECT sdims.vec_id, c1.c, round(sum((sdims.x - c1.cx) * (sdims.x - c1.cx)), 6) AS dist
+        |       FROM sdims JOIN c1 ON c1.d = sdims.d GROUP BY sdims.vec_id, c1.c),
+        |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d2) WHERE rn = 1),
+        |c2 AS (SELECT a2.c, sdims.d, round(avg(sdims.x), 6) AS cx
+        |       FROM sdims JOIN a2 USING (vec_id) GROUP BY a2.c, sdims.d),
+        |d3 AS (SELECT dims.vec_id, c2.c, round(sum((dims.x - c2.cx) * (dims.x - c2.cx)), 6) AS dist
+        |       FROM dims JOIN c2 ON c2.d = dims.d GROUP BY dims.vec_id, c2.c),
+        |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c, row_number() OVER
+        |         (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d3) WHERE rn = 1)
+        |SELECT c AS cluster, count(*) AS n_members,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+        |       CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         |FROM a3 GROUP BY c""".stripMargin,
 
     // Same unrolled Lloyd's at k=64 over the first-32-dims slice —

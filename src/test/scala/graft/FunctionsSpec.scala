@@ -511,6 +511,36 @@ class FunctionsSpec extends SparkSpec {
       .sameElements(assigned.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).sorted))
   }
 
+  test("incremental IVF tick: yesterday+delta merge equals one-shot full assignment") {
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.DataFrame
+    // the ann_ivf_incremental identity on an adversarial split: the
+    // increment is NOT uniform (every 3rd vector, including whole-blob
+    // slices), so a merge bug that only balances on uniform splits fails
+    val vecs = (0 until 60).map { i =>
+      val base = (i % 3) * 5.0f
+      (i.toLong, Seq(base + i % 2 * 0.1f, base, base + 0.05f * (i % 4), base))
+    }.toDF("vec_id", "embedding")
+    val existing = vecs.where($"vec_id" % 3 =!= 0)
+    val newVecs = vecs.where($"vec_id" % 3 === 0)
+    val (_, cents) = VectorFns.kmeansLloyd(
+      existing, "vec_id", "embedding", k = 3, iters = 2, dim = 4)
+    def stats(df: DataFrame) =
+      VectorFns.assignWithCentroids(df, "embedding", cents)
+        .groupBy("cluster").agg(
+          count(lit(1)).as("n"), min("vec_id").as("mn"),
+          max("vec_id").as("mx"), sum("vec_id").as("sm"))
+    val merged = stats(existing).unionByName(stats(newVecs))
+      .groupBy("cluster").agg(
+        sum("n").as("n"), min("mn").as("mn"), max("mx").as("mx"), sum("sm").as("sm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val full = stats(vecs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(merged.sameElements(full))
+  }
+
   test("kmeans assignment plan is O(1) in k (centroids are data, not literals)") {
     import graft.functions.VectorFns
     // same corpus, k=2 vs k=32: the physical plan string must not grow
