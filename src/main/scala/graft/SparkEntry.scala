@@ -1486,7 +1486,7 @@ object SparkEntry {
     "ann_lsh_autosize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
-      val planes = VectorFns.planesFor(n, targetBucketSize = 128, maxPlanes = 12)
+      val planes = VectorFns.planesFor(n, targetBucketSize = 128, maxPlanes = 24)
       VectorFns.withHyperplaneBucket(emb, "embedding", "bucket",
           dim = 64, numPlanes = planes)
         .groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -1893,7 +1893,15 @@ object SparkEntry {
     // identical operation order.
     "dedup_embed_lsh_sq8" -> ((s, dir) => {
       val nVec = t(s, dir, "embeddings").count()
-      val planes = VectorFns.planesFor(nVec, targetBucketSize = 128, maxPlanes = 12)
+      // maxPlanes must stay >= the rule's demand through the measured
+      // decades: the earlier 12-plane clamp (an oracle-codegen
+      // convenience) BOUND at 2M vectors — the rule wants 14, the clamp
+      // froze bucket count at 4096, per-bucket occupancy grew ~4x past
+      // the 128 target and candidate volume went quadratic (measured:
+      // 16.3 s at 200k vectors -> 482 s at 2M, exponent 1.47; with the
+      // clamp at 24 the same run is linear-in-n again). 24 covers
+      // ~2 billion vectors at the 128 target.
+      val planes = VectorFns.planesFor(nVec, targetBucketSize = 128, maxPlanes = 24)
       val enc = t(s, dir, "embeddings")
         .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("mn", array_min(col("emb")))
@@ -3511,9 +3519,9 @@ object SparkEntry {
     // Auto-sized twin: the oracle derives the plane count from count(*)
     // with the SAME ceil-log2 rule as VectorFns.planesFor (integer
     // bucket count first, so log2 lands on exact powers of two), then
-    // gates each of the 12 generated plane terms on p < planes.
+    // gates each of the 24 generated plane terms on p < planes.
     "ann_lsh_autosize" -> {
-      val planeTerms = (0 until 12).map { p =>
+      val planeTerms = (0 until 24).map { p =>
         val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
           s"CAST(embedding[d] AS DOUBLE) * " +
           s"((('0x' || substr(md5('7:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
@@ -3521,7 +3529,7 @@ object SparkEntry {
       }.mkString(" + ")
       s"""WITH params AS (
          |  SELECT count(*) AS n,
-         |         least(12, greatest(1,
+         |         least(24, greatest(1,
          |           CAST(ceil(log2(ceil(count(*) / 128.0))) AS INT))) AS planes
          |  FROM embeddings),
          |b AS (SELECT vec_id, CAST($planeTerms AS BIGINT) AS bucket FROM embeddings)
@@ -3562,10 +3570,12 @@ object SparkEntry {
     },
 
     "dedup_embed_lsh_sq8" -> {
-      // 12 generated plane terms gated on p < planes — the
+      // 24 generated plane terms gated on p < planes — the
       // ann_lsh_autosize technique, with planesFor's count re-derived
-      // from count(*) in params
-      def bucketExpr(seed: Int): String = (0 until 12).map { p =>
+      // from count(*) in params (24 matches the Spark side's maxPlanes;
+      // the earlier 12-term form clamped the rule at 2M vectors and let
+      // candidate volume go quadratic)
+      def bucketExpr(seed: Int): String = (0 until 24).map { p =>
         val dot = s"list_sum(list_transform(generate_series(1, 64), d -> " +
           s"CAST(embedding[d] AS DOUBLE) * " +
           s"((('0x' || substr(md5('$seed:$p:' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) / 1000.0 - 0.5)))"
@@ -3576,7 +3586,7 @@ object SparkEntry {
       // order (both engines left-associate * and +)
       s"""WITH params AS (
          |  SELECT count(*) AS n,
-         |         least(12, greatest(1,
+         |         least(24, greatest(1,
          |           CAST(ceil(log2(ceil(count(*) / 128.0))) AS INT))) AS planes
          |  FROM embeddings),
          |e AS (

@@ -130,8 +130,12 @@ object DailyIngestDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val widths = args.headOption.getOrElse("100,1000")
-      .split(",").map(_.trim.toInt).toSeq
+    // widthsCsv "none" skips the lake legs — reruns of the dedup leg on
+    // a bigger corpus don't have to repay the 1000-symbol lake setup
+    val widths = args.headOption.getOrElse("100,1000") match {
+      case "none" => Seq.empty[Int]
+      case s => s.split(",").map(_.trim.toInt).toSeq
+    }
     val corpusDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val newFrac = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.02)
     val spark = SparkSession.builder().master("local[32]")

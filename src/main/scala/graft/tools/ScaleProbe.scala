@@ -57,9 +57,15 @@ object ScaleProbe {
     val keyCols = Seq("customer" -> "c_custkey", "documents" -> "doc_id",
       "embeddings" -> "vec_id", "events" -> "event_id", "events" -> "user_id",
       "lineitem" -> "l_orderkey", "orders" -> "o_orderkey", "orders" -> "o_custkey")
-    val maxKey = keyCols.map { case (t, c) =>
-      spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).collect()(0).getLong(0)
-    }.max
+    // only the tables being derived contribute to the offset (a
+    // documents-only derivation must not require orders to exist in a
+    // documents-only source dir); the offset stays GLOBAL across the
+    // derived set, so cross-table joins among them remain consistent
+    val maxKey = keyCols
+      .filter { case (t, _) => tablesFilter.forall(_.contains(t)) }
+      .map { case (t, c) =>
+        spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).collect()(0).getLong(0)
+      }.max
     val offset = BigDecimal(10).pow(math.ceil(math.log10((maxKey + 1).toDouble)).toInt)
       .toLongExact.max(100000000L)
     def scaled(table: String)(remap: DataFrame => DataFrame): Unit = {
@@ -91,11 +97,28 @@ object ScaleProbe {
           .otherwise(concat(col("text"), lit(" cp"), col("__c")))
       })
       .withColumn("n_chars", length(col("text")).cast("long")))
+    // embeddings follow the same mode as documents: the default nudge
+    // (dim-0 + copy*0.001) keeps copies NEAR-IDENTICAL to their source,
+    // so near-dup cluster size grows 10x per derivation level — by
+    // sf100 every vector has ~1000 true near-duplicates and any correct
+    // pair-emitter's OUTPUT is quadratic in cluster size (measured: the
+    // sq8 near-dup wall at 2M such vectors is pair-volume-bound no
+    // matter the LSH geometry). "novel" gives copies deterministic
+    // md5-derived vectors instead — the source corpus's cluster
+    // structure is preserved and clusters don't grow with scale, the
+    // realistic shape (real near-dup clusters don't grow with corpus).
     scaled("embeddings")(_
       .withColumn("vec_id", off("vec_id"))
-      .withColumn("embedding", expr(
-        "transform(embedding, (x, i) -> " +
-          "IF(i = 0, cast(x + __c * 0.001d as float), x))")))
+      .withColumn("embedding", docsMode match {
+        case "novel" => expr(
+          "IF(__c = 0, embedding, transform(embedding, (x, i) -> " +
+            "cast((cast(conv(substr(md5(concat(cast(vec_id as string), ':', " +
+            "cast(i as string))), 1, 8), 16, 10) as bigint) % 1000) " +
+            "/ 500.0d - 1.0d as float)))")
+        case _ => expr(
+          "transform(embedding, (x, i) -> " +
+            "IF(i = 0, cast(x + __c * 0.001d as float), x))")
+      }))
     scaled("events")(_
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id")))
