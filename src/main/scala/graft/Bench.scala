@@ -19,11 +19,13 @@ import org.apache.spark.sql.SparkSession
   * giant line — head once, tail once): stdout carries the medians-only
   * headline line FIRST, then the same medians again as numbered part
   * lines of ~20 queries each (`"metric":"part","part":"i/n"`), then the
-  * headline line once more LAST. Any single clipped line — head or
-  * tail — is recoverable from the others; every line stays well under
-  * 1 KB. The raw per-sample values go to stderr, and the full JSON
-  * (medians + samples) is also written to BENCH_LOCAL.json in the
-  * working directory so a skewed run stays inspectable after the fact.
+  * headline line once more, then — as the very last line the process
+  * writes to EITHER stream — a compact (<200 char) summary that always
+  * survives the driver's merged-stream tail window. Any single clipped
+  * line — head or tail — is recoverable from the others; every line
+  * stays well under 1 KB. The full JSON (medians + raw per-sample
+  * values) is also written to BENCH_LOCAL.json in the working
+  * directory so a skewed run stays inspectable after the fact.
   *
   * Queries in [[SparkEntry.oracleOnly]] (the intentionally-quadratic
   * exact-accuracy baselines) are excluded — the correctness gate still
@@ -43,7 +45,8 @@ object Bench {
     // (p3, qagg, mm_*); this makes the pinning protocol a one-command
     // reproduction instead of a hand-built harness each time.
     val soloIdx = args.indexOf("--solo")
-    val solo = if (soloIdx >= 0) Some(args(soloIdx + 1)) else None
+    val solo = if (soloIdx >= 0) args.lift(soloIdx + 1) else None
+    require(soloIdx < 0 || solo.nonEmpty, "--solo needs a query name")
     val soloSamples = if (soloIdx >= 0)
       args.lift(soloIdx + 2).flatMap(_.toIntOption).getOrElse(10) else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,20 +146,23 @@ object Bench {
       println(s"""{"metric":"part","part":"${i + 1}/${parts.size}","queries":$pqs}""")
     }
     println(medians)
-    // The driver's capture keeps only the LAST ~2000 chars of output; the
-    // full headline (~2.3 KB for 84 queries) never fits, so its `parsed`
-    // field has been null every round. End with a compact summary line
-    // (<200 chars) that always survives the tail window intact — per-query
-    // medians remain in the headline/part lines above and BENCH_LOCAL.json.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
-    System.err.println(s"[bench] samples: $raw")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
-    if (failed.nonEmpty) {
+    if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+    // The driver's capture keeps only the LAST ~2000 chars of MERGED
+    // stdout+stderr; the full headline (~2.3 KB for 84+ queries) never
+    // fits, so its `parsed` field was null for four rounds (r11's stderr
+    // samples line landed AFTER the summary in the merged stream and
+    // clipped it). The compact summary (<200 chars) is therefore the very
+    // LAST thing this process writes to either stream — after the
+    // BENCH_LOCAL.json write, spark.stop(), and the failure report.
+    // Per-query medians remain in the headline/part lines above and
+    // per-sample values in BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    if (failed.nonEmpty)
       sys.exit(3) // nonzero rc so exit-code gating can't green-light a bad run
-    }
   }
 }

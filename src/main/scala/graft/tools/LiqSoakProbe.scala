@@ -59,8 +59,8 @@ object LiqSoakProbe {
       // default as-fast-as-possible trigger turns that into a
       // continuous empty-batch churn that starves the feed loop
       // (measured: the un-triggered soak crawled to ~30 s/minute at
-      // width 1000). A 1 s trigger = one sweep per pace interval, the
-      // production cadence shape.
+      // width 1000). A bounded 2 s trigger = one sweep per couple of
+      // pace intervals, the production cadence shape.
       val query = LiveCollector.liquidationMinuteFeaturesStream(
           stream.toDS(), cleanupTimeout = evict,
           timeoutDuration = s"$timeoutSecs seconds")
@@ -120,6 +120,9 @@ object LiqSoakProbe {
         .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
       val wall = (System.nanoTime() - t0) / 1e9
       query.stop()
+      // /dev/shm is RAM-backed and shared — leaked checkpoints from
+      // repeated soaks would eat the box's memory
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       (rows.toSeq, fedRows, tail, wall)
     }
 

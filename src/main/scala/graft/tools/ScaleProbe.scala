@@ -61,8 +61,10 @@ object ScaleProbe {
     // documents-only derivation must not require orders to exist in a
     // documents-only source dir); the offset stays GLOBAL across the
     // derived set, so cross-table joins among them remain consistent
-    val maxKey = keyCols
-      .filter { case (t, _) => tablesFilter.forall(_.contains(t)) }
+    val keyedDerived = keyCols.filter { case (t, _) => tablesFilter.forall(_.contains(t)) }
+    require(keyedDerived.nonEmpty,
+      s"tables filter selects no keyed fact table; keyed tables are: ${keyCols.map(_._1).distinct.mkString(", ")}")
+    val maxKey = keyedDerived
       .map { case (t, c) =>
         spark.read.parquet(s"$src/$t.parquet").agg(max(col(c))).collect()(0).getLong(0)
       }.max
