@@ -146,9 +146,14 @@ object Bench {
       println(s"""{"metric":"part","part":"${i + 1}/${parts.size}","queries":$pqs}""")
     }
     println(medians)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // BENCH_LOCAL.json is the round's FULL-ledger artifact — a
+    // SPARK_GRAFT_ONLY subset run (local iteration, scale probes) must
+    // not clobber it with an apples-to-oranges partial (it did, twice);
+    // partial runs land in BENCH_LOCAL_partial.json instead
+    val ledger = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_partial.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(ledger),
       (full + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    catch { case e: Exception => System.err.println(s"[bench] $ledger write failed: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
@@ -161,7 +166,7 @@ object Bench {
     // BENCH_LOCAL.json write, spark.stop(), and the failure report.
     // Per-query medians remain in the headline/part lines above and
     // per-sample values in BENCH_LOCAL.json.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"$ledger","sf":"$sfDir"}""")
     if (failed.nonEmpty)
       sys.exit(3) // nonzero rc so exit-code gating can't green-light a bad run
   }

@@ -1326,6 +1326,87 @@ object SparkEntry {
         .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
+    // DEDUP: INCREMENTAL verified-edge closure — the production
+    // high-recall daily tick. Phase 1 ("yesterday", amortized setup):
+    // est-gated + exact-Jaccard-verified closure over the existing
+    // corpus (doc_id % 4 != 0), exactly dedup_cc_verified restricted.
+    // Phase 2 (the tick): candidate pairs INCIDENT TO A NEW DOC only
+    // (new docs' band buckets joined back to all members — |new|·bands
+    // buckets touched, zero old-old re-verification since those pairs
+    // were gated yesterday and nothing about them changed), est-gate in
+    // whole-stage codegen before the pair shuffle, exact
+    // integer-threshold Jaccard on survivors, then
+    // GraphOps.incrementalComponents re-closes ONLY delta-incident
+    // components. The DuckDB oracle is the BATCH verified closure over
+    // the full corpus, so the oracle row pins the equivalence
+    // incremental ≡ batch itself (also spec-pinned engine-side against
+    // dedup_cc_verified in DedupSpec).
+    "dedup_cc_verified_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"),
+          (col("doc_id") % 4 === 0).as("is_new"))
+        .localCheckpoint() // ONE tokenize+shingle pass feeds sig AND verify, both phases
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .select(col("doc_id"), col("is_new"), TextFns.minhashSignature("sh", 16).as("sig"))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
+      }
+      val bands = withSig
+        .select(col("doc_id"), col("sig"), col("is_new"),
+          explode(array(bandExprs: _*)).as("bucket"))
+        .localCheckpoint() // signature scan once across both phases
+      // est-gate (codegen, before the pair-dedup shuffle) then exact
+      // J >= 0.5 on survivors — candidates arrive (id_a < id_b)-normalized
+      def verifiedPairs(cand: DataFrame): DataFrame = {
+        val survivors = cand
+          .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
+          .select("id_a", "id_b").distinct()
+        val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+          .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+          .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+      }
+      // phase 1 — yesterday's verified closure over existing docs only
+      val eb = bands.where(!col("is_new"))
+      val oldPairs = eb
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+        .join(eb.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket")),
+          Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+      val assign = graft.operators.GraphOps.connectedComponents(
+        docs.where(!col("is_new")).select(col("doc_id").as("id")),
+        verifiedPairs(oldPairs))
+      // phase 2 — delta candidates: one side NEW, partner from the full
+      // bucket membership; {new,new} pairs appear in both orientations,
+      // so normalize (id_a < id_b) and let the gate's distinct dedup
+      val nb = bands.where(col("is_new"))
+      val deltaRaw = nb
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+        .join(bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket")),
+          Seq("bucket"))
+        .where(col("id_a") =!= col("id_b"))
+      val deltaCand = deltaRaw.select(
+        when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
+        when(col("id_a") < col("id_b"), col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
+        when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
+      graft.operators.GraphOps
+        .incrementalComponents(assign,
+          docs.where(col("is_new")).select(col("doc_id").as("id")),
+          verifiedPairs(deltaCand))
+        .select(col("id").as("doc_id"), col("component_id"),
+          (col("id") === col("component_id")).as("is_canonical"),
+          (col("id") % 4 === 0).as("is_new"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3183,6 +3264,35 @@ object SparkEntry {
         s"  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr) " +
         s"SELECT id AS doc_id, min(rr) AS component_id, " +
         s"  (min(rr) = id) AS is_canonical, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
+        s"FROM reach GROUP BY id"
+    },
+
+    // The oracle for the INCREMENTAL verified closure is the BATCH
+    // verified closure over the full corpus — identical gated-pairs
+    // chain as dedup_cc_verified (agree >= 4, exact 3*i >= ssum) plus
+    // the is_new marker. A hash-green row therefore pins the
+    // equivalence incremental ≡ batch, the operator's whole contract.
+    "dedup_cc_verified_incremental" -> {
+      val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
+        s"cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        s"  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id), " +
+        s"surv AS (SELECT c.id_a, c.id_b FROM cand c " +
+        s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
+        s"  WHERE ($agree) >= 4), " +
+        s"vp AS (SELECT s.id_a AS src, s.id_b AS dst FROM surv s " +
+        s"  JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b " +
+        s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
+        s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
+        s"edges AS (SELECT src, dst FROM vp UNION SELECT dst, src FROM vp), " +
+        s"reach(id, rr) AS (" +
+        s"  SELECT doc_id, doc_id FROM documents " +
+        s"  UNION " +
+        s"  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr) " +
+        s"SELECT id AS doc_id, min(rr) AS component_id, " +
+        s"  (min(rr) = id) AS is_canonical, (id % 4 = 0) AS is_new, " +
         s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
         s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
         s"FROM reach GROUP BY id"

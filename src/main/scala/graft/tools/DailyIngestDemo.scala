@@ -50,9 +50,24 @@ import graft.sources.{HtfLakeWriter, MinuteLakeReader, MinuteLakeWriter, Partiti
   * The summary line per width is the DAILY TICK WALL = bulk ingest +
   * HTF tick + dedup phase 2 — what the operator's scheduler sees.
   *
-  * Run: `sbt "runMain graft.tools.DailyIngestDemo [widthsCsv] [corpusDir] [newFrac]"`
-  * (defaults `100,1000`, `/root/testdata/sf0.1`, `0.02`). Use a
+  * Run: `sbt "runMain graft.tools.DailyIngestDemo [widthsCsv] [corpusDir]
+  * [newFrac] [dedupMode] [fleetN]"` (defaults `100,1000`,
+  * `/root/testdata/sf0.1`, `0.02`, `bucket`, `32`). Use a
   * ScaleProbe-derived novel-mode corpus dir for the decade-scale run.
+  *
+  *  - `dedupMode=verified` swaps the dedup leg to the HIGH-RECALL
+  *    production shape (dedup_cc_verified_incremental's construction):
+  *    phase 1 closes yesterday over est-gated + exact-Jaccard-VERIFIED
+  *    edges; phase 2 gates and verifies only the pairs incident to
+  *    today's new docs before the incremental re-close. The est-gate
+  *    runs inside the candidate join in whole-stage codegen, which is
+  *    what keeps the per-tick verification volume increment-sized.
+  *  - `fleetN>0` adds the orchestrator FLEET honesty check at the last
+  *    width: N symbols run `runUntilTarget` CONCURRENTLY as independent
+  *    driver tasks sharing the session (the reference's
+  *    one-asyncio-task-per-symbol shape), and the measured fleet wall
+  *    is reported against unit × N / slots — the demo stops asserting
+  *    "the fleet wall equals the unit cost" and measures it.
   */
 object DailyIngestDemo {
 
@@ -138,6 +153,9 @@ object DailyIngestDemo {
     }
     val corpusDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val newFrac = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.02)
+    val dedupMode = args.lift(3).getOrElse("bucket")
+    require(Set("bucket", "verified")(dedupMode), s"dedupMode bucket|verified, got $dedupMode")
+    val fleetN = args.lift(4).flatMap(_.toIntOption).getOrElse(32)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -184,6 +202,45 @@ object DailyIngestDemo {
         f"wall=$orchSecs%.1f s (${orchSecs / orchRes.partitionsCommitted.max(1)}%.2f s/window; " +
         f"per-symbol unit — symbols parallelize as driver tasks)")
 
+      // ---- 1b. fleet honesty check (last width only): N symbols run the
+      // SAME day concurrently as independent driver tasks sharing the
+      // session — measures what "symbols parallelize as driver tasks"
+      // actually costs when N tasks contend for the local[32] slots,
+      // instead of asserting fleet wall = unit wall
+      if (fleetN > 0 && w == widths.last) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(fleetN)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val fleetRoot = s"$tmp/fleet_$w"
+        val (fleetRes, fleetSecs) = timed {
+          val fs = (0 until fleetN).map { i =>
+            Future {
+              val sym = f"SYM$i%04d"
+              val wroot = s"$fleetRoot/$sym"
+              // per-symbol lake + state roots: the reference's per-symbol
+              // tasks are fully independent; sharing one ledger file from
+              // N threads would measure file-lock contention the
+              // production layout doesn't have
+              val fw = new MinuteLakeWriter(wroot, new PartitionLedger(s"$wroot/_state"))
+              val fwm = new WatermarkStore(s"$wroot/_wm")
+              fwm.set(sym, Day2.minus(1, ChronoUnit.MINUTES))
+              new MinutePipeline(spark, Settings(sym),
+                dayCollector(spark, Day2), fw, fwm)
+                .runUntilTarget(Day2.plus(24, ChronoUnit.HOURS)
+                  .minus(1, ChronoUnit.MINUTES), nowForBand = nowForBand)
+            }
+          }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        }
+        pool.shutdown()
+        val windows = fleetRes.map(_.partitionsCommitted).sum
+        println(f"[daily] width=$w%4d 1b.fleet symbols=$fleetN windows=$windows " +
+          f"wall=$fleetSecs%.1f s — vs unit×N=${orchSecs * fleetN}%.1f s serial; " +
+          f"speedup=${orchSecs * fleetN / fleetSecs}%.1fx, " +
+          f"fleetWall/unitWall=${fleetSecs / orchSecs}%.2fx")
+      }
+
       // ---- 2. bulk width ingest: today's minutes for ALL symbols, one job
       val (nNew, ingestSecs) = timed(writeDay(spark, root, w, Day2, "append"))
       // ---- 3. HTF tick picks the day up from the watermarks
@@ -226,39 +283,103 @@ object DailyIngestDemo {
     val nNewDocs = corpus.where(col("is_new")).count()
 
     val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
-    val withSig = corpus.withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
-    val bandExprs = (0 until bands).map { b =>
+    def bandExprsOf(sigCol: String) = (0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
+        (0 until rows).map(r => col(sigCol).getItem(b * rows + r).cast("string")): _*))
     }
-    val bandsDf = withSig
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"), col("is_new"))
-      .localCheckpoint()
-    def starEdges(bk: DataFrame): DataFrame = {
-      val bmin = bk.groupBy("bucket").agg(min(col("doc_id")).as("src"))
-      bk.join(bmin, Seq("bucket"))
-        .where(col("src") < col("doc_id"))
-        .select(col("src"), col("doc_id").as("dst")).distinct()
+
+    val (nComps, p1Secs, p2Secs) = dedupMode match {
+      case "verified" =>
+        // HIGH-RECALL production shape (dedup_cc_verified_incremental):
+        // one tokenize+shingle pass feeds both the signatures and the
+        // exact verification; the est-gate collapses candidates in
+        // whole-stage codegen BEFORE the pair shuffle, so phase 2's
+        // verification volume stays incident-to-the-increment
+        val docsSh = corpus
+          .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"),
+            col("is_new"))
+          .localCheckpoint()
+        val withSig = docsSh
+          .select(col("doc_id"), col("is_new"), TextFns.minhashSignature("sh", 16).as("sig"))
+        val bandsDf = withSig
+          .select(col("doc_id"), col("sig"), col("is_new"),
+            explode(array(bandExprsOf("sig"): _*)).as("bucket"))
+          .localCheckpoint()
+        def verifiedPairs(cand: DataFrame): DataFrame = {
+          val survivors = cand
+            .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
+            .select("id_a", "id_b").distinct()
+          val sa = docsSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          val sb = docsSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+          survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+            .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+            .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+            .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
+            .select(col("id_a").as("src"), col("id_b").as("dst"))
+        }
+        val eb = bandsDf.where(!col("is_new"))
+        val (assign, p1) = timed {
+          GraphOps.connectedComponents(
+            corpus.where(!col("is_new")).select(col("doc_id").as("id")),
+            verifiedPairs(eb
+              .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+              .join(eb.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+                col("bucket")), Seq("bucket"))
+              .where(col("id_a") < col("id_b"))))
+            .localCheckpoint()
+        }
+        val (nc, p2) = timed {
+          val nb = bandsDf.where(col("is_new"))
+          val deltaRaw = nb
+            .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
+            .join(bandsDf.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+              col("bucket")), Seq("bucket"))
+            .where(col("id_a") =!= col("id_b"))
+          val deltaCand = deltaRaw.select(
+            when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
+            when(col("id_a") < col("id_b"), col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
+            when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
+            when(col("id_a") < col("id_b"), col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
+          GraphOps.incrementalComponents(assign,
+            corpus.where(col("is_new")).select(col("doc_id").as("id")),
+            verifiedPairs(deltaCand))
+            .select(countDistinct(col("component_id"))).collect()(0).getLong(0)
+        }
+        (nc, p1, p2)
+
+      case _ =>
+        val withSig = corpus.withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+        val bandsDf = withSig
+          .select(col("doc_id"), explode(array(bandExprsOf("sig"): _*)).as("bucket"),
+            col("is_new"))
+          .localCheckpoint()
+        def starEdges(bk: DataFrame): DataFrame = {
+          val bmin = bk.groupBy("bucket").agg(min(col("doc_id")).as("src"))
+          bk.join(bmin, Seq("bucket"))
+            .where(col("src") < col("doc_id"))
+            .select(col("src"), col("doc_id").as("dst")).distinct()
+        }
+        // yesterday's closure — production LOADS this assignment; computing
+        // it here is the demo's setup cost, amortized over every later day
+        val (assign, p1) = timed {
+          GraphOps.connectedComponents(
+            corpus.where(!col("is_new")).select(col("doc_id").as("id")),
+            starEdges(bandsDf.where(!col("is_new"))))
+            .localCheckpoint()
+        }
+        val touched = bandsDf.where(col("is_new")).select("bucket").distinct()
+          .localCheckpoint()
+        val (nc, p2) = timed {
+          val touchedEdges = starEdges(
+            bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket"))
+          GraphOps.incrementalComponents(assign,
+            corpus.where(col("is_new")).select(col("doc_id").as("id")),
+            touchedEdges)
+            .select(countDistinct(col("component_id"))).collect()(0).getLong(0)
+        }
+        (nc, p1, p2)
     }
-    // yesterday's closure — production LOADS this assignment; computing
-    // it here is the demo's setup cost, amortized over every later day
-    val (assign, p1Secs) = timed {
-      GraphOps.connectedComponents(
-        corpus.where(!col("is_new")).select(col("doc_id").as("id")),
-        starEdges(bandsDf.where(!col("is_new"))))
-        .localCheckpoint()
-    }
-    val touched = bandsDf.where(col("is_new")).select("bucket").distinct()
-      .localCheckpoint()
-    val (nComps, p2Secs) = timed {
-      val touchedEdges = starEdges(
-        bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket"))
-      GraphOps.incrementalComponents(assign,
-        corpus.where(col("is_new")).select(col("doc_id").as("id")),
-        touchedEdges)
-        .select(countDistinct(col("component_id"))).collect()(0).getLong(0)
-    }
-    println(f"[daily] 5.dedupIncrement corpus=$n docs (new=$nNewDocs) " +
+    println(f"[daily] 5.dedupIncrement mode=$dedupMode corpus=$n docs (new=$nNewDocs) " +
       f"geometry=${bands}x$rows components=$nComps " +
       f"phase2=$p2Secs%.1f s (yesterdayClosure=$p1Secs%.1f s, amortized)")
     println(f"[daily] DAILY-TICK-WALL(dedup)=$p2Secs%.1f s")

@@ -29,12 +29,19 @@ import graft.operators.GraphOps
   *    phase 2 ≪ full batch — the footprint lever the annex needs a
   *    measured number for.
   *
-  * Run: `sbt "runMain graft.tools.IncrementalCcProbe <sfDir> [realistic|replicated] [newFrac]"`. */
+  * Run: `sbt "runMain graft.tools.IncrementalCcProbe <sfDir>
+  * [realistic|replicated] [newFrac] [nobatch]"` — `nobatch` skips the
+  * full-batch comparison closure: at decade-4 corpora (50M docs) the
+  * full closure is exactly the thing the incremental operator exists to
+  * avoid paying, so the probe reports phase 2 against the footprint
+  * bound (touched buckets vs |new|·bands) instead of against a batch
+  * wall nobody would run. */
 object IncrementalCcProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val mode = args.lift(1).getOrElse("realistic")
     val newFrac = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.02)
+    val noBatch = args.lift(3).contains("nobatch")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -128,18 +135,22 @@ object IncrementalCcProbe {
       broadcast(bandsDf.join(broadcast(touched), Seq("bucket"))
         .select(col("doc_id").as("id")).distinct()), Seq("id"))
       .select("component_id").distinct().count()
-    val (_, pb) = timed {
-      GraphOps.connectedComponents(cached.select(col("doc_id").as("id")),
-        starEdges(bandsDf.select("doc_id", "bucket")))
-        .select(countDistinct(col("component_id"))).collect()
-    }
+    val batchReport =
+      if (noBatch) "fullBatch=SKIPPED(nobatch)"
+      else {
+        val (_, pb) = timed {
+          GraphOps.connectedComponents(cached.select(col("doc_id").as("id")),
+            starEdges(bandsDf.select("doc_id", "bucket")))
+            .select(countDistinct(col("component_id"))).collect()
+        }
+        f"fullBatch=$pb%.1f s speedup=${pb / p2}%.1fx"
+      }
     println(f"[inc-cc] mode=$mode n=$n (existing=$nExisting new=$nNew) " +
       f"bands=$bands rows=$rows " +
       f"touchedBuckets=$touchedCount/$totalBuckets " +
       f"(${100.0 * touchedCount / totalBuckets}%.1f%% vs bound |new|*bands=${nNew * bands}) " +
       f"deltaEdges=$touchedEdgeCount affectedComps=$affected " +
-      f"phase1=$p1%.1f s phase2=$p2%.1f s fullBatch=$pb%.1f s " +
-      f"speedup=${pb / p2}%.1fx")
+      f"phase1=$p1%.1f s phase2=$p2%.1f s " + batchReport)
     spark.stop()
   }
 }

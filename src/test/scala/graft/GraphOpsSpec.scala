@@ -126,6 +126,27 @@ class GraphOpsSpec extends SparkSpec {
       .count() > 0, "no bucket mixes old and new docs — split degenerate")
   }
 
+  test("verified-edge incremental closure equals the batch verified closure (SparkEntry queries)") {
+    // the operator contract of dedup_cc_verified_incremental: phase-1
+    // closure over old docs + est-gated/exact-verified delta edges
+    // incident to new docs re-closed through incrementalComponents must
+    // reproduce dedup_cc_verified's batch assignment row-for-row (the
+    // DuckDB oracle pins the same equivalence against the batch SQL)
+    val dir = "/root/testdata/sf0.001"
+    def compMap(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select("doc_id", "component_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = compMap("dedup_cc_verified")
+    val incremental = compMap("dedup_cc_verified_incremental")
+    assert(incremental == batch)
+    // degenerate-split guard: both populations present, and the batch
+    // closure actually has at least one multi-member component so the
+    // equivalence is not vacuous
+    assert(incremental.nonEmpty)
+    assert(batch.groupBy(_._2).exists(_._2.size > 1),
+      "no multi-member verified component at sf0.001 — equivalence vacuous")
+  }
+
   test("incrementalComponents: isolated new vertices become singletons; bridge merges two components") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
