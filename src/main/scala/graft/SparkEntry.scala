@@ -1407,6 +1407,60 @@ object SparkEntry {
         .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
+    // DEDUP: verified-STAR closure — the O(n·bands)-verification point
+    // between dedup_cc_autosize (star edges, no verification: false
+    // bucket collisions glue the corpus together) and dedup_cc_verified
+    // (all-pairs verification: exact recall, but pair volume is
+    // quadratic in duplicate-cluster size — 89.5 s solo at the 500k
+    // suffix corpus whose clusters have 100 members). Only the
+    // (bucket-min, member) star edges are est-gated and exact-verified:
+    // a clique of m true duplicates costs m−1 verifications instead of
+    // m(m−1)/2, and its members still merge transitively THROUGH the
+    // verified min. Recall loss vs all-pairs is confined to pairs whose
+    // every shared bucket has a non-duplicate min (a false collision
+    // occupying the min slot in all bands at once) — the multi-band
+    // geometry makes that the intersection of b independent events.
+    "dedup_cc_verified_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+        .localCheckpoint() // ONE tokenize+shingle pass feeds sig AND verify
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
+      }
+      val bands = withSig
+        .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
+      val bmin = bands.groupBy("bucket")
+        .agg(min(col("doc_id")).as("id_a"))
+      val minSig = bands.select(col("doc_id").as("id_a"), col("bucket"),
+        col("sig").as("sig_a"))
+      val starCand = bands
+        .join(bmin, Seq("bucket"))
+        .where(col("id_a") < col("doc_id"))
+        .join(minSig, Seq("bucket", "id_a"))
+        .select(col("id_a"), col("sig_a"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val survivors = starCand
+        .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4) // est-gate, codegen
+        .select("id_a", "id_b").distinct()
+      val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val verified = survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+        .where(col("i") >= 1 && col("i") * 3 >= col("ssum")) // exact J >= 0.5
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), verified)
+        .select(col("id").as("doc_id"), col("component_id"),
+          (col("id") === col("component_id")).as("is_canonical"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3250,6 +3304,33 @@ object SparkEntry {
       s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
         s"cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
         s"  FROM abands x JOIN abands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id), " +
+        s"surv AS (SELECT c.id_a, c.id_b FROM cand c " +
+        s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
+        s"  WHERE ($agree) >= 4), " +
+        s"vp AS (SELECT s.id_a AS src, s.id_b AS dst FROM surv s " +
+        s"  JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b " +
+        s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
+        s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
+        s"edges AS (SELECT src, dst FROM vp UNION SELECT dst, src FROM vp), " +
+        s"reach(id, rr) AS (" +
+        s"  SELECT doc_id, doc_id FROM documents " +
+        s"  UNION " +
+        s"  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr) " +
+        s"SELECT id AS doc_id, min(rr) AS component_id, " +
+        s"  (min(rr) = id) AS is_canonical, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
+        s"FROM reach GROUP BY id"
+    },
+
+    // Verified-STAR closure: candidates restricted to (bucket-min,
+    // member) pairs; gates and closure identical to dedup_cc_verified.
+    "dedup_cc_verified_star" -> {
+      val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
+        s"bm AS (SELECT bucket, min(doc_id) AS id_a FROM abands GROUP BY bucket), " +
+        s"cand AS (SELECT DISTINCT m.id_a, x.doc_id AS id_b " +
+        s"  FROM abands x JOIN bm m ON x.bucket = m.bucket AND m.id_a < x.doc_id), " +
         s"surv AS (SELECT c.id_a, c.id_b FROM cand c " +
         s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
         s"  WHERE ($agree) >= 4), " +
