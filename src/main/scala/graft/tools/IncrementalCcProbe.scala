@@ -80,13 +80,20 @@ object IncrementalCcProbe {
             lit(true).as("is_new"))
         existing.withColumn("is_new", lit(false)).unionByName(newDocs)
     }
-    val cached = corpus.localCheckpoint()
-    val n = cached.count()
-    val nNew = cached.where(col("is_new")).count()
+    // Checkpoint only the SLIM (doc_id, is_new) frame for the many
+    // membership reuses below. The full text corpus must NOT be
+    // checkpointed: at the decade-4 corpus (50M docs) the materialized
+    // text is ~40 GB of executor storage and blew the box's disk with
+    // spill; the text is consumed exactly once — streamed from parquet
+    // straight into the (checkpointed, slim) band index, the same
+    // single-pass shape a 100 TB ingest would use.
+    val ids = corpus.select(col("doc_id"), col("is_new")).localCheckpoint()
+    val n = ids.count()
+    val nNew = ids.where(col("is_new")).count()
 
     // geometry from the FULL corpus count, as production would size it
     val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
-    val withSig = cached
+    val withSig = corpus
       .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
     val bandExprs = (0 until bands).map { b =>
       md5(concat_ws("|",
@@ -113,7 +120,7 @@ object IncrementalCcProbe {
 
     val (assign, p1) = timed {
       GraphOps.connectedComponents(
-        cached.where(!col("is_new")).select(col("doc_id").as("id")),
+        ids.where(!col("is_new")).select(col("doc_id").as("id")),
         starEdges(bandsDf.where(!col("is_new"))))
         .localCheckpoint()
     }
@@ -124,7 +131,7 @@ object IncrementalCcProbe {
       val touchedEdges = starEdges(
         bandsDf.join(broadcast(touched), Seq("bucket")).select("doc_id", "bucket"))
       GraphOps.incrementalComponents(assign,
-        cached.where(col("is_new")).select(col("doc_id").as("id")),
+        ids.where(col("is_new")).select(col("doc_id").as("id")),
         touchedEdges)
         .select(countDistinct(col("component_id"))).collect()
     }._2
@@ -139,7 +146,7 @@ object IncrementalCcProbe {
       if (noBatch) "fullBatch=SKIPPED(nobatch)"
       else {
         val (_, pb) = timed {
-          GraphOps.connectedComponents(cached.select(col("doc_id").as("id")),
+          GraphOps.connectedComponents(ids.select(col("doc_id").as("id")),
             starEdges(bandsDf.select("doc_id", "bucket")))
             .select(countDistinct(col("component_id"))).collect()
         }
