@@ -26,9 +26,12 @@ import graft.sources.{HtfLakeWriter, MinuteLakeReader, MinuteLakeWriter, Partiti
   *     day's 24 hourly windows (fixture sources, as the reference's
   *     fake providers): HOT/WARM band choice per window age,
   *     write-then-advance idempotency. This is the per-symbol unit
-  *     cost; at width the loop parallelizes as independent driver
-  *     tasks (reference: one asyncio task per symbol), so the fleet
-  *     wall is the unit cost, not W × it — the demo reports the unit.
+  *     cost. NOTE (r12, measured): the per-symbol path is DRIVER-bound
+  *     (many small jobs), so concurrent driver tasks do NOT make the
+  *     fleet wall equal the unit wall — 32 concurrent symbol-days ran
+  *     12× the unit (2.7× over serial). The fleet-scale daily ingest
+  *     is the BULK path (phase 2); the band path is the
+  *     incremental-repair tool. The `fleetN` leg measures this.
   *  2. INGEST, bulk width path — today's canonical minutes for ALL W
   *     symbols land as ONE partitioned append (the cluster shape:
   *     collection fans out per symbol, the build+write is one Spark
