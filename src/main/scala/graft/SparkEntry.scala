@@ -1305,19 +1305,11 @@ object SparkEntry {
       }
       val bands = withSig
         .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
-      val a = bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
-      val b = bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket"))
-      val survivors = a.join(b, Seq("bucket"))
-        .where(col("id_a") < col("id_b"))
-        .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4) // est-gate, codegen
-        .select("id_a", "id_b").distinct()
-      val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val verified = survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
-        .where(col("i") >= 1 && col("i") * 3 >= col("ssum")) // exact J >= 0.5
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // est-gate (codegen, before the pair-dedup shuffle) + exact
+      // J >= 0.5 via the shared library policies (operators/DedupOps)
+      val verified = graft.operators.DedupOps.verifiedEdges(
+        graft.operators.DedupOps.allPairCandidates(bands),
+        docs.select(col("doc_id"), col("sh")))
       graft.operators.GraphOps
         .connectedComponents(docs.select(col("doc_id").as("id")), verified)
         .select(col("id").as("doc_id"), col("component_id"),
@@ -1358,48 +1350,20 @@ object SparkEntry {
         .select(col("doc_id"), col("sig"), col("is_new"),
           explode(array(bandExprs: _*)).as("bucket"))
         .localCheckpoint() // signature scan once across both phases
-      // est-gate (codegen, before the pair-dedup shuffle) then exact
-      // J >= 0.5 on survivors — candidates arrive (id_a < id_b)-normalized
-      def verifiedPairs(cand: DataFrame): DataFrame = {
-        val survivors = cand
-          .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
-          .select("id_a", "id_b").distinct()
-        val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-          .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-          .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
-          .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-      }
+      val sh = docs.select(col("doc_id"), col("sh"))
       // phase 1 — yesterday's verified closure over existing docs only
-      val eb = bands.where(!col("is_new"))
-      val oldPairs = eb
-        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
-        .join(eb.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket")),
-          Seq("bucket"))
-        .where(col("id_a") < col("id_b"))
       val assign = graft.operators.GraphOps.connectedComponents(
         docs.where(!col("is_new")).select(col("doc_id").as("id")),
-        verifiedPairs(oldPairs))
+        graft.operators.DedupOps.verifiedEdges(
+          graft.operators.DedupOps.allPairCandidates(bands.where(!col("is_new"))), sh))
       // phase 2 — delta candidates: one side NEW, partner from the full
-      // bucket membership; {new,new} pairs appear in both orientations,
-      // so normalize (id_a < id_b) and let the gate's distinct dedup
-      val nb = bands.where(col("is_new"))
-      val deltaRaw = nb
-        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
-        .join(bands.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("bucket")),
-          Seq("bucket"))
-        .where(col("id_a") =!= col("id_b"))
-      val deltaCand = deltaRaw.select(
-        when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
-        when(col("id_a") < col("id_b"), col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
-        when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
-        when(col("id_a") < col("id_b"), col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
+      // bucket membership (DedupOps.incidentCandidates); est-gate +
+      // exact verify, then re-close only delta-incident components
       graft.operators.GraphOps
         .incrementalComponents(assign,
           docs.where(col("is_new")).select(col("doc_id").as("id")),
-          verifiedPairs(deltaCand))
+          graft.operators.DedupOps.verifiedEdges(
+            graft.operators.DedupOps.incidentCandidates(bands), sh))
         .select(col("id").as("doc_id"), col("component_id"),
           (col("id") === col("component_id")).as("is_canonical"),
           (col("id") % 4 === 0).as("is_new"))
@@ -1434,25 +1398,9 @@ object SparkEntry {
       }
       val bands = withSig
         .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
-      val bmin = bands.groupBy("bucket")
-        .agg(min(col("doc_id")).as("id_a"))
-      val minSig = bands.select(col("doc_id").as("id_a"), col("bucket"),
-        col("sig").as("sig_a"))
-      val starCand = bands
-        .join(bmin, Seq("bucket"))
-        .where(col("id_a") < col("doc_id"))
-        .join(minSig, Seq("bucket", "id_a"))
-        .select(col("id_a"), col("sig_a"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      val survivors = starCand
-        .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4) // est-gate, codegen
-        .select("id_a", "id_b").distinct()
-      val sa = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val verified = survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
-        .where(col("i") >= 1 && col("i") * 3 >= col("ssum")) // exact J >= 0.5
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val verified = graft.operators.DedupOps.verifiedEdges(
+        graft.operators.DedupOps.starCandidates(bands),
+        docs.select(col("doc_id"), col("sh")))
       graft.operators.GraphOps
         .connectedComponents(docs.select(col("doc_id").as("id")), verified)
         .select(col("id").as("doc_id"), col("component_id"),

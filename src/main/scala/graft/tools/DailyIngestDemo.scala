@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{AggregatorRunner, GraphOps}
+import graft.operators.{AggregatorRunner, DedupOps, GraphOps}
 import graft.operators.AggregatorRunner.AggregatorStateStore
 import graft.pipeline.Orchestrator
 import graft.pipeline.Orchestrator.{BandCollector, MinutePipeline, Settings, SourceBatch}
@@ -308,44 +308,18 @@ object DailyIngestDemo {
           .select(col("doc_id"), col("sig"), col("is_new"),
             explode(array(bandExprsOf("sig"): _*)).as("bucket"))
           .localCheckpoint()
-        def verifiedPairs(cand: DataFrame): DataFrame = {
-          val survivors = cand
-            .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
-            .select("id_a", "id_b").distinct()
-          val sa = docsSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-          val sb = docsSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-          survivors.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-            .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-            .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
-            .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
-            .select(col("id_a").as("src"), col("id_b").as("dst"))
-        }
-        val eb = bandsDf.where(!col("is_new"))
+        val sh = docsSh.select(col("doc_id"), col("sh"))
         val (assign, p1) = timed {
           GraphOps.connectedComponents(
             corpus.where(!col("is_new")).select(col("doc_id").as("id")),
-            verifiedPairs(eb
-              .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
-              .join(eb.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-                col("bucket")), Seq("bucket"))
-              .where(col("id_a") < col("id_b"))))
+            DedupOps.verifiedEdges(
+              DedupOps.allPairCandidates(bandsDf.where(!col("is_new"))), sh))
             .localCheckpoint()
         }
         val (nc, p2) = timed {
-          val nb = bandsDf.where(col("is_new"))
-          val deltaRaw = nb
-            .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("bucket"))
-            .join(bandsDf.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-              col("bucket")), Seq("bucket"))
-            .where(col("id_a") =!= col("id_b"))
-          val deltaCand = deltaRaw.select(
-            when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a"),
-            when(col("id_a") < col("id_b"), col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
-            when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
-            when(col("id_a") < col("id_b"), col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
           GraphOps.incrementalComponents(assign,
             corpus.where(col("is_new")).select(col("doc_id").as("id")),
-            verifiedPairs(deltaCand))
+            DedupOps.verifiedEdges(DedupOps.incidentCandidates(bandsDf), sh))
             .select(countDistinct(col("component_id"))).collect()(0).getLong(0)
         }
         (nc, p1, p2)
