@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFns
+
+/** Streaming NEAR-duplicate detection — the streaming twin of the
+  * batch est-gated MinHash family (`dedup_minhash_pairs_est`,
+  * `DedupOps`). A training-data ingest wants to suppress near-dups at
+  * stream time, BEFORE they land in the lake; exact-Jaccard
+  * verification then runs in the daily batch tick
+  * (`dedup_cc_verified_incremental`), so the stream stage is the
+  * est-gate: cheap, bounded-state, and it only ever FLAGS (a flagged
+  * doc can be re-admitted by the batch verifier; an unflagged true dup
+  * is caught by the nightly closure — the stream stage trades a little
+  * recall for zero unbounded state).
+  *
+  * Shape: signature + band buckets are computed with the same
+  * expressions as the batch family (one codegen'd projection), the
+  * stream is keyed BY BUCKET, and `flatMapGroupsWithState` keeps a
+  * bounded member list per bucket:
+  *
+  *  - state per bucket ≤ `maxMembers` (the hot-bucket guard twin of
+  *    `Ops.capBucketOccupancy`) — a pathological bucket cannot grow
+  *    state without bound, it just stops detecting inside the overflow
+  *    (counted in the output's `saturated` flag, not silent);
+  *  - members older than the horizon are pruned on every update, and
+  *    an idle bucket's whole group is evicted by the EVENT-TIME
+  *    timeout when the watermark passes it — state is bounded by
+  *    (buckets active in the horizon) × maxMembers, not stream age;
+  *  - a doc matches in a bucket if any live member's signature agrees
+  *    in ≥ `minAgree` of 16 positions (the batch family's est-gate).
+  *
+  * One doc explodes into `bands` bucket rows, so per-bucket verdicts
+  * are combined per doc by [[decisions]] — ANY bucket match flags the
+  * doc. `decisions` is a plain aggregation: run it inside
+  * `foreachBatch` (the production sink shape: flag-and-land per
+  * micro-batch) or as a downstream streaming aggregation where the
+  * multi-stateful-operator rules allow.
+  */
+object StreamNearDup {
+
+  /** One exploded band-bucket row of an incoming doc. `eventTime`
+    * stays a Timestamp so the input watermark rides into the stateful
+    * stage (projecting the watermarked column away would orphan the
+    * event-time timeout). */
+  final case class BandRow(docId: Long, bucket: String, sig: Array[Long],
+                           eventTime: java.sql.Timestamp)
+
+  /** Per-bucket verdict for one doc. `matchedId` = the member that
+    * est-agreed (lowest id wins for determinism); `saturated` = the
+    * bucket was at `maxMembers` when this doc arrived (detection
+    * inside this bucket is best-effort from then on). */
+  final case class BandVerdict(docId: Long, bucket: String, eventMs: Long,
+                               matchedId: Option[Long], saturated: Boolean)
+
+  /** State-store row types (public: the state encoder's generated
+    * serializer must reach the accessors). */
+  final case class Member(docId: Long, sig: Array[Long], eventMs: Long)
+  final case class BucketState(members: List[Member])
+
+  private def agree(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var n = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Explode a document stream into watermarked band-bucket rows using
+    * the batch family's signature/banding expressions.
+    *
+    * @param docs    streaming DataFrame with `idCol` (long), `textCol`
+    *                (string) and `tsCol` (TimestampType)
+    * @param nBands  band count; `rowsPer` = rows per band — fixed at
+    *                operator construction (production sizes from the
+    *                prior corpus count via `minhashGeometryFor`)
+    * @param delay   watermark delay: how late a doc may arrive AND the
+    *                horizon dup-detection looks back across
+    */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+               nBands: Int, rowsPer: Int, delay: String): Dataset[BandRow] = {
+    val sig = TextFns.minhashSignatureFromText(textCol, 3, 16)
+    val bandExprs = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPer).map(r => col("__sig").getItem(b * rowsPer + r).cast("string")): _*))
+    }
+    implicit val enc = Encoders.product[BandRow]
+    docs
+      .withWatermark(tsCol, delay)
+      .withColumn("__sig", sig)
+      .select(col(idCol).as("docId"),
+        explode(array(bandExprs: _*)).as("bucket"),
+        col("__sig").as("sig"),
+        col(tsCol).as("eventTime"))
+      .as[BandRow]
+  }
+
+  /** The stateful stage: per-bucket bounded membership + est-gate.
+    *
+    * @param horizonMs  how far back a member can match (normally the
+    *                   watermark delay in ms — older members are pruned)
+    * @param maxMembers hot-bucket cap on state per bucket
+    * @param minAgree   est-gate threshold (of 16 signature positions)
+    */
+  def bandMatches(rows: Dataset[BandRow], horizonMs: Long,
+                  maxMembers: Int = 128, minAgree: Int = 4): Dataset[BandVerdict] = {
+    implicit val outEnc = Encoders.product[BandVerdict]
+    implicit val stateEnc = Encoders.product[BucketState]
+
+    def update(bucket: String, rows: Iterator[BandRow],
+               state: GroupState[BucketState]): Iterator[BandVerdict] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var members = state.getOption.map(_.members).getOrElse(Nil)
+      // deterministic processing order within a micro-batch: by event
+      // time then id, so "who was already a member" does not depend on
+      // partition-internal row order
+      val batch = rows.toSeq.sortBy(r => (r.eventTime.getTime, r.docId))
+      val maxEventMs = batch.map(_.eventTime.getTime).foldLeft(
+        members.headOption.map(_.eventMs).getOrElse(0L))(math.max)
+      val out = batch.iterator.map { r =>
+        val ms = r.eventTime.getTime
+        members = members.filter(m => m.eventMs >= ms - horizonMs && m.docId != r.docId)
+        val hit = members.filter(m => agree(m.sig, r.sig) >= minAgree)
+          .map(_.docId).sorted.headOption
+        val full = members.size >= maxMembers
+        if (!full) members = Member(r.docId, r.sig, ms) :: members
+        BandVerdict(r.docId, bucket, ms, hit, full)
+      }.toVector
+      state.update(BucketState(members))
+      // evict the whole bucket once the watermark passes the last
+      // member's horizon — state is bounded by the active-bucket set.
+      // Clamp above the current watermark: a group fed only
+      // late-but-admitted rows could otherwise compute a timeout the
+      // watermark has already passed, which the API rejects.
+      state.setTimeoutTimestamp(
+        math.max(maxEventMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+
+    rows.groupByKey(_.bucket)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Combine per-bucket verdicts into one per-doc decision: a doc is a
+    * near-dup CANDIDATE if any of its band buckets matched a live
+    * member. Plain aggregation — run inside `foreachBatch` (per
+    * micro-batch flag-and-land) or downstream of [[bandMatches]] where
+    * streaming-aggregation chaining allows. */
+  def decisions(verdicts: Dataset[BandVerdict]): DataFrame =
+    verdicts.groupBy(col("docId"), col("eventMs"))
+      .agg(min(col("matchedId")).as("matched_id"),
+        max(col("saturated")).as("any_bucket_saturated"))
+      .withColumn("is_near_dup", col("matched_id").isNotNull)
+
+  /** End-to-end convenience: docs → band rows → stateful est-gate.
+    * Callers aggregate with [[decisions]] at the sink. */
+  def nearDupVerdicts(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, nBands: Int, rowsPer: Int, delay: String,
+                      horizonMs: Long, maxMembers: Int = 128,
+                      minAgree: Int = 4): Dataset[BandVerdict] =
+    bandMatches(bandRows(docs, idCol, textCol, tsCol, nBands, rowsPer, delay),
+      horizonMs, maxMembers, minAgree)
+}
