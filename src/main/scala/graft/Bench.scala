@@ -90,10 +90,12 @@ object Bench {
       val ok = samples.filter(_ >= 0).sorted
       def ms3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       val med = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+      // summary is the LAST line either stream sees (after spark.stop's
+      // shutdown stderr) — same last-line contract as the full-run path
+      spark.stop()
       println(s"""{"metric":"solo","query":"$q","median":${ms3(med)},""" +
         s""""min":${ms3(ok.headOption.getOrElse(-1.0))},"max":${ms3(ok.lastOption.getOrElse(-1.0))},""" +
         s""""samples":[${samples.map(ms3).mkString(",")}],"sf":"$sfDir"}""")
-      spark.stop()
       if (ok.size < samples.size) sys.exit(3)
       return
     }

@@ -56,14 +56,22 @@ object AggregatorRunner {
     val dir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
     val fs = FileSystem.get(new java.net.URI(htfRoot),
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new HPath(dir)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("bucket_start",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("bucket_complete",
-            org.apache.spark.sql.types.BooleanType))))
-    else spark.read.parquet(dir).select("bucket_start", "bucket_complete")
+    if (fs.exists(new HPath(dir)))
+      return spark.read.parquet(dir).select("bucket_start", "bucket_complete")
+    // day-wide HTF tree: no per-symbol directory — symbol is a sorted
+    // data column under timeframe=T/year=/month=/day= (file-stat pruned)
+    val tfDir = s"$htfRoot/timeframe=$timeframe"
+    if (graft.sources.LakeLayout.detect(fs, tfDir)
+        .exists(_.isInstanceOf[graft.sources.LakeLayout.DayWide]))
+      return spark.read.parquet(tfDir)
+        .where(col("symbol") === symbol.toUpperCase)
+        .select("bucket_start", "bucket_complete")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("bucket_complete",
+          org.apache.spark.sql.types.BooleanType))))
   }
 
   /** Complete buckets available in the source minus complete buckets

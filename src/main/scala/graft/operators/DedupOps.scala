@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   * per document per band bucket, `sig` the MinHash signature array.
   * All functions are pure plan builders (no actions, no caching) —
   * callers own materialization boundaries.
+  *
+  * INVARIANT every candidate policy shares: the output MAY contain
+  * duplicate (id_a, id_b) rows — a pair colliding in k band buckets (or
+  * a doc hashing two bands to one bucket string) appears k times.
+  * [[verifiedEdges]] dedups AFTER the estimate gate, by design: the
+  * gate is a cheap codegen'd comparison evaluated per duplicate row
+  * pre-shuffle, which is cheaper than the `distinct()` shuffle a
+  * dedup-on-entry would add to every policy. A caller consuming a
+  * candidate policy WITHOUT verifiedEdges must `distinct()` (or
+  * aggregate) itself — counting raw candidate rows double-counts pairs.
   */
 object DedupOps {
 

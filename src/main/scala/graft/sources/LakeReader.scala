@@ -34,8 +34,18 @@ class HtfLakeReader(root: String) {
                  completeOnly: Boolean = true): Option[DataFrame] = {
     val d = dir(timeframe, symbol)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new HPath(d))) return None
-    var df = spark.read.parquet(d)
+    val base =
+      if (fs.exists(new HPath(d))) spark.read.parquet(d)
+      else {
+        // day-wide layout: no per-symbol directory level — symbol is a
+        // sorted data column under timeframe=T/year=/month=/day=, and
+        // parquet min/max stats on it do the per-symbol skipping
+        val tfDir = s"$root/timeframe=$timeframe"
+        if (LakeLayout.detect(fs, tfDir).exists(_.isInstanceOf[LakeLayout.DayWide]))
+          spark.read.parquet(tfDir).where(col("symbol") === symbol.toUpperCase)
+        else return None
+      }
+    var df = base
       .where(col("bucket_start").between(
         java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
     if (completeOnly) df = df.where(col("bucket_complete"))
@@ -48,7 +58,7 @@ class HtfLakeReader(root: String) {
   }
 }
 
-class MinuteLakeReader(root: String) {
+class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
 
   private def lakeDir = s"$root/futures/um/minute"
 
@@ -56,6 +66,24 @@ class MinuteLakeReader(root: String) {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     fs.exists(new HPath(lakeDir))
   }
+
+  /** Physical layout, auto-detected from the lake's top-level partition
+    * directories (cached once found; an empty lake reads as the hourly
+    * default until data lands). Every read path below branches on this,
+    * so one reader serves both layouts behind the same API. */
+  @volatile private var detectedLayout: Option[LakeLayout] = None
+  private def layoutOf(spark: SparkSession): LakeLayout =
+    layoutHint.getOrElse(detectedLayout.getOrElse {
+      val fs = FileSystem.get(new java.net.URI(root),
+        spark.sparkContext.hadoopConfiguration)
+      LakeLayout.detect(fs, lakeDir) match {
+        case Some(l) => detectedLayout = Some(l); l
+        case None => LakeLayout.HourlySymbol
+      }
+    })
+
+  private def isWide(spark: SparkSession): Boolean =
+    layoutOf(spark).isInstanceOf[LakeLayout.DayWide]
 
   /** Single-symbol scan, scoped to the symbol's OWN directory subtree.
     * Reading the lake root and filtering `symbol === X` prunes the
@@ -68,6 +96,14 @@ class MinuteLakeReader(root: String) {
     * (the reference gets this from its hand-built partition paths;
     * year/month/day/hour discovery still happens under the subtree). */
   def scanSymbol(spark: SparkSession, symbol: String): DataFrame = {
+    if (isWide(spark))
+      // day-wide: symbol is a DATA column, files sorted+range-bucketed
+      // by it, so the predicate prunes via parquet min/max file stats —
+      // and the whole-lake file listing is O(days × filesPerDay), which
+      // is the layout's point (no per-symbol subtree needed)
+      return spark.read.parquet(lakeDir)
+        .where(col("symbol") === symbol.toUpperCase)
+        .drop("year", "month", "day", "symbol")
     val symbolDir = s"$lakeDir/symbol=${symbol.toUpperCase}"
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
@@ -83,6 +119,8 @@ class MinuteLakeReader(root: String) {
     * the driver over symbols). */
   def scanAllSymbols(spark: SparkSession): Option[DataFrame] =
     if (!hasData(spark)) None
+    else if (isWide(spark))
+      Some(spark.read.parquet(lakeDir).drop("year", "month", "day"))
     else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
 
   /** Whole-lake windowed read with per-(symbol, minute) latest-wins
@@ -95,16 +133,31 @@ class MinuteLakeReader(root: String) {
   def readWindowAllSymbols(spark: SparkSession, start: Instant,
                            end: Instant): Option[DataFrame] = {
     if (!hasData(spark)) return None
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
-      .withZone(java.time.ZoneOffset.UTC)
-    val hourKey = concat(
-      lpad(col("year").cast("string"), 4, "0"),
-      lpad(col("month").cast("string"), 2, "0"),
-      lpad(col("day").cast("string"), 2, "0"),
-      lpad(col("hour").cast("string"), 2, "0"))
-    val df = spark.read.parquet(lakeDir)
-      .where(hourKey.between(fmt.format(start), fmt.format(end)))
-      .drop("year", "month", "day", "hour")
+    val df =
+      if (isWide(spark)) {
+        // pruning floor is a DAY here (the layout's documented trade);
+        // row-group timestamp stats still skip within the day's files
+        val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+          .withZone(java.time.ZoneOffset.UTC)
+        val dayKey = concat(
+          lpad(col("year").cast("string"), 4, "0"),
+          lpad(col("month").cast("string"), 2, "0"),
+          lpad(col("day").cast("string"), 2, "0"))
+        spark.read.parquet(lakeDir)
+          .where(dayKey.between(dfmt.format(start), dfmt.format(end)))
+          .drop("year", "month", "day")
+      } else {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
+          .withZone(java.time.ZoneOffset.UTC)
+        val hourKey = concat(
+          lpad(col("year").cast("string"), 4, "0"),
+          lpad(col("month").cast("string"), 2, "0"),
+          lpad(col("day").cast("string"), 2, "0"),
+          lpad(col("hour").cast("string"), 2, "0"))
+        spark.read.parquet(lakeDir)
+          .where(hourKey.between(fmt.format(start), fmt.format(end)))
+          .drop("year", "month", "day", "hour")
+      }
     Some(Ops.dedupKeepLast(
       df.where(col("timestamp").between(
         java.sql.Timestamp.from(start), java.sql.Timestamp.from(end))),
@@ -124,6 +177,18 @@ class MinuteLakeReader(root: String) {
     if (!hasData(spark)) return Map.empty
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
+    if (isWide(spark)) {
+      // day-wide: the deepest TWO day partitions cover every symbol that
+      // wrote within the last day (day-boundary stragglers included) —
+      // one job over ≤2 × filesPerDay files regardless of width or
+      // depth. A symbol idle longer than that is a backfill concern
+      // (partition-change detection), not the steady-state tick's.
+      val days = deepestDayDirs(fs, 2)
+      if (days.isEmpty) return Map.empty
+      return spark.read.option("basePath", lakeDir).parquet(days: _*)
+        .groupBy("symbol").agg(max("timestamp").as("latest"))
+        .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+    }
     // maxBy the PARSED numeric value after '=': lexicographic compare is
     // only correct on zero-padded names (our writer pads, but a lake with
     // int-inferred dirs has 'month=9' > 'month=12' and the descent would
@@ -149,6 +214,35 @@ class MinuteLakeReader(root: String) {
     spark.read.option("basePath", lakeDir).parquet(hourDirs.toIndexedSeq: _*)
       .groupBy("symbol").agg(max("timestamp").as("latest"))
       .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+  }
+
+  /** The k deepest `year=/month=/day=` directories of a day-wide lake,
+    * by descending (year, month, day) numeric order — a 3-level
+    * metadata walk that visits only the months/years it needs. */
+  private def deepestDayDirs(fs: FileSystem, k: Int): Seq[String] = {
+    def numericDesc(p: HPath): Seq[HPath] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("="))
+        .sortBy { d =>
+          -d.getName.substring(d.getName.indexOf('=') + 1).toLongOption.getOrElse(-1L)
+        }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val years = numericDesc(new HPath(lakeDir))
+    var yi = 0
+    while (yi < years.length && out.length < k) {
+      val months = numericDesc(years(yi))
+      var mi = 0
+      while (mi < months.length && out.length < k) {
+        val days = numericDesc(months(mi))
+        var di = 0
+        while (di < days.length && out.length < k) {
+          out += days(di).toString; di += 1
+        }
+        mi += 1
+      }
+      yi += 1
+    }
+    out.toSeq
   }
 
   /** min/max timestamp — parquet footer statistics make this a
@@ -188,6 +282,20 @@ class MinuteLakeReader(root: String) {
     * `source_reader.py:61-69`). */
   def partitionDirectories(spark: SparkSession, symbol: String): Set[String] = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    if (isWide(spark)) {
+      // day-wide has no per-symbol subtree: the change-detection
+      // snapshot is the set of day directories holding data files —
+      // symbol-agnostic, so a change anywhere re-triggers the symbol's
+      // backfill (conservative and correct; backfill is idempotent)
+      val it = fs.listFiles(new HPath(lakeDir), true)
+      val dirs = scala.collection.mutable.Set[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          dirs += f.getPath.getParent.toString.stripPrefix(lakeDir).stripPrefix("/")
+      }
+      return dirs.toSet
+    }
     val symbolRoot = new HPath(s"$lakeDir/symbol=${symbol.toUpperCase}")
     if (!fs.exists(symbolRoot)) Set.empty
     else {

@@ -26,8 +26,15 @@ import graft.validation.DQValidator
   *  - [[writePartitionedBulk]] — the lake-scale path: one job writes many
   *    partitions at once with `partitionOverwriteMode=dynamic`; use for
   *    backfills where per-hour loops would serialize.
+  *  - [[writeDaysWide]] — the WIDTH-scalable path ([[LakeLayout.DayWide]]):
+  *    day-level partitions, symbol as a data column, files
+  *    range-partitioned + sorted by (symbol, timestamp). Same last-wins +
+  *    LIVE_ONLY-preserve merge semantics, keyed by (symbol, timestamp).
+  *    Use at lake width ≥10k where the hourly layout's file population
+  *    (width × 24 files/day) is the measured constraint (SURVEY §8.15).
   */
-class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
+class MinuteLakeWriter(root: String, ledger: PartitionLedger,
+                       val layout: LakeLayout = LakeLayout.HourlySymbol) {
 
   private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH").withZone(ZoneOffset.UTC)
 
@@ -42,18 +49,27 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
     * existing LIVE_ONLY values survive — coverage flags (has_ws_latency /
     * has_depth / has_liq) are bool-OR'd, every other LIVE_ONLY column is
     * coalesce(merged, existing). */
-  def mergePartitionFrames(existing: DataFrame, fresh: DataFrame): DataFrame = {
+  def mergePartitionFrames(existing: DataFrame, fresh: DataFrame): DataFrame =
+    mergePartitionFramesKeyed(existing, fresh, Seq("timestamp"))
+
+  /** Keyed generalization of the merge: the hourly layout merges one
+    * symbol's partition on `timestamp` alone; the day-wide layout holds
+    * every symbol in one partition and merges on (symbol, timestamp).
+    * Identical policy either way — the layouts share ONE merge
+    * implementation so their semantics cannot drift. */
+  def mergePartitionFramesKeyed(existing: DataFrame, fresh: DataFrame,
+                                keys: Seq[String]): DataFrame = {
     val coverage = Set("has_ws_latency", "has_depth", "has_liq")
     val liveOnly = CanonicalSchema.liveOnly
 
     val merged = Ops.dedupKeepLast(
       existing.withColumn("__src", lit(0)).unionByName(fresh.withColumn("__src", lit(1))),
-      Seq("timestamp"), Seq(col("__src"))).drop("__src")
+      keys, Seq(col("__src"))).drop("__src")
 
     val existingLive = existing.select(
-      (col("timestamp") +: liveOnly.map(c => col(c).as(s"${c}__existing"))): _*)
+      (keys.map(col) ++ liveOnly.map(c => col(c).as(s"${c}__existing"))): _*)
 
-    val joined = merged.join(existingLive, Seq("timestamp"), "left")
+    val joined = merged.join(existingLive, keys, "left")
     val preserved = liveOnly.foldLeft(joined) { (df, c) =>
       val ex = col(s"${c}__existing")
       val expr =
@@ -62,7 +78,9 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
         else coalesce(col(c), ex)
       df.withColumn(c, expr)
     }
-    preserved.select(CanonicalSchema.columnNames.map(col): _*)
+    val outCols = keys.filterNot(CanonicalSchema.columnNames.contains) ++
+      CanonicalSchema.columnNames
+    preserved.select(outCols.map(col): _*)
   }
 
   /** Write (merge if present) one symbol-hour partition. Atomicity =
@@ -70,6 +88,37 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
     * same tmp+replace choreography as `atomic.py:38-44`. */
   def writeHourPartition(symbol: String, hourStart: Instant, frame: DataFrame): String = {
     val spark = frame.sparkSession
+    layout match {
+      case LakeLayout.DayWide(_) =>
+        // Same API, day-wide physics: the rewrite unit is the day
+        // partition, so a single-hour repair amplifies to a day rewrite
+        // — fine for occasional repair; batch fleet-scale writes via
+        // [[writeDaysWide]] directly (the bulk path is the fleet path,
+        // measured r12). Merge semantics are identical by construction
+        // (one shared mergePartitionFramesKeyed).
+        val dq = DQValidator.validate(frame)
+        writeDaysWide(frame.withColumn("symbol", lit(symbol.toUpperCase)), merge = true)
+        val z = hourStart.atZone(ZoneOffset.UTC)
+        val dayDir = f"$root/futures/um/minute/year=${z.getYear}%04d/" +
+          f"month=${z.getMonthValue}%02d/day=${z.getDayOfMonth}%02d"
+        ledger.upsert(PartitionLedgerEntry(
+          symbol = symbol.toUpperCase,
+          day = hourStart.atZone(ZoneOffset.UTC).toLocalDate.toString,
+          hour = hourStart.atZone(ZoneOffset.UTC).getHour,
+          path = dayDir,
+          rowCount = dq.rowCount,
+          minTs = dq.minTs,
+          maxTs = dq.maxTs,
+          schemaHash = CanonicalSchema.schemaHash,
+          status = "COMMITTED",
+          committedAtUtc = Instant.now.toString,
+          // content hash is per-PARTITION; a day-wide partition is
+          // rewritten by later symbols' writes, so the audit story at
+          // day grain is the HTF fingerprint skip, not this hash
+          contentHash = ""))
+        return dayDir
+      case LakeLayout.HourlySymbol => ()
+    }
     val finalDir = partitionDir(symbol, hourStart)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
@@ -179,6 +228,89 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger) {
       .parquet(lakeDir)
     tmp.foreach(t => fs.delete(new HPath(t), true))
   }
+
+  /** Day-wide bulk write ([[LakeLayout.DayWide]]): a multi-symbol,
+    * multi-day canonical frame (must carry a `symbol` column) lands as
+    * ONE dynamic-partition-overwrite job into `year=/month=/day=`
+    * partitions, each day's data range-partitioned and sorted by
+    * (symbol, timestamp) into `filesPerDay` files — so the file
+    * population is O(days × filesPerDay) regardless of lake width, and
+    * parquet min/max stats on the sorted symbol column give per-symbol
+    * file skipping that replaces the per-symbol directory tree.
+    *
+    * `merge = true` reads back ONLY the touched day partitions
+    * (semi-join on the inferred partition ints, Catalyst prunes) and
+    * applies the SAME last-wins + LIVE_ONLY-preserve policy as the
+    * hourly paths, keyed by (symbol, timestamp); symbols present in a
+    * touched day but absent from `frame` survive the rewrite because the
+    * merge read is keyed by day, not by symbol.
+    *
+    * The incoming frame is always staged through `.tmp` parquet first:
+    * the day-count, the range-partitioner's sampling pass, and the final
+    * write would otherwise each re-evaluate an arbitrary upstream plan
+    * (and the merge plan reads the directory it overwrites). One extra
+    * columnar materialization of the increment buys single-evaluation
+    * semantics — the standard shape on an object store too. */
+  def writeDaysWide(frame: DataFrame, merge: Boolean = false): Unit = {
+    val filesPerDay = layout match {
+      case LakeLayout.DayWide(f) => f
+      case LakeLayout.HourlySymbol =>
+        throw new IllegalStateException(
+          "writeDaysWide requires LakeLayout.DayWide; this writer is hourly-symbol")
+    }
+    val spark = frame.sparkSession
+    val lakeDir = s"$root/futures/um/minute"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withPartCols(df: DataFrame): DataFrame = df
+      .withColumn("year", date_format(col("timestamp"), "yyyy"))
+      .withColumn("month", date_format(col("timestamp"), "MM"))
+      .withColumn("day", date_format(col("timestamp"), "dd"))
+
+    // stage the increment once (see Scaladoc)
+    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    frame.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    try {
+      val staged = spark.read.parquet(stageDir)
+      val touched = withPartCols(staged)
+        .select(col("year").cast("int").as("year"),
+                col("month").cast("int").as("month"),
+                col("day").cast("int").as("day"))
+        .distinct().collect()
+      val nDays = touched.length.max(1)
+
+      val hasExisting = merge && fs.exists(new HPath(lakeDir)) &&
+        fs.listStatus(new HPath(lakeDir)).nonEmpty
+      val mergeTmp =
+        if (!hasExisting) None
+        else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val effective = mergeTmp match {
+        case None => staged
+        case Some(t) =>
+          import spark.implicits._
+          val touchedDf = touched.toIndexedSeq
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+            .toDF("year", "month", "day")
+          val existingTouched = spark.read.parquet(lakeDir)
+            .join(broadcast(touchedDf), Seq("year", "month", "day"), "left_semi")
+            .drop("year", "month", "day")
+          mergePartitionFramesKeyed(existingTouched, staged, Seq("symbol", "timestamp"))
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+          spark.read.parquet(t)
+      }
+
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      withPartCols(effective)
+        .repartitionByRange(nDays * filesPerDay,
+          col("year"), col("month"), col("day"), col("symbol"), col("timestamp"))
+        .sortWithinPartitions("symbol", "timestamp")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("year", "month", "day")
+        .option("compression", "zstd")
+        .parquet(lakeDir)
+      mergeTmp.foreach(t => fs.delete(new HPath(t), true))
+    } finally fs.delete(new HPath(stageDir), true)
+  }
 }
 
 /** One row of [[MinuteLakeWriter.auditPartitions]]: `issue` is "ok",
@@ -240,8 +372,13 @@ object MinuteLakeWriter {
 
 /** HTF bucket writer (reference `aggregator/target_writer.py:14-69`):
   * layout `timeframe=T/symbol=S/year=/month=/day=/`, merge-dedup by
-  * bucket_start keep-last. */
-class HtfLakeWriter(root: String) {
+  * bucket_start keep-last. With [[LakeLayout.DayWide]] the per-symbol
+  * directory level disappears (`timeframe=T/year=/month=/day=/`, symbol
+  * as a sorted data column, `filesPerDay` files per day per timeframe)
+  * — at width 10k the hourly-era HTF tree is 10k files/day/timeframe,
+  * the same file-count wall the minute lake hit (SURVEY §8.15). */
+class HtfLakeWriter(root: String,
+                    val layout: LakeLayout = LakeLayout.HourlySymbol) {
 
   def partitionDir(timeframe: String, symbol: String, day: java.time.LocalDate): String =
     f"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}/year=${day.getYear}%04d/" +
@@ -265,6 +402,13 @@ class HtfLakeWriter(root: String) {
     */
   def writeBucketsBulk(spark: SparkSession, timeframe: String, symbol: String,
                        buckets: DataFrame): Unit = {
+    layout match {
+      case LakeLayout.DayWide(f) =>
+        // aggregateMinutes output always carries `symbol`, so the
+        // per-symbol call is just a width-1 slice of the wide path
+        writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f); return
+      case LakeLayout.HourlySymbol => ()
+    }
     val dir = symbolDir(timeframe, symbol)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
@@ -322,6 +466,11 @@ class HtfLakeWriter(root: String) {
     * (symbol, year, month, day). */
   def writeBucketsBulkAllSymbols(spark: SparkSession, timeframe: String,
                                  buckets: DataFrame): Unit = {
+    layout match {
+      case LakeLayout.DayWide(f) =>
+        writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f); return
+      case LakeLayout.HourlySymbol => ()
+    }
     val dir = s"$root/timeframe=$timeframe"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
@@ -360,6 +509,68 @@ class HtfLakeWriter(root: String) {
       .option("compression", "zstd")
       .parquet(dir)
     tmp.foreach(t => fs.delete(new HPath(t), true))
+  }
+
+  /** Day-wide HTF bulk write: `timeframe=T/year=/month=/day=` with
+    * symbol as a sorted data column. Merge is keyed by day (the rewrite
+    * unit), so sibling symbols' buckets in a touched day survive; rows
+    * dedup last-wins on (symbol, bucket_start), incoming wins. */
+  private def writeBucketsBulkAllSymbolsWide(spark: SparkSession, timeframe: String,
+                                             buckets: DataFrame,
+                                             filesPerDay: Int): Unit = {
+    val dir = s"$root/timeframe=$timeframe"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withPartCols(df: DataFrame): DataFrame = df
+      .withColumn("year", date_format(col("bucket_start"), "yyyy"))
+      .withColumn("month", date_format(col("bucket_start"), "MM"))
+      .withColumn("day", date_format(col("bucket_start"), "dd"))
+
+    // stage once: day count + range sampling + final write must not
+    // re-run the upstream aggregation plan (see writeDaysWide Scaladoc)
+    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    try {
+      val staged = spark.read.parquet(stageDir)
+      val touched = withPartCols(staged)
+        .select(col("year").cast("int").as("year"),
+                col("month").cast("int").as("month"),
+                col("day").cast("int").as("day"))
+        .distinct().collect()
+      val nDays = touched.length.max(1)
+
+      val hasExisting = fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty
+      val mergeTmp =
+        if (!hasExisting) None
+        else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val effective = mergeTmp match {
+        case None => staged
+        case Some(t) =>
+          import spark.implicits._
+          val touchedDf = touched.toIndexedSeq
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+            .toDF("year", "month", "day")
+          val existingTouched = spark.read.parquet(dir)
+            .join(broadcast(touchedDf), Seq("year", "month", "day"), "left_semi")
+            .drop("year", "month", "day")
+          Ops.dedupKeepLast(
+            existingTouched.withColumn("__src", lit(0))
+              .unionByName(staged.withColumn("__src", lit(1)), allowMissingColumns = true),
+            Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src")
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+          spark.read.parquet(t)
+      }
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      withPartCols(effective)
+        .repartitionByRange(nDays * filesPerDay,
+          col("year"), col("month"), col("day"), col("symbol"), col("bucket_start"))
+        .sortWithinPartitions("symbol", "bucket_start")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("year", "month", "day")
+        .option("compression", "zstd")
+        .parquet(dir)
+      mergeTmp.foreach(t => fs.delete(new HPath(t), true))
+    } finally fs.delete(new HPath(stageDir), true)
   }
 
   def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,

@@ -217,6 +217,7 @@ object DailyIngestDemo {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val fleetRoot = s"$tmp/fleet_$w"
         val (fleetRes, fleetSecs) = timed {
+          try {
           val fs = (0 until fleetN).map { i =>
             Future {
               val sym = f"SYM$i%04d"
@@ -235,8 +236,10 @@ object DailyIngestDemo {
             }
           }
           Await.result(Future.sequence(fs), Duration.Inf)
+          // a throwing future must not leak the fleetN-thread executor
+          // for the rest of the demo run
+          } finally pool.shutdown()
         }
-        pool.shutdown()
         val windows = fleetRes.map(_.partitionsCommitted).sum
         println(f"[daily] width=$w%4d 1b.fleet symbols=$fleetN windows=$windows " +
           f"wall=$fleetSecs%.1f s — vs unit×N=${orchSecs * fleetN}%.1f s serial; " +

@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggregatorRunner
+import graft.operators.AggregatorRunner.AggregatorStateStore
+import graft.schema.Timeframes
+import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+
+/** Layout parity: the day-wide lake ([[LakeLayout.DayWide]], the
+  * width-≥10k answer to the width-10k probe's file-count wall, SURVEY
+  * §8.15) must be indistinguishable from the reference-inherited hourly
+  * layout through the reader API and the HTF pipeline — same merge
+  * policy (one shared `mergePartitionFramesKeyed`), same query results,
+  * different physics (files/day O(filesPerDay), not O(width × 24)). */
+class WideLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Day1 = instant("2026-01-15T00:00:00Z")
+
+  /** Multi-symbol canonical minutes spanning `hours` hours. */
+  private def minutes(symbols: Seq[String], hours: Int,
+                      dayStart: java.time.Instant = Day1,
+                      openBase: Double = 100.0): DataFrame = {
+    val n = hours * 60
+    val base = symbols.map(s => (s, 0)).toDF("symbol", "zero")
+      .crossJoin(spark.range(n.toLong).select(
+        (lit(dayStart.toEpochMilli) + col("id") * 60000L).as("ms"),
+        (col("id") % 50).cast("double").as("step")))
+      .select(col("symbol"), timestamp_millis(col("ms")).as("timestamp"),
+        (lit(openBase) + col("step")).as("open"),
+        (lit(openBase + 1.0) + col("step")).as("high"),
+        (lit(openBase - 1.0) + col("step")).as("low"),
+        (lit(openBase + 0.5) + col("step")).as("close"),
+        lit(1.2).as("volume_btc"), lit(120000.0).as("volume_usdt"),
+        lit(10L).as("trade_count"),
+        (lit(openBase + 0.1) + col("step")).as("mark_price_open"),
+        (lit(openBase + 0.4) + col("step")).as("mark_price_close"),
+        (lit(openBase) + col("step")).as("index_price_open"),
+        (lit(openBase + 0.2) + col("step")).as("index_price_close"))
+    graft.schema.CanonicalSchema.columns.foldLeft(base) { (df, c) =>
+      if (df.columns.contains(c.name)) df.withColumn(c.name, col(c.name).cast(c.sparkType))
+      else df.withColumn(c.name, lit(null).cast(c.sparkType))
+    }
+  }
+
+  private def hourlyLake(frame: DataFrame, root: String): Unit =
+    frame
+      .withColumn("year", date_format(col("timestamp"), "yyyy"))
+      .withColumn("month", date_format(col("timestamp"), "MM"))
+      .withColumn("day", date_format(col("timestamp"), "dd"))
+      .withColumn("hour", date_format(col("timestamp"), "HH"))
+      .repartition(col("symbol"))
+      .write.mode("overwrite")
+      .partitionBy("symbol", "year", "month", "day", "hour")
+      .parquet(s"$root/futures/um/minute")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select(col("symbol"), col("timestamp").cast("string"), col("open"), col("close"))
+      .collect().map(_.toString).sorted.toIndexedSeq
+
+  test("wide write + reader API parity with the hourly layout") {
+    val syms = Seq("AAAUSDT", "BBBUSDT", "CCCUSDT", "DDDUSDT")
+    val frame = minutes(syms, hours = 26) // crosses a day boundary
+    val hRoot = Files.createTempDirectory("graft-wide-h").toString
+    val wRoot = Files.createTempDirectory("graft-wide-w").toString
+    hourlyLake(frame, hRoot)
+    val wWriter = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 4))
+    wWriter.writeDaysWide(frame)
+
+    val hr = new MinuteLakeReader(hRoot)
+    val wr = new MinuteLakeReader(wRoot) // layout auto-detected
+
+    // file-count bound: ≤ touchedDays × filesPerDay range partitions,
+    // plus up to (touchedDays − 1) extra files where a range partition
+    // straddles a day boundary and dynamic partitioning splits its
+    // output — O(filesPerDay) per day at ANY width (hourly would be
+    // symbols × hours files)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$wRoot/futures/um/minute"), true)
+    var nFiles = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1 }
+    assert(nFiles > 0 && nFiles <= 2 * 4 + 1,
+      s"lake has $nFiles files, want ≤ 2 days × 4 + 1 straddle")
+
+    // scanSymbol parity (wide path must also drop the symbol data col)
+    val hScan = hr.scanSymbol(spark, "BBBUSDT")
+    val wScan = wr.scanSymbol(spark, "BBBUSDT")
+    assert(hScan.columns.sorted.toSeq == wScan.columns.sorted.toSeq)
+    assert(hScan.count() == 26 * 60 && wScan.count() == 26 * 60)
+
+    // readWindow parity (windowed + latest-wins dedup)
+    val lo = instant("2026-01-15T10:00:00Z"); val hi = instant("2026-01-15T11:59:00Z")
+    assert(hr.readWindow(spark, "CCCUSDT", lo, hi).orderBy("timestamp")
+        .select("open").collect().map(_.getDouble(0)).toSeq ==
+      wr.readWindow(spark, "CCCUSDT", lo, hi).orderBy("timestamp")
+        .select("open").collect().map(_.getDouble(0)).toSeq)
+
+    // readWindowAllSymbols parity
+    assert(sortedRows(hr.readWindowAllSymbols(spark, lo, hi).get) ==
+      sortedRows(wr.readWindowAllSymbols(spark, lo, hi).get))
+
+    // latestMinuteAllSymbols parity — every symbol, exact instant
+    assert(hr.latestMinuteAllSymbols(spark) == wr.latestMinuteAllSymbols(spark))
+  }
+
+  test("wide merge is last-wins keyed by (symbol, timestamp), sibling symbols survive") {
+    val wRoot = Files.createTempDirectory("graft-wide-m").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 2))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 2))
+    // overwrite AAAUSDT's first hour with new opens; BBBUSDT untouched
+    w.writeDaysWide(minutes(Seq("AAAUSDT"), hours = 1, openBase = 500.0), merge = true)
+
+    val r = new MinuteLakeReader(wRoot)
+    val a = r.scanSymbol(spark, "AAAUSDT")
+    assert(a.count() == 120) // no duplicates after merge
+    assert(a.where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open").head.getDouble(0) == 500.0) // fresh wins
+    assert(a.where(col("timestamp") === ts("2026-01-15T01:00:00Z"))
+      .select("open").head.getDouble(0) == 110.0) // untouched hour intact (step 60%50=10)
+    val b = r.scanSymbol(spark, "BBBUSDT")
+    assert(b.count() == 120)
+    assert(b.where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open").head.getDouble(0) == 100.0) // sibling symbol survived the day rewrite
+  }
+
+  test("writeHourPartition routes through the day-wide merge (same writer API)") {
+    val wRoot = Files.createTempDirectory("graft-wide-api").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 2))
+    val hour = instant("2026-01-15T10:00:00Z")
+    val row = minutes(Seq("AAAUSDT"), hours = 1, dayStart = hour)
+      .limit(1).drop("symbol")
+    val out = w.writeHourPartition("AAAUSDT", hour, row)
+    assert(out.endsWith("year=2026/month=01/day=15"))
+    val r = new MinuteLakeReader(wRoot)
+    assert(r.scanSymbol(spark, "AAAUSDT").count() == 1)
+    // ledger entry recorded at day grain
+    val ledger = new PartitionLedger(s"$wRoot/_state")
+    assert(ledger.latestPartition("AAAUSDT").exists(_.rowCount == 1L))
+  }
+
+  test("HTF pipeline parity: backfill + incremental + write-skip under the wide layout") {
+    val syms = Seq("AAAUSDT", "BBBUSDT", "CCCUSDT")
+    val spec = Timeframes.parse("1h")
+
+    def run(root: String, layout: LakeLayout): (Long, Long, DataFrame) = {
+      val frame = minutes(syms, hours = 24)
+      layout match {
+        case LakeLayout.HourlySymbol => hourlyLake(frame, root)
+        case LakeLayout.DayWide(_) =>
+          new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"), layout)
+            .writeDaysWide(frame)
+      }
+      val reader = new MinuteLakeReader(root)
+      val writer = new HtfLakeWriter(s"$root/htf", layout)
+      val state = new AggregatorStateStore(s"$root/_aggstate")
+      val bf = AggregatorRunner.runBackfillAll(spark, reader, writer, state,
+        s"$root/htf", spec)
+      val noop = AggregatorRunner.runIncrementalAll(spark, reader, writer, state,
+        s"$root/htf", spec)
+      val buckets = spark.read.parquet(s"$root/htf/timeframe=1h")
+        .select("symbol", "bucket_start", "open", "close", "bucket_complete")
+      (bf.bucketsWritten, noop.bucketsWritten, buckets)
+    }
+
+    val hRoot = Files.createTempDirectory("graft-wide-htf-h").toString
+    val wRoot = Files.createTempDirectory("graft-wide-htf-w").toString
+    val (hWritten, hNoop, hBuckets) = run(hRoot, LakeLayout.HourlySymbol)
+    val (wWritten, wNoop, wBuckets) = run(wRoot, LakeLayout.DayWide(filesPerDay = 3))
+
+    assert(hWritten == wWritten && hWritten == syms.length * 24L)
+    assert(hNoop == 0L && wNoop == 0L) // fingerprint write-skip holds in both layouts
+    val key = (df: DataFrame) => df.collect().map(_.toString).sorted.toSeq
+    assert(key(hBuckets) == key(wBuckets))
+
+    // wide HTF file bound: one day dir holds ≤ filesPerDay files
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val dayDir = new org.apache.hadoop.fs.Path(
+      s"$wRoot/htf/timeframe=1h/year=2026/month=01/day=15")
+    val n = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
+    assert(n > 0 && n <= 3, s"wide HTF day dir has $n files, want ≤3")
+
+    // per-symbol HTF window read parity through HtfLakeReader
+    val hb = new graft.sources.HtfLakeReader(s"$hRoot/htf")
+    val wb = new graft.sources.HtfLakeReader(s"$wRoot/htf")
+    val lo = instant("2026-01-15T05:00:00Z"); val hi = instant("2026-01-15T09:00:00Z")
+    val hWin = hb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
+      .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
+    val wWin = wb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
+      .where(col("symbol") === "BBBUSDT")
+      .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
+    assert(hWin == wWin && hWin.nonEmpty)
+  }
+}

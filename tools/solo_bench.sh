@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+# Solo steady-state bench ledger, one command (VERDICT r12 #8).
+#
+# Runs `graft.Bench --solo <query>` once per query PER JVM (the solo
+# protocol: warm-up + N isolated samples, no cross-query JVM state),
+# then merges the per-query summary lines into one JSON artifact whose
+# schema matches BENCH_SOLO_r12.json's `queries.<q>.<sf>` rows.
+# Round-over-round comparisons read THIS artifact, not the contended
+# same-session ledger (BENCH_LOCAL.json) — see SURVEY §8 "canonical
+# ledger" note.
+#
+# Usage:
+#   tools/solo_bench.sh <classes-dir> <out.json> [samples]
+# Env:
+#   SPARK_GRAFT_SF_DIR   corpus dir (default /root/testdata/sf0.1)
+#   SOLO_QUERIES         space-separated override of the fixed set
+#   SPARK_DRIVER_MEM     heap (default 16g)
+#
+# The fixed set = the 6 slowest sf0.1 queries of the r12 ledger plus
+# the two drift-watch rows (p3_book_ticker_exprs drifted r12;
+# dedup_cc_verified_star is the new default policy's row).
+set -euo pipefail
+
+CLASSES="${1:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
+OUT="${2:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
+SAMPLES="${3:-8}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+MEM="${SPARK_DRIVER_MEM:-16g}"
+QUERIES="${SOLO_QUERIES:-dedup_cc_incremental dedup_cc_verified_incremental \
+dedup_cc_autosize mb_canonical_build native_enrich_route \
+ivf_kmeans_train_k64 dedup_cc_verified_star p3_book_ticker_exprs}"
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+TMP="$(mktemp -d /tmp/solo_bench.XXXXXX)"
+trap 'rm -rf "$TMP"' EXIT
+
+for q in $QUERIES; do
+  echo "[solo-bench] $q (${SAMPLES} samples, sf=$SF)" >&2
+  # one query per JVM; summary JSON is the process's last stdout line
+  SPARK_GRAFT_SF_DIR="$SF" java -Xmx"$MEM" $ADD_OPENS \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench --solo "$q" "$SAMPLES" \
+    2>"$TMP/$q.err" | tail -1 > "$TMP/$q.json" || {
+      echo "[solo-bench] $q FAILED (rc=$?); stderr tail:" >&2
+      tail -5 "$TMP/$q.err" >&2
+    }
+done
+
+python3 - "$TMP" "$OUT" "$SF" "$SAMPLES" <<'PY'
+import json, sys, os, glob
+tmp, out, sf, samples = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+sfkey = os.path.basename(sf.rstrip('/'))
+queries = {}
+for f in sorted(glob.glob(os.path.join(tmp, '*.json'))):
+    try:
+        d = json.loads(open(f).read().strip() or '{}')
+    except json.JSONDecodeError:
+        continue
+    if d.get('metric') != 'solo':
+        continue
+    queries[d['query']] = {sfkey: {k: d[k] for k in ('median', 'min', 'max', 'samples')}}
+doc = {
+    'protocol': f'Bench --solo per query per JVM (warm-up + {samples} isolated samples), quiet box, local[32]',
+    'sf_dir': sf,
+    'queries': queries,
+}
+with open(out, 'w') as fh:
+    json.dump(doc, fh, indent=1)
+print(f'[solo-bench] wrote {out}: {len(queries)} queries', file=sys.stderr)
+PY
