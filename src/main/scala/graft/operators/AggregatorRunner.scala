@@ -39,6 +39,29 @@ object AggregatorRunner {
       wm.get(s"$symbol|$timeframe")
     def set(symbol: String, timeframe: String, lastCompleted: Instant): Unit =
       wm.set(s"$symbol|$timeframe", lastCompleted)
+
+    /** All symbols' watermarks for one timeframe in ONE file read —
+      * the per-symbol [[get]] re-parses the whole store per call, which
+      * a width-10k driver loop turns into O(width²) work. */
+    def getAll(timeframe: String): Map[String, Instant] = {
+      val suffix = s"|$timeframe".toUpperCase
+      wm.read().collect {
+        case (k, v) if k.endsWith(suffix) =>
+          k.dropRight(suffix.length) -> Instant.parse(v)
+      }
+    }
+
+    /** Monotone batch advance: ONE read + ONE rewrite for any number of
+      * symbols; candidates not ahead of the stored watermark are
+      * dropped (repairing an old gap must never move a watermark
+      * backward). The only correct call shape for O(symbols) advances. */
+    def advanceAll(timeframe: String, candidates: Map[String, Instant]): Unit = {
+      val current = getAll(timeframe)
+      val ahead = candidates.filter { case (sym, c) =>
+        current.get(sym.toUpperCase).forall(_.isBefore(c))
+      }
+      wm.setAll(ahead.map { case (sym, c) => s"$sym|$timeframe" -> c })
+    }
   }
 
   /** Monotone watermark advance: repairing an OLD gap must never move a
@@ -46,8 +69,7 @@ object AggregatorRunner {
     * re-scan the lake from the gap to now). */
   private def advanceWatermark(state: AggregatorStateStore, symbol: String,
                                spec: TimeframeSpec, candidate: Instant): Unit =
-    if (state.get(symbol, spec.name).forall(_.isBefore(candidate)))
-      state.set(symbol, spec.name, candidate)
+    state.advanceAll(spec.name, Map(symbol -> candidate))
 
   /** HTF lake index scan: (bucket_start, bucket_complete) only —
     * columnar parquet makes this a 2-column metadata-light scan. */
@@ -244,12 +266,13 @@ object AggregatorRunner {
         // every existing-complete bucket) — see runBackfill
         if (written > 0) {
           writer.writeBucketsBulkAllSymbols(spark, spec.name, kept)
-          // per-symbol watermarks: one O(symbols) collect, monotone
-          aggregated.where(col("bucket_complete"))
-            .groupBy("symbol").agg(max("bucket_start").as("wm"))
-            .collect()
-            .foreach(r => advanceWatermark(state, r.getString(0), spec,
-              r.getTimestamp(1).toInstant))
+          // per-symbol watermarks: one O(symbols) collect, ONE batched
+          // monotone store rewrite (per-symbol set() is O(width²))
+          state.advanceAll(spec.name,
+            aggregated.where(col("bucket_complete"))
+              .groupBy("symbol").agg(max("bucket_start").as("wm"))
+              .collect()
+              .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap)
         }
         BackfillResult(nMissing, written, skipped, repaired = 0)
       } finally aggregated.unpersist()
@@ -334,10 +357,13 @@ object AggregatorRunner {
     val latest = reader.latestMinuteAllSymbols(spark)
     if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
 
+    // ONE store read for all symbols (per-symbol get() re-parses the
+    // whole watermark file per call — O(width²) at width 10k)
+    val wmAll = state.getAll(spec.name)
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
       val repairStart = spec.floorInstant(
         latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
-      val start = state.get(sym, spec.name) match {
+      val start = wmAll.get(sym.toUpperCase) match {
         case Some(lastCompleted) =>
           val next = spec.addBuckets(lastCompleted)
           if (next.isBefore(repairStart)) next else repairStart
@@ -432,19 +458,21 @@ object AggregatorRunner {
           }
         } finally { changedPersisted.unpersist(); () }
         // watermarks advance on every observed-complete bucket, written
-        // or skipped-as-unchanged — both mean the bucket is current
-        aggregated.where(col("bucket_complete"))
-          .groupBy("symbol").agg(max("bucket_start").as("wm"))
-          .collect()
-          .foreach(r => advanceWatermark(state, r.getString(0), spec,
-            r.getTimestamp(1).toInstant))
+        // or skipped-as-unchanged — both mean the bucket is current;
+        // one batched monotone rewrite, not a per-symbol loop
+        state.advanceAll(spec.name,
+          aggregated.where(col("bucket_complete"))
+            .groupBy("symbol").agg(max("bucket_start").as("wm"))
+            .collect()
+            .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap)
       }
       // lag = worst symbol's distance from its own latest minute; a
       // symbol with minutes but NO completed bucket yet has unbounded
       // lag, so the fleet metric is unknown (None), not a healthy number
       // computed only from caught-up symbols
+      val wmAfter = state.getAll(spec.name)
       val perSymbolLag = latest.toSeq.map { case (sym, lm) =>
-        state.get(sym, spec.name).map { lc =>
+        wmAfter.get(sym.toUpperCase).map { lc =>
           math.max((lm.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L)
             / 60000L, 0L)
         }

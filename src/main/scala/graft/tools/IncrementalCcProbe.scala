@@ -30,12 +30,27 @@ import graft.operators.GraphOps
   *    measured number for.
   *
   * Run: `sbt "runMain graft.tools.IncrementalCcProbe <sfDir>
-  * [realistic|replicated] [newFrac] [nobatch]"` — `nobatch` skips the
-  * full-batch comparison closure: at decade-4 corpora (50M docs) the
-  * full closure is exactly the thing the incremental operator exists to
-  * avoid paying, so the probe reports phase 2 against the footprint
-  * bound (touched buckets vs |new|·bands) instead of against a batch
-  * wall nobody would run. */
+  * [realistic|replicated|verified] [newFrac] [nobatch]"` — `nobatch`
+  * skips the full-batch comparison closure: at decade-4 corpora (50M
+  * docs) the full closure is exactly the thing the incremental operator
+  * exists to avoid paying, so the probe reports phase 2 against the
+  * footprint bound (touched buckets vs |new|·bands) instead of against
+  * a batch wall nobody would run.
+  *
+  * `verified` mode (VERDICT r12 #6) = the realistic corpus with
+  * `dedup_cc_verified_incremental`'s phase 2: incident candidates →
+  * est-gate (sig agreement ≥ 4) → exact shingle-Jaccard verify →
+  * incremental re-close, reporting the VERIFY VOLUME (raw candidate
+  * rows, gated pairs, verified edges) against the |new|·bands bound.
+  * Disk-lean at decade 4: only (doc_id, sig) ~136 B/doc and the slim
+  * (doc_id, bucket, is_new) band index are checkpointed; shingles are
+  * recomputed from parquet text ONLY for docs appearing in gated pairs
+  * (a semi-join-restricted second text pass). The est-gate runs after
+  * the candidate join + sig re-join rather than inside the band join
+  * (production's codegen-before-shuffle placement, measured at 5M in
+  * DailyIngestDemo, would need sig carried on every band row — ~70 GB
+  * of checkpoint at 50M×bands that this box cannot hold); placement
+  * moves constants, not the gated/verified counts reported. */
 object IncrementalCcProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -55,6 +70,7 @@ object IncrementalCcProbe {
       .select("doc_id", "text")
     val nExisting = existing.count()
 
+    val verifiedMode = mode == "verified"
     // Corpus = existing ∪ new, per mode. `is_new` marks the increment.
     val corpus: DataFrame = mode match {
       case "replicated" =>
@@ -95,11 +111,18 @@ object IncrementalCcProbe {
     val (bands, rows) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
     val withSig = corpus
       .withColumn("sig", TextFns.minhashSignatureFromText("text", 3, 16))
+    // verified mode checkpoints (doc_id, sig, is_new) — ~136 B/doc —
+    // because the est-gate re-joins signatures per candidate side; the
+    // slim band index is then DERIVED from it (no second text pass)
+    val sigDf =
+      if (verifiedMode)
+        withSig.select(col("doc_id"), col("sig"), col("is_new")).localCheckpoint()
+      else withSig
     val bandExprs = (0 until bands).map { b =>
       md5(concat_ws("|",
         (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*))
     }
-    val bandsDf = withSig
+    val bandsDf = sigDf
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bucket"), col("is_new"))
       .localCheckpoint() // bands computed once; we time the closures
 
@@ -124,6 +147,54 @@ object IncrementalCcProbe {
         starEdges(bandsDf.where(!col("is_new"))))
         .localCheckpoint()
     }
+    if (verifiedMode) {
+      // ---- verified phase 2 (dedup_cc_verified_incremental's tick):
+      // incident candidates → est-gate → exact verify → re-close
+      val rawCand = bandsDf.where(col("is_new"))
+        .select(col("doc_id").as("id_a"), col("bucket"))
+        .join(bandsDf.select(col("doc_id").as("id_b"), col("bucket")), Seq("bucket"))
+        .where(col("id_a") =!= col("id_b"))
+      val rawCandCount = rawCand.count()
+      val ((nGated, nVerified, nComps), p2v) = timed {
+        val sa = sigDf.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val sb = sigDf.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        val gated = rawCand
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+                  greatest(col("id_a"), col("id_b")).as("id_b"))
+          .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+          .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
+          .select("id_a", "id_b").distinct()
+          .localCheckpoint() // slim pair frame
+        val candIds = gated.select(col("id_a").as("doc_id"))
+          .unionByName(gated.select(col("id_b").as("doc_id"))).distinct()
+        // restricted second text pass: shingles ONLY for gated-pair docs
+        val sh = corpus.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+          .localCheckpoint()
+        val verified = gated
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("ssum", (size(col("sh_a")) + size(col("sh_b"))).cast("long"))
+          .where(col("i") >= 1 && col("i") * 3 >= col("ssum"))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .localCheckpoint()
+        val ng = gated.count(); val nv = verified.count()
+        val nc = GraphOps.incrementalComponents(assign,
+          ids.where(col("is_new")).select(col("doc_id").as("id")), verified)
+          .select(countDistinct(col("component_id"))).collect()(0).getLong(0)
+        (ng, nv, nc)
+      }
+      println(f"[inc-cc] mode=verified n=$n (existing=$nExisting new=$nNew) " +
+        f"bands=$bands rows=$rows " +
+        f"touchedBuckets=$touchedCount/$totalBuckets " +
+        f"(${100.0 * touchedCount / totalBuckets}%.1f%% vs bound |new|*bands=${nNew * bands}) " +
+        f"rawCandRows=$rawCandCount gatedPairs=$nGated verifiedEdges=$nVerified " +
+        f"components=$nComps phase1=$p1%.1f s phase2Verified=$p2v%.1f s")
+      spark.stop()
+      return
+    }
+
     def phase2Once(): Double = timed {
       // broadcast the touch set: the band-index lookup is a scan + hash
       // probe, not a corpus shuffle (production stores the index
