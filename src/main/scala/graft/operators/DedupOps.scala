@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   *    constructs exactly that case; on both real test corpora the star
   *    assignment is identical to all-pairs (sf0.01: 476/476
   *    components, sf10: 5,268/5,268, zero docs differ).
+  *
+  *    MEASURED DOMAIN BOUNDARY (StarRecallProbe, r13): the equality
+  *    holds for CLUSTER-shaped duplicate structure (verbatim/variant
+  *    groups — every member is a true dup of every other, so any
+  *    bucket-min is a valid hub). On CHAIN-shaped structure (adjacent-
+  *    overlap near-dups where skip-one members co-bucket but fail the
+  *    exact verify) star loses real recall: 56.2% vs 51.0% pair recall
+  *    at 500k docs (81.3% vs 74.6% at 20k with denser banding) — the
+  *    bucket-min is a chain member that is NOT a dup of the far
+  *    members, and verified (min, member) edges cannot bridge them.
+  *    Policy: all-pairs stays the high-recall default; choose star
+  *    (3.9× cheaper verification, measured sf10) when duplicate
+  *    structure is known cluster-shaped.
   *  - INCIDENT (`incidentCandidates`): pairs with at least one endpoint
   *    in a marked increment — the daily-tick policy; composes with
   *    [[GraphOps.incrementalComponents]].

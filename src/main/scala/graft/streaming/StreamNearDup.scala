@@ -90,6 +90,13 @@ object StreamNearDup {
     docs
       .withWatermark(tsCol, delay)
       .withColumn("__sig", sig)
+      // a doc too short to shingle (< k tokens) has a signature of all
+      // NULL positions (MinHashKernel's array_min semantics on an empty
+      // set): it cannot participate in near-dup detection, and a null
+      // element would violate the state encoder's non-nullable member
+      // array — drop its band rows. Positions are null all-or-nothing,
+      // so testing position 0 suffices.
+      .where(col("__sig").getItem(0).isNotNull)
       .select(col(idCol).as("docId"),
         explode(array(bandExprs: _*)).as("bucket"),
         col("__sig").as("sig"),

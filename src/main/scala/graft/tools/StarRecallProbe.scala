@@ -32,8 +32,12 @@ import graft.operators.{DedupOps, GraphOps}
   */
 object StarRecallProbe {
 
+  // 60-token windows advancing 12 tokens per chain position: adjacent
+  // Jaccard ≈ 0.66 (passes the J ≥ 0.5 verify), skip-one ≈ 0.41 (fails
+  // verify but still LSH-collides in ~11% of buckets — exactly the
+  // non-dup-min-in-the-bucket stress the star policy needs)
   private val TokensPerDoc = 60
-  private val Step = 18
+  private val Step = 12
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.flatMap(_.toIntOption).getOrElse(500000)
@@ -65,7 +69,9 @@ object StarRecallProbe {
     }
     val corpus = spark.range(nDocs.toLong)
       .select(((col("id") * mult) % nDocs).as("doc_id"),
-        (col("id") / chainLen).as("chain"),
+        // integer div — Spark's `/` is double division and would give
+        // every doc a unique "chain"
+        expr(s"id div $chainLen").as("chain"),
         (col("id") % chainLen).as("pos"))
       .withColumn("text", concat_ws(" ", tokenExprs: _*))
     val dir = s"/tmp/star_recall_${nDocs}_$chainLen"

@@ -129,9 +129,11 @@ object StreamNearDupProbe {
         query.processAllAvailable()
         sent += docs.length
       }
-      // one empty-ish tick so the final watermark advance triggers
-      // event-time eviction accounting in the last progress
-      stream.addData(Seq(Doc(-1L, "tick",
+      // one tick doc so the final watermark advance triggers event-time
+      // eviction accounting in the last progress (≥3 tokens: a shorter
+      // text has no 3-shingles and a null signature would hit the state
+      // encoder's non-nullable array field)
+      stream.addData(Seq(Doc(-1L, "wm advance tick doc xx yy",
         new java.sql.Timestamp(base + spanMs + horizonMs + 1000))))
       query.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9

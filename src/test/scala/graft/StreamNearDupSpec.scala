@@ -125,4 +125,21 @@ class StreamNearDupSpec extends SparkSpec {
     assert(stateRows <= 2L * NB,
       s"state rows $stateRows exceed maxMembers x buckets = ${2 * NB}")
   }
+
+  test("a doc too short to shingle produces no band rows and no state") {
+    // < 3 tokens ⇒ empty shingle set ⇒ all-null signature positions; it
+    // must be dropped BEFORE the state store (a null element would
+    // violate the member array's non-nullable encoder) while its event
+    // time still advances the watermark
+    val batches = Seq(
+      Seq(doc(1L, baseText, "2026-01-15T10:00:00Z"),
+        doc(2L, "too short", "2026-01-15T10:00:01Z")),
+      Seq(doc(3L, nearText, "2026-01-15T10:00:30Z")))
+    val (rows, stateRows) = runStream(batches, horizonMs = 60000L)
+    val flags = flagMap(rows)
+    assert(!flags.contains(2L), "short doc must not reach the stateful stage")
+    assert(flags(3L).contains(1L), "real near-dup detection unaffected")
+    assert(stateRows <= 2L * NB,
+      s"state rows $stateRows exceed the two shingleable docs' bound ${2 * NB}")
+  }
 }
