@@ -274,11 +274,14 @@ object DailyIngestDemo {
     // md5 pick, 90% novel token streams / 10% verbatim copies
     val pick = conv(substring(md5(concat(lit("inc"), col("doc_id"))), 1, 6), 16, 10)
       .cast("long")
+    // offset above the ACTUAL id space — a fixed +1e9 collided with
+    // most real ids on the derived corpora (r13 find)
+    val idOffset = existing.agg(max("doc_id")).head.getLong(0) + 1L
     val newDocs = existing
       .withColumn("r", pick % 10000L)
       .where(col("r") < lit((newFrac * 10000).toLong))
       .withColumn("novel", col("r") % 10 < 9)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(idOffset)).as("doc_id"),
         when(col("novel"), concat_ws(" ",
           (1 to 50).map(i => md5(concat(col("doc_id"), lit(s"-tok$i")))): _*))
           .otherwise(col("text")).as("text"),

@@ -84,12 +84,17 @@ object IncrementalCcProbe {
         // id space.
         val pick = conv(substring(md5(concat(lit("inc"), col("doc_id"))), 1, 6), 16, 10)
           .cast("long")
+        // new ids must live ABOVE the existing id space — a fixed
+        // +1e9 offset collided with ~99% of real ids on the derived
+        // corpora (dense above 1e9), silently conflating new docs with
+        // unrelated existing ones (r13 find; affected r12 probe runs)
+        val idOffset = existing.agg(max("doc_id")).head.getLong(0) + 1L
         val newDocs = existing
           .withColumn("r", pick % 10000L)
           .where(col("r") < lit((newFrac * 10000).toLong))
           .withColumn("novel", col("r") % 10 < 9)
           .select(
-            (col("doc_id") + lit(1000000000L)).as("doc_id"),
+            (col("doc_id") + lit(idOffset)).as("doc_id"),
             when(col("novel"), concat_ws(" ",
               (1 to 50).map(i => md5(concat(col("doc_id"), lit(s"-tok$i")))): _*))
               .otherwise(col("text")).as("text"),
