@@ -199,4 +199,40 @@ class WideLakeSpec extends SparkSpec {
       .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
     assert(hWin == wWin && hWin.nonEmpty)
   }
+
+  test("wide scanSymbol pushes the symbol predicate into the parquet scan") {
+    val syms = (0 until 8).map(i => f"SY${i}%02dUSDT")
+    val wRoot = Files.createTempDirectory("graft-wide-plan").toString
+    new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 8))
+      .writeDaysWide(minutes(syms, hours = 2))
+    val df = new MinuteLakeReader(wRoot).scanSymbol(spark, "SY03USDT")
+    df.queryExecution.toRdd.count()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the symbol predicate must reach the scan (row-group min/max stats
+    // on the sorted symbol column do the skipping the per-symbol
+    // directory tree used to) — not be applied post-scan only
+    assert(formatted.contains("EqualTo(symbol,SY03USDT)"),
+      formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("QueryService.candleBars serves identical bars from hourly and wide lakes") {
+    val syms = Seq("AAAUSDT", "BBBUSDT")
+    val frame = minutes(syms, hours = 4)
+    val hRoot = Files.createTempDirectory("graft-wide-svc-h").toString
+    val wRoot = Files.createTempDirectory("graft-wide-svc-w").toString
+    hourlyLake(frame, hRoot)
+    new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 4)).writeDaysWide(frame)
+    val lo = Day1; val hi = instant("2026-01-15T03:59:00Z")
+    def bars(root: String) = graft.service.QueryService
+      .candleBars(spark, new MinuteLakeReader(root), "BBBUSDT", "15m", lo, hi, limit = 12)
+      .orderBy("timestamp")
+      .select(col("timestamp").cast("string"), col("open"), col("high"),
+        col("low"), col("close"))
+      .collect().map(_.toString).toSeq
+    val h = bars(hRoot); val w = bars(wRoot)
+    assert(h == w && h.size == 12, s"hourly=${h.size} wide=${w.size}")
+  }
 }
