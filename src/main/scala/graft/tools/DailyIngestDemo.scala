@@ -54,9 +54,13 @@ import graft.sources.{HtfLakeWriter, MinuteLakeReader, MinuteLakeWriter, Partiti
   * HTF tick + dedup phase 2 — what the operator's scheduler sees.
   *
   * Run: `sbt "runMain graft.tools.DailyIngestDemo [widthsCsv] [corpusDir]
-  * [newFrac] [dedupMode] [fleetN]"` (defaults `100,1000`,
-  * `/root/testdata/sf0.1`, `0.02`, `bucket`, `32`). Use a
-  * ScaleProbe-derived novel-mode corpus dir for the decade-scale run.
+  * [newFrac] [dedupMode] [fleetN] [layout]"` (defaults `100,1000`,
+  * `/root/testdata/sf0.1`, `0.02`, `bucket`, `32`, `hourly`). Use a
+  * ScaleProbe-derived novel-mode corpus dir for the decade-scale run;
+  * `layout=wide` runs the lake legs on the day-wide layout (the
+  * width-≥10k shape — run with widths `10000` to reproduce the
+  * §8.16 table; the per-symbol orchestrator leg stays hourly, as the
+  * incremental-repair tool it is).
   *
   *  - `dedupMode=verified` swaps the dedup leg to the HIGH-RECALL
   *    production shape (dedup_cc_verified_incremental's construction):
@@ -84,9 +88,14 @@ object DailyIngestDemo {
   /** One day of canonical minutes for W symbols (probe-synthesized,
     * perf-only), written as a partitioned minute lake — `append` lands
     * a NEW day's partitions next to existing ones (the bulk daily
-    * ingest); `overwrite` bootstraps the history. */
+    * ingest); `overwrite` bootstraps the history. With
+    * `layout = wide` the write goes through
+    * [[graft.sources.MinuteLakeWriter.writeDaysWide]] (day-level
+    * partitions, symbol-sorted files — the width-≥10k shape, SURVEY
+    * §8.16) instead of the hourly partitionBy. */
   private def writeDay(spark: SparkSession, root: String, nSymbols: Int,
-                       dayStart: Instant, mode: String): Long = {
+                       dayStart: Instant, mode: String,
+                       layout: graft.sources.LakeLayout): Long = {
     val minutes = 24 * 60
     val base = spark.range(nSymbols.toLong)
       .selectExpr("format_string('SYM%04d', id) AS symbol")
@@ -104,15 +113,22 @@ object DailyIngestDemo {
       if (df.columns.contains(c.name)) df.withColumn(c.name, col(c.name).cast(c.sparkType))
       else df.withColumn(c.name, lit(null).cast(c.sparkType))
     }
-    withCanon
-      .withColumn("year", date_format(col("timestamp"), "yyyy"))
-      .withColumn("month", date_format(col("timestamp"), "MM"))
-      .withColumn("day", date_format(col("timestamp"), "dd"))
-      .withColumn("hour", date_format(col("timestamp"), "HH"))
-      .repartition(col("symbol"))
-      .write.mode(mode)
-      .partitionBy("symbol", "year", "month", "day", "hour")
-      .parquet(s"$root/futures/um/minute")
+    layout match {
+      case w: graft.sources.LakeLayout.DayWide =>
+        new graft.sources.MinuteLakeWriter(root,
+          new PartitionLedger(s"$root/_state"), w)
+          .writeDaysWide(withCanon, merge = mode == "append")
+      case graft.sources.LakeLayout.HourlySymbol =>
+        withCanon
+          .withColumn("year", date_format(col("timestamp"), "yyyy"))
+          .withColumn("month", date_format(col("timestamp"), "MM"))
+          .withColumn("day", date_format(col("timestamp"), "dd"))
+          .withColumn("hour", date_format(col("timestamp"), "HH"))
+          .repartition(col("symbol"))
+          .write.mode(mode)
+          .partitionBy("symbol", "year", "month", "day", "hour")
+          .parquet(s"$root/futures/um/minute")
+    }
     nSymbols.toLong * minutes
   }
 
@@ -159,6 +175,11 @@ object DailyIngestDemo {
     val dedupMode = args.lift(3).getOrElse("bucket")
     require(Set("bucket", "verified")(dedupMode), s"dedupMode bucket|verified, got $dedupMode")
     val fleetN = args.lift(4).flatMap(_.toIntOption).getOrElse(32)
+    val layout: graft.sources.LakeLayout = args.lift(5).getOrElse("hourly") match {
+      case "wide" => graft.sources.LakeLayout.DayWide()
+      case "hourly" => graft.sources.LakeLayout.HourlySymbol
+      case other => sys.error(s"layout hourly|wide, got $other")
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -176,9 +197,9 @@ object DailyIngestDemo {
       val root = s"$tmp/lake_$w"
       // yesterday: one day of history + its HTF backfill (one-time setup,
       // amortized across every later tick — reported, not part of the tick)
-      val (nHist, histSecs) = timed(writeDay(spark, root, w, Day1, "overwrite"))
+      val (nHist, histSecs) = timed(writeDay(spark, root, w, Day1, "overwrite", layout))
       val reader = new MinuteLakeReader(root)
-      val writer = new HtfLakeWriter(s"$root/htf")
+      val writer = new HtfLakeWriter(s"$root/htf", layout)
       val state = new AggregatorStateStore(s"$root/_aggstate")
       val (bf, bfSecs) = timed {
         AggregatorRunner.runBackfillAll(spark, reader, writer, state, s"$root/htf", spec)
@@ -248,7 +269,7 @@ object DailyIngestDemo {
       }
 
       // ---- 2. bulk width ingest: today's minutes for ALL symbols, one job
-      val (nNew, ingestSecs) = timed(writeDay(spark, root, w, Day2, "append"))
+      val (nNew, ingestSecs) = timed(writeDay(spark, root, w, Day2, "append", layout))
       // ---- 3. HTF tick picks the day up from the watermarks
       val (inc, tickSecs) = timed {
         AggregatorRunner.runIncrementalAll(spark, reader, writer, state, s"$root/htf", spec)

@@ -235,4 +235,24 @@ class WideLakeSpec extends SparkSpec {
     val h = bars(hRoot); val w = bars(wRoot)
     assert(h == w && h.size == 12, s"hourly=${h.size} wide=${w.size}")
   }
+
+  test("LakeMigrate: hourly lake migrates to day-wide with parity verified") {
+    val syms = Seq("AAAUSDT", "BBBUSDT", "CCCUSDT")
+    val frame = minutes(syms, hours = 26) // crosses a day boundary
+    val hRoot = Files.createTempDirectory("graft-mig-src").toString
+    val wRoot = Files.createTempDirectory("graft-mig-dst").toString
+    hourlyLake(frame, hRoot)
+
+    val report = graft.sources.LakeMigrate.hourlyToDayWide(spark, hRoot, wRoot,
+      filesPerDay = 4)
+    assert(report.parityOk, s"migration parity failed: $report")
+    assert(report.rows == syms.size * 26L * 60 && report.symbols == syms.size)
+
+    // destination reads as a day-wide lake through the standard reader
+    val r = new MinuteLakeReader(wRoot)
+    assert(r.scanSymbol(spark, "BBBUSDT").count() == 26 * 60)
+    val lo = instant("2026-01-15T10:00:00Z"); val hi = instant("2026-01-15T11:59:00Z")
+    assert(sortedRows(r.readWindowAllSymbols(spark, lo, hi).get) ==
+      sortedRows(new MinuteLakeReader(hRoot).readWindowAllSymbols(spark, lo, hi).get))
+  }
 }
