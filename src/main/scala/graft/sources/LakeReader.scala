@@ -3,7 +3,7 @@ package graft.sources
 import java.time.Instant
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ops
@@ -246,8 +246,23 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   }
 
   /** min/max timestamp — parquet footer statistics make this a
-    * metadata-only scan (S2). */
+    * metadata-only scan (S2). On the day-wide layout a whole-lake footer
+    * scan still costs O(depth × filesPerDay) listings+footers (measured
+    * 4.8 s at 365 days, WideDepthProbe), and [[latestMinute]] sits on the
+    * per-symbol incremental tick — so wide probes day partitions from
+    * each END of the date-sorted directory list in exponentially growing
+    * batches instead: a symbol present at the lake edges (the steady
+    * state) resolves in one ≤filesPerDay-file job per bound, independent
+    * of depth. Day partitions derive from `timestamp`, so the first
+    * day-batch containing the symbol bounds the global min (resp. max). */
   def inspectRange(spark: SparkSession, symbol: String): (Option[Instant], Option[Instant]) = {
+    if (isWide(spark)) {
+      val days = dayDirsAscending(spark)
+      val mn = probeDays(spark, days, symbol, min(col("timestamp")))
+      val mx = if (mn.isEmpty) None
+               else probeDays(spark, days.reverse, symbol, max(col("timestamp")))
+      return (mn.map(_.toInstant), mx.map(_.toInstant))
+    }
     val r = scanSymbol(spark, symbol)
       .agg(min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"))
       .collect().head
@@ -255,7 +270,47 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   }
 
   def latestMinute(spark: SparkSession, symbol: String): Option[Instant] =
-    inspectRange(spark, symbol)._2
+    if (isWide(spark))
+      probeDays(spark, dayDirsAscending(spark).reverse, symbol,
+        max(col("timestamp"))).map(_.toInstant)
+    else inspectRange(spark, symbol)._2
+
+  /** Every `year=/month=/day=` directory of a day-wide lake in ascending
+    * (year, month, day) numeric order — an O(depth) metadata walk. */
+  private def dayDirsAscending(spark: SparkSession): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    def numericAsc(p: HPath): Seq[HPath] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("="))
+        .sortBy(d => d.getName.substring(d.getName.indexOf('=') + 1)
+          .toLongOption.getOrElse(-1L)).toSeq
+    for {
+      y <- numericAsc(new HPath(lakeDir))
+      m <- numericAsc(y)
+      d <- numericAsc(m)
+    } yield d.toString
+  }
+
+  /** First non-null `agg` over `symbol`'s rows, probing `order`ed day
+    * dirs in batches of 1, 2, 4, … — at most O(log depth) jobs, and the
+    * total files read across ALL probes is ≤ 2× the files before the
+    * terminating batch. */
+  private def probeDays(spark: SparkSession, order: Seq[String], symbol: String,
+                        agg: Column): Option[java.sql.Timestamp] = {
+    var taken = 0
+    var batch = 1
+    while (taken < order.length) {
+      val slice = order.slice(taken, taken + batch)
+      val r = spark.read.option("basePath", lakeDir).parquet(slice: _*)
+        .where(col("symbol") === symbol.toUpperCase)
+        .agg(agg).collect().head
+      if (!r.isNullAt(0)) return Some(r.getTimestamp(0))
+      taken += batch
+      batch *= 2
+    }
+    None
+  }
 
   def scanAvailableMinutes(spark: SparkSession, symbol: String,
                            start: Option[Instant] = None,
@@ -271,7 +326,24 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     * greatest (arrival_time, event_time, transact_time, update_id_end)
     * nulls-last tuple. */
   def readWindow(spark: SparkSession, symbol: String, start: Instant, end: Instant): DataFrame = {
-    val df = scanSymbol(spark, symbol)
+    val base =
+      if (isWide(spark)) {
+        // prune by the day PARTITION values first — scanSymbol drops
+        // them, and a data-column-only timestamp filter still lists and
+        // footer-reads every file in the lake, so request latency grew
+        // with DEPTH (measured ×2.1 from 30 to 120 days, WideDepthProbe)
+        val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+          .withZone(java.time.ZoneOffset.UTC)
+        val dayKey = concat(
+          lpad(col("year").cast("string"), 4, "0"),
+          lpad(col("month").cast("string"), 2, "0"),
+          lpad(col("day").cast("string"), 2, "0"))
+        spark.read.parquet(lakeDir)
+          .where(dayKey.between(dfmt.format(start), dfmt.format(end)))
+          .where(col("symbol") === symbol.toUpperCase)
+          .drop("year", "month", "day", "symbol")
+      } else scanSymbol(spark, symbol)
+    val df = base
       .where(col("timestamp").between(
         java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
     Ops.dedupKeepLast(df, Seq("timestamp"),

@@ -109,6 +109,28 @@ class WideLakeSpec extends SparkSpec {
     assert(hr.latestMinuteAllSymbols(spark) == wr.latestMinuteAllSymbols(spark))
   }
 
+  test("wide inspectRange/latestMinute: end-probed, parity incl. stragglers and absent symbols") {
+    // EEEUSDT stops 10 hours into day 1 — the max-probe's first batch
+    // (deepest day) finds nothing for it and must expand backward; the
+    // min-probe finds every symbol in batch 1. FFFUSDT never exists.
+    val frame = minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 26)
+      .unionByName(minutes(Seq("EEEUSDT"), hours = 10))
+    val hRoot = Files.createTempDirectory("graft-insp-h").toString
+    val wRoot = Files.createTempDirectory("graft-insp-w").toString
+    hourlyLake(frame, hRoot)
+    new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 3)).writeDaysWide(frame)
+    val hr = new MinuteLakeReader(hRoot)
+    val wr = new MinuteLakeReader(wRoot)
+    for (s <- Seq("AAAUSDT", "EEEUSDT")) {
+      assert(wr.inspectRange(spark, s) == hr.inspectRange(spark, s), s)
+      assert(wr.latestMinute(spark, s) == hr.latestMinute(spark, s), s)
+    }
+    assert(wr.inspectRange(spark, "EEEUSDT")._2.contains(instant("2026-01-15T09:59:00Z")))
+    assert(wr.inspectRange(spark, "FFFUSDT") == (None, None))
+    assert(wr.latestMinute(spark, "FFFUSDT").isEmpty)
+  }
+
   test("wide merge is last-wins keyed by (symbol, timestamp), sibling symbols survive") {
     val wRoot = Files.createTempDirectory("graft-wide-m").toString
     val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
