@@ -24,6 +24,53 @@ import graft.schema.CanonicalSchema
   * re-keyed as `timestamp` so downstream consumes HTF bars and 1m bars
   * through the same column. Partition pruning comes from the Hive
   * layout + timestamp predicates (no manual path math). */
+/** Metadata walks over a day-wide tree's `year=/month=/day=` partition
+  * directories — O(depth) directory statuses, never a file listing.
+  * Shared by the minute and HTF readers so bounded window reads touch
+  * exactly the day dirs they need (a root-read + partition predicate
+  * still LISTS every file in the lake before pruning). */
+private[sources] object DayDirs {
+
+  /** Every day directory under `base` in ascending (year, month, day)
+    * numeric order. */
+  def ascending(fs: FileSystem, base: String): Seq[String] = {
+    def numericAsc(p: HPath): Seq[HPath] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("="))
+        .sortBy(d => d.getName.substring(d.getName.indexOf('=') + 1)
+          .toLongOption.getOrElse(-1L)).toSeq
+    for {
+      y <- numericAsc(new HPath(base))
+      m <- numericAsc(y)
+      d <- numericAsc(m)
+    } yield d.toString
+  }
+
+  /** The (year, month, day) of a walked day-dir path — parsed from the
+    * directory names rather than re-constructed, so int- and zero-padded
+    * partition values both match. */
+  def ymdOf(p: String): (Int, Int, Int) = {
+    val a = p.split('/').takeRight(3).map { s =>
+      s.substring(s.indexOf('=') + 1).toLongOption.getOrElse(-1L).toInt
+    }
+    (a(0), a(1), a(2))
+  }
+
+  /** The day directories whose (year, month, day) intersect
+    * [start, end]. */
+  def inRange(fs: FileSystem, base: String, start: Instant,
+              end: Instant): Seq[String] = {
+    val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val lo = dfmt.format(start); val hi = dfmt.format(end)
+    ascending(fs, base).filter { p =>
+      val (y, m, d) = ymdOf(p)
+      val key = f"$y%04d$m%02d$d%02d"
+      key >= lo && key <= hi
+    }
+  }
+}
+
 class HtfLakeReader(root: String) {
 
   private def dir(timeframe: String, symbol: String) =
@@ -39,11 +86,20 @@ class HtfLakeReader(root: String) {
       else {
         // day-wide layout: no per-symbol directory level — symbol is a
         // sorted data column under timeframe=T/year=/month=/day=, and
-        // parquet min/max stats on it do the per-symbol skipping
+        // parquet min/max stats on it do the per-symbol skipping. The
+        // window's day dirs are read EXPLICITLY (bucket_start derives the
+        // day partition), same as the minute reader — a tfDir root-read
+        // listed the whole HTF tree per request. An in-range-empty
+        // window reads ONE day dir so the result keeps the real schema.
         val tfDir = s"$root/timeframe=$timeframe"
-        if (LakeLayout.detect(fs, tfDir).exists(_.isInstanceOf[LakeLayout.DayWide]))
-          spark.read.parquet(tfDir).where(col("symbol") === symbol.toUpperCase)
-        else return None
+        if (LakeLayout.detect(fs, tfDir).exists(_.isInstanceOf[LakeLayout.DayWide])) {
+          val days = DayDirs.inRange(fs, tfDir, start, end)
+          val paths = if (days.nonEmpty) days
+                      else DayDirs.ascending(fs, tfDir).takeRight(1)
+          if (paths.isEmpty) return None
+          spark.read.option("basePath", tfDir).parquet(paths: _*)
+            .where(col("symbol") === symbol.toUpperCase)
+        } else return None
       }
     var df = base
       .where(col("bucket_start").between(
@@ -136,15 +192,20 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     val df =
       if (isWide(spark)) {
         // pruning floor is a DAY here (the layout's documented trade);
-        // row-group timestamp stats still skip within the day's files
-        val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-          .withZone(java.time.ZoneOffset.UTC)
-        val dayKey = concat(
-          lpad(col("year").cast("string"), 4, "0"),
-          lpad(col("month").cast("string"), 2, "0"),
-          lpad(col("day").cast("string"), 2, "0"))
-        spark.read.parquet(lakeDir)
-          .where(dayKey.between(dfmt.format(start), dfmt.format(end)))
+        // row-group timestamp stats still skip within the day's files.
+        // The touched day dirs are read EXPLICITLY — `spark.read(root)`
+        // + a partition predicate still LISTS every file in the lake
+        // before pruning, so bounded windows paid O(depth) listing
+        // (WideDepthProbe); the O(depth) directory walk is metadata-only
+        val days = dayDirsInRange(spark, start, end)
+        if (days.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructField("symbol",
+                org.apache.spark.sql.types.StringType) +:
+              CanonicalSchema.structType.fields))
+        else spark.read.option("basePath", lakeDir).parquet(days: _*)
           .drop("year", "month", "day")
       } else {
         val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
@@ -277,20 +338,14 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
 
   /** Every `year=/month=/day=` directory of a day-wide lake in ascending
     * (year, month, day) numeric order — an O(depth) metadata walk. */
-  private def dayDirsAscending(spark: SparkSession): Seq[String] = {
-    val fs = FileSystem.get(new java.net.URI(root),
-      spark.sparkContext.hadoopConfiguration)
-    def numericAsc(p: HPath): Seq[HPath] =
-      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.contains("="))
-        .sortBy(d => d.getName.substring(d.getName.indexOf('=') + 1)
-          .toLongOption.getOrElse(-1L)).toSeq
-    for {
-      y <- numericAsc(new HPath(lakeDir))
-      m <- numericAsc(y)
-      d <- numericAsc(m)
-    } yield d.toString
-  }
+  private def dayDirsAscending(spark: SparkSession): Seq[String] =
+    DayDirs.ascending(FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration), lakeDir)
+
+  private def dayDirsInRange(spark: SparkSession, start: Instant,
+                             end: Instant): Seq[String] =
+    DayDirs.inRange(FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration), lakeDir, start, end)
 
   /** First non-null `agg` over `symbol`'s rows, probing `order`ed day
     * dirs in batches of 1, 2, 4, … — at most O(log depth) jobs, and the
@@ -328,18 +383,18 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   def readWindow(spark: SparkSession, symbol: String, start: Instant, end: Instant): DataFrame = {
     val base =
       if (isWide(spark)) {
-        // prune by the day PARTITION values first — scanSymbol drops
-        // them, and a data-column-only timestamp filter still lists and
-        // footer-reads every file in the lake, so request latency grew
-        // with DEPTH (measured ×2.1 from 30 to 120 days, WideDepthProbe)
-        val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-          .withZone(java.time.ZoneOffset.UTC)
-        val dayKey = concat(
-          lpad(col("year").cast("string"), 4, "0"),
-          lpad(col("month").cast("string"), 2, "0"),
-          lpad(col("day").cast("string"), 2, "0"))
-        spark.read.parquet(lakeDir)
-          .where(dayKey.between(dfmt.format(start), dfmt.format(end)))
+        // read the touched day dirs EXPLICITLY — scanSymbol drops the
+        // partition columns, and even a partition predicate on a
+        // root-read lists every file in the lake before pruning, so a
+        // 3-hour request paid O(depth) listing + footer reads (request
+        // latency ×5.7 from 30 to 365 days, WideDepthProbe). The
+        // directory walk is O(depth) metadata; the read is O(window)
+        val days = dayDirsInRange(spark, start, end)
+        if (days.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            CanonicalSchema.structType)
+        else spark.read.option("basePath", lakeDir).parquet(days: _*)
           .where(col("symbol") === symbol.toUpperCase)
           .drop("year", "month", "day", "symbol")
       } else scanSymbol(spark, symbol)

@@ -287,16 +287,21 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       val effective = mergeTmp match {
         case None => staged
         case Some(t) =>
-          import spark.implicits._
-          val touchedDf = touched.toIndexedSeq
-            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-            .toDF("year", "month", "day")
-          val existingTouched = spark.read.parquet(lakeDir)
-            .join(broadcast(touchedDf), Seq("year", "month", "day"), "left_semi")
-            .drop("year", "month", "day")
-          mergePartitionFramesKeyed(existingTouched, staged, Seq("symbol", "timestamp"))
-            .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
-          spark.read.parquet(t)
+          // read the touched day dirs EXPLICITLY — a root-read +
+          // partition semi-join still LISTS every file in the lake
+          // before pruning, so merging one day into a years-deep lake
+          // paid O(depth) listing (same fix as the reader paths)
+          val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+          val touchedDirs = DayDirs.ascending(fs, lakeDir)
+            .filter(p => touchedSet.contains(DayDirs.ymdOf(p)))
+          if (touchedDirs.isEmpty) staged
+          else {
+            val existingTouched = spark.read.option("basePath", lakeDir)
+              .parquet(touchedDirs: _*).drop("year", "month", "day")
+            mergePartitionFramesKeyed(existingTouched, staged, Seq("symbol", "timestamp"))
+              .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+            spark.read.parquet(t)
+          }
       }
 
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -546,19 +551,22 @@ class HtfLakeWriter(root: String,
       val effective = mergeTmp match {
         case None => staged
         case Some(t) =>
-          import spark.implicits._
-          val touchedDf = touched.toIndexedSeq
-            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-            .toDF("year", "month", "day")
-          val existingTouched = spark.read.parquet(dir)
-            .join(broadcast(touchedDf), Seq("year", "month", "day"), "left_semi")
-            .drop("year", "month", "day")
-          Ops.dedupKeepLast(
-            existingTouched.withColumn("__src", lit(0))
-              .unionByName(staged.withColumn("__src", lit(1)), allowMissingColumns = true),
-            Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src")
-            .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
-          spark.read.parquet(t)
+          // explicit touched-day read — same no-root-listing rule as
+          // writeDaysWide's merge
+          val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+          val touchedDirs = DayDirs.ascending(fs, dir)
+            .filter(p => touchedSet.contains(DayDirs.ymdOf(p)))
+          if (touchedDirs.isEmpty) staged
+          else {
+            val existingTouched = spark.read.option("basePath", dir)
+              .parquet(touchedDirs: _*).drop("year", "month", "day")
+            Ops.dedupKeepLast(
+              existingTouched.withColumn("__src", lit(0))
+                .unionByName(staged.withColumn("__src", lit(1)), allowMissingColumns = true),
+              Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src")
+              .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
+            spark.read.parquet(t)
+          }
       }
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       withPartCols(effective)

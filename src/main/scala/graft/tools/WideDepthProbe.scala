@@ -82,8 +82,10 @@ object WideDepthProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val tmp = java.nio.file.Files.createTempDirectory("graft-wide-depth").toString
 
-    // hourly cross-layout point at the shallow depth
-    locally {
+    // hourly cross-layout point at the shallow depth (0 skips it — the
+    // wide-only runs at production width / multi-year depth sit in the
+    // regime the width probe already showed unbuildable as hourly)
+    if (hourlyDepth > 0) locally {
       val root = s"$tmp/hourly_$hourlyDepth"
       val t0 = System.nanoTime()
       dayFrame(spark, width, hourlyDepth)

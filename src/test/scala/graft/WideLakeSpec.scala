@@ -129,6 +129,16 @@ class WideLakeSpec extends SparkSpec {
     assert(wr.inspectRange(spark, "EEEUSDT")._2.contains(instant("2026-01-15T09:59:00Z")))
     assert(wr.inspectRange(spark, "FFFUSDT") == (None, None))
     assert(wr.latestMinute(spark, "FFFUSDT").isEmpty)
+
+    // windows that touch NO day partition (explicit-day read path's
+    // empty case): schema preserved, zero rows, both window forms
+    val before = instant("2025-12-01T00:00:00Z")
+    val beforeEnd = instant("2025-12-02T00:00:00Z")
+    val w0 = wr.readWindow(spark, "AAAUSDT", before, beforeEnd)
+    assert(w0.count() == 0 &&
+      w0.columns.sorted.toSeq == hr.readWindow(spark, "AAAUSDT", before, beforeEnd).columns.sorted.toSeq)
+    val a0 = wr.readWindowAllSymbols(spark, before, beforeEnd).get
+    assert(a0.count() == 0 && a0.columns.contains("symbol"))
   }
 
   test("wide merge is last-wins keyed by (symbol, timestamp), sibling symbols survive") {
