@@ -113,8 +113,9 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           status = "COMMITTED",
           committedAtUtc = Instant.now.toString,
           // content hash is per-PARTITION; a day-wide partition is
-          // rewritten by later symbols' writes, so the audit story at
-          // day grain is the HTF fingerprint skip, not this hash
+          // rewritten by later symbols' writes, so this per-symbol-hour
+          // row is bookkeeping only — the audit surface is the day-grain
+          // "__ALL__" row writeDaysWide commits (distributed hash)
           contentHash = ""))
         return dayDir
       case LakeLayout.HourlySymbol => ()
@@ -160,16 +161,27 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     ledger.all().filter(_.status == "COMMITTED")
       .sortBy(e => (e.symbol, e.day, e.hour))
       .map { e =>
+        // recompute with the SAME function that recorded the hash:
+        // hourly entries (hour ≥ 0) hashed on the driver at commit;
+        // day-grain wide entries (hour = -1) hashed distributed
+        def recompute(): String =
+          if (e.hour < 0)
+            MinuteLakeWriter.dayContentHashes(spark, Seq(e.path))
+              .getOrElse(DayDirs.ymdOf(e.path), "")
+          else MinuteLakeWriter.contentHashOfDir(fs, e.path)
+        def isIoFailure(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[java.io.IOException] || isIoFailure(t.getCause))
         val issue =
           if (!fs.exists(new HPath(e.path))) "missing_partition"
           else if (e.contentHash.isEmpty) "no_recorded_hash"
           else
-            scala.util.Try(MinuteLakeWriter.contentHashOfDir(fs, e.path)) match {
+            scala.util.Try(recompute()) match {
               case scala.util.Success(h) if h == e.contentHash => "ok"
               case scala.util.Success(_) => "hash_mismatch"
               // e.g. Hadoop's ChecksumFileSystem already refusing the
-              // bytes — corrupt either way, but distinguishable
-              case scala.util.Failure(_: java.io.IOException) => "unreadable"
+              // bytes — corrupt either way, but distinguishable (the
+              // distributed path surfaces it wrapped in a SparkException)
+              case scala.util.Failure(t) if isIoFailure(t) => "unreadable"
               case scala.util.Failure(other) => throw other
             }
         PartitionAuditResult(e.symbol, e.day, e.hour, e.path, issue)
@@ -221,12 +233,13 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    withPartCols(effective)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("symbol", "year", "month", "day", "hour")
-      .option("compression", "zstd")
-      .parquet(lakeDir)
-    tmp.foreach(t => fs.delete(new HPath(t), true))
+    try {
+      withPartCols(effective)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("symbol", "year", "month", "day", "hour")
+        .option("compression", "zstd")
+        .parquet(lakeDir)
+    } finally tmp.foreach(t => fs.delete(new HPath(t), true))
   }
 
   /** Day-wide bulk write ([[LakeLayout.DayWide]]): a multi-symbol,
@@ -269,6 +282,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
 
     // stage the increment once (see Scaladoc)
     val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    var mergeTmpDir: Option[String] = None
     frame.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
     try {
       val staged = spark.read.parquet(stageDir)
@@ -284,6 +298,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       val mergeTmp =
         if (!hasExisting) None
         else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      mergeTmpDir = mergeTmp
       val effective = mergeTmp match {
         case None => staged
         case Some(t) =>
@@ -313,8 +328,48 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         .partitionBy("year", "month", "day")
         .option("compression", "zstd")
         .parquet(lakeDir)
-      mergeTmp.foreach(t => fs.delete(new HPath(t), true))
-    } finally fs.delete(new HPath(stageDir), true)
+
+      // S13 at day grain: commit one ledger row per touched day
+      // (symbol = "__ALL__", hour = -1) with row bounds and a content
+      // hash over the day's files — the same tamper/delete audit surface
+      // the hourly path records per symbol-hour, computed DISTRIBUTED
+      // (one executors-side hash job for all touched days) because a
+      // bulk day at production width is hundreds of MB
+      val touchedYmd = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val committedDirs = DayDirs.ascending(fs, lakeDir)
+        .map(p => DayDirs.ymdOf(p) -> p).toMap
+        .filter { case (ymd, _) => touchedYmd.contains(ymd) }
+      val hashes = MinuteLakeWriter.dayContentHashes(spark, committedDirs.values.toSeq)
+      val bounds = withPartCols(effective)
+        .groupBy(col("year").cast("int").as("y"),
+                 col("month").cast("int").as("m"),
+                 col("day").cast("int").as("d"))
+        .agg(count(lit(1)).as("n"),
+             min(col("timestamp")).cast("string").as("mn"),
+             max(col("timestamp")).cast("string").as("mx"))
+        .collect()
+      bounds.foreach { r =>
+        val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
+        committedDirs.get(ymd).foreach { dayDir =>
+          ledger.upsert(PartitionLedgerEntry(
+            symbol = "__ALL__",
+            day = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d",
+            hour = -1,
+            path = dayDir,
+            rowCount = r.getLong(3),
+            minTs = r.getString(4),
+            maxTs = r.getString(5),
+            schemaHash = CanonicalSchema.schemaHash,
+            status = "COMMITTED",
+            committedAtUtc = Instant.now.toString,
+            contentHash = hashes.getOrElse(ymd, "")))
+        }
+      }
+    } finally {
+      // stage + merge tmp both cleaned on failure too
+      fs.delete(new HPath(stageDir), true)
+      mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
+    }
   }
 }
 
@@ -334,6 +389,38 @@ object MinuteLakeWriter {
     * sorted-name order — metadata files like _SUCCESS and .crc are
     * excluded because they differ across committers without the data
     * changing). */
+  /** Distributed content hashes for day-wide partitions, keyed by the
+    * parsed (year, month, day) of each file's parent dir: per-file
+    * SHA-256 computed on EXECUTORS (binaryFile source — it skips `_`/`.`
+    * metadata files), combined per day in file-name order. One Spark job
+    * for ANY number of days. The hourly path hashes its one coalesced
+    * file on the driver at commit ([[contentHashOfDir]]); a bulk day at
+    * width 10k+ is hundreds of MB × many days — driver-side hashing
+    * would serialize the data plane, so the bulk path distributes it. */
+  def dayContentHashes(spark: SparkSession,
+                       dayDirs: Seq[String]): Map[(Int, Int, Int), String] = {
+    if (dayDirs.isEmpty) return Map.empty
+    import spark.implicits._
+    val perFile = spark.read.format("binaryFile").load(dayDirs: _*)
+      .select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val cut = p.lastIndexOf('/')
+        val name = p.substring(cut + 1)
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+        d.update(name.getBytes(StandardCharsets.UTF_8))
+        d.update(bytes)
+        (p.substring(0, cut), name, d.digest().map("%02x".format(_)).mkString)
+      }.collect()
+    perFile.groupBy(f => DayDirs.ymdOf(f._1)).map { case (ymd, files) =>
+      val combined = java.security.MessageDigest.getInstance("SHA-256")
+      files.sortBy(_._2).foreach { case (_, n, h) =>
+        combined.update(n.getBytes(StandardCharsets.UTF_8))
+        combined.update(h.getBytes(StandardCharsets.UTF_8))
+      }
+      ymd -> combined.digest().map("%02x".format(_)).mkString
+    }
+  }
+
   def contentHashOfDir(fs: FileSystem, dir: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
     val files = fs.listStatus(new HPath(dir)).filter(_.isFile)
@@ -455,12 +542,13 @@ class HtfLakeWriter(root: String,
     }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    withDayCols(stage)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("year", "month", "day")
-      .option("compression", "zstd")
-      .parquet(dir)
-    tmp.foreach(t => fs.delete(new HPath(t), true))
+    try {
+      withDayCols(stage)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("year", "month", "day")
+        .option("compression", "zstd")
+        .parquet(dir)
+    } finally tmp.foreach(t => fs.delete(new HPath(t), true))
   }
 
   /** All-symbols bulk path: `buckets` carries a `symbol` column; ONE
@@ -508,12 +596,13 @@ class HtfLakeWriter(root: String,
         spark.read.parquet(t)
     }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    withPartCols(stage)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("symbol", "year", "month", "day")
-      .option("compression", "zstd")
-      .parquet(dir)
-    tmp.foreach(t => fs.delete(new HPath(t), true))
+    try {
+      withPartCols(stage)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("symbol", "year", "month", "day")
+        .option("compression", "zstd")
+        .parquet(dir)
+    } finally tmp.foreach(t => fs.delete(new HPath(t), true))
   }
 
   /** Day-wide HTF bulk write: `timeframe=T/year=/month=/day=` with
@@ -534,6 +623,7 @@ class HtfLakeWriter(root: String,
     // stage once: day count + range sampling + final write must not
     // re-run the upstream aggregation plan (see writeDaysWide Scaladoc)
     val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    var mergeTmpDir: Option[String] = None
     buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
     try {
       val staged = spark.read.parquet(stageDir)
@@ -548,6 +638,7 @@ class HtfLakeWriter(root: String,
       val mergeTmp =
         if (!hasExisting) None
         else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      mergeTmpDir = mergeTmp
       val effective = mergeTmp match {
         case None => staged
         case Some(t) =>
@@ -577,8 +668,11 @@ class HtfLakeWriter(root: String,
         .partitionBy("year", "month", "day")
         .option("compression", "zstd")
         .parquet(dir)
-      mergeTmp.foreach(t => fs.delete(new HPath(t), true))
-    } finally fs.delete(new HPath(stageDir), true)
+    } finally {
+      // stage + merge tmp both cleaned on failure too
+      fs.delete(new HPath(stageDir), true)
+      mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
+    }
   }
 
   def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,

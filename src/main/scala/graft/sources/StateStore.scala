@@ -31,7 +31,7 @@ class PartitionLedger(dir: String) {
 
   private def field(json: String, key: String): String = {
     val m = ("\"" + key + "\":\"([^\"]*)\"").r.findFirstMatchIn(json)
-      .orElse(("\"" + key + "\":([0-9]+)").r.findFirstMatchIn(json))
+      .orElse(("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(json))
     m.map(_.group(1)).getOrElse("")
   }
 

@@ -28,9 +28,10 @@ object WideDepthProbe {
 
   private val End = Instant.parse("2026-01-15T00:00:00Z") // lake head (exclusive)
 
-  private def dayFrame(spark: SparkSession, nSymbols: Int, days: Int) = {
+  private def dayFrame(spark: SparkSession, nSymbols: Int, days: Int,
+                       endAt: Instant = End) = {
     val minutes = days * 24 * 60
-    val start = End.minus(days.toLong, ChronoUnit.DAYS)
+    val start = endAt.minus(days.toLong, ChronoUnit.DAYS)
     val base = spark.range(nSymbols.toLong)
       .selectExpr("format_string('SYM%04d', id) AS symbol")
       .crossJoin(spark.range(minutes.toLong).select(
@@ -112,9 +113,21 @@ object WideDepthProbe {
       writer.writeDaysWide(dayFrame(spark, width, d))
       val build = (System.nanoTime() - t0) / 1e9
       val (req, insp) = medianRequest(spark, root)
+      // the operational deep-lake questions, both depth-flat by
+      // construction now: a REPAIR tick (re-ingest the deepest existing
+      // day, merge=true — the merge read must touch only that day's
+      // files, not list the lake) and an APPEND tick (a brand-new day —
+      // touched dirs empty, pure bulk write)
+      val t1 = System.nanoTime()
+      writer.writeDaysWide(dayFrame(spark, width, 1, End), merge = true)
+      val repair = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      writer.writeDaysWide(
+        dayFrame(spark, width, 1, End.plus(1, ChronoUnit.DAYS)), merge = true)
+      val append = (System.nanoTime() - t2) / 1e9
       println(f"[wide-depth] layout=day-wide width=$width depth=$d%4d d " +
         f"build=$build%.1f s request=${req * 1000}%.0f ms inspectRange=${insp * 1000}%.0f ms " +
-        f"(files=${d * 32})")
+        f"repair-tick=$repair%.1f s append-tick=$append%.1f s (files=${d * 32})")
     }
     spark.stop()
   }

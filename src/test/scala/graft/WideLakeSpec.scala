@@ -141,6 +141,43 @@ class WideLakeSpec extends SparkSpec {
     assert(a0.count() == 0 && a0.columns.contains("symbol"))
   }
 
+  test("wide bulk write commits day-grain ledger rows; audit detects tamper and deletes") {
+    val wRoot = Files.createTempDirectory("graft-audit-w").toString
+    val ledger = new PartitionLedger(s"$wRoot/_state")
+    val writer = new MinuteLakeWriter(wRoot, ledger, LakeLayout.DayWide(filesPerDay = 3))
+    writer.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 26)) // 2 days
+
+    val dayRows = ledger.all().filter(_.hour < 0)
+    assert(dayRows.size == 2 && dayRows.forall(e =>
+      e.symbol == "__ALL__" && e.contentHash.nonEmpty && e.rowCount > 0))
+    assert(dayRows.map(_.rowCount).sum == 2 * 26 * 60)
+    assert(writer.auditPartitions(spark).forall(_.issue == "ok"))
+
+    // a merge rewrite re-commits the touched day's row: audit stays ok
+    writer.writeDaysWide(
+      minutes(Seq("AAAUSDT"), hours = 1, openBase = 200.0), merge = true)
+    assert(writer.auditPartitions(spark).forall(_.issue == "ok"))
+
+    // tamper one data file in day 1 → that day's audit flags a mismatch
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val day1 = new org.apache.hadoop.fs.Path(
+      ledger.all().filter(_.hour < 0).minBy(_.day).path)
+    val victim = fs.listStatus(day1).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")).head
+    val out = fs.create(victim, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    val issues = writer.auditPartitions(spark).filter(_.hour < 0)
+      .map(r => r.day -> r.issue).toMap
+    assert(issues.values.count(_ == "hash_mismatch") == 1)
+    assert(issues.values.count(_ == "ok") == 1)
+
+    // delete the other day entirely → missing_partition
+    val day2 = ledger.all().filter(_.hour < 0).maxBy(_.day).path
+    fs.delete(new org.apache.hadoop.fs.Path(day2), true)
+    assert(writer.auditPartitions(spark).filter(_.hour < 0)
+      .map(_.issue).sorted == Seq("hash_mismatch", "missing_partition"))
+  }
+
   test("wide merge is last-wins keyed by (symbol, timestamp), sibling symbols survive") {
     val wRoot = Files.createTempDirectory("graft-wide-m").toString
     val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
