@@ -18,12 +18,18 @@ import graft.sources.{LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionL
   * hourly lake at the shallowest depth for a cross-layout point (an
   * hourly lake at depth 365 × width 100 would be 876k files — the
   * regime the width probe already showed unbuildable on this FS), and
-  * times the SERVICE request path (`QueryService.candleBars`, 15m × 12
-  * bars ending at the lake head) and `inspectRange` per layout/depth,
-  * median of 5.
+  * per layout/depth times: the SERVICE request path
+  * (`QueryService.candleBars`, 15m × 12 bars ending at the lake head)
+  * and `inspectRange`, median of 5; then a REPAIR tick (re-ingest the
+  * deepest existing day, merge=true — exercises the touched-day merge
+  * read) and an APPEND tick (a new day, pure bulk write). Every leg
+  * must come out depth-flat (measured flat 30 d → 3,650 d, SURVEY
+  * §8.16); a regression here means an O(depth) listing crept back into
+  * a bounded path.
   *
   * Run: `sbt "runMain graft.tools.WideDepthProbe [width] [depthsCsv]
-  * [hourlyDepth]"` (defaults 100 / 30,120,365 / 30). */
+  * [hourlyDepth]"` (defaults 100 / 30,120,365 / 30; hourlyDepth 0
+  * skips the hourly leg). */
 object WideDepthProbe {
 
   private val End = Instant.parse("2026-01-15T00:00:00Z") // lake head (exclusive)
