@@ -396,7 +396,10 @@ object MinuteLakeWriter {
     * for ANY number of days. The hourly path hashes its one coalesced
     * file on the driver at commit ([[contentHashOfDir]]); a bulk day at
     * width 10k+ is hundreds of MB × many days — driver-side hashing
-    * would serialize the data plane, so the bulk path distributes it. */
+    * would serialize the data plane, so the bulk path distributes it.
+    * binaryFile materializes one file per row (hard cap 2 GB); the
+    * `filesPerDay` sizing keeps wide files well under it (~300 MB at
+    * width 100k ÷ 32 files). */
   def dayContentHashes(spark: SparkSession,
                        dayDirs: Seq[String]): Map[(Int, Int, Int), String] = {
     if (dayDirs.isEmpty) return Map.empty

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.AggregatorRunner
 import graft.operators.AggregatorRunner.AggregatorStateStore
 import graft.schema.Timeframes
-import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+import graft.sources.{HtfLakeReader, HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
 
 /** Layout parity: the day-wide lake ([[LakeLayout.DayWide]], the
   * width-≥10k answer to the width-10k probe's file-count wall, SURVEY
@@ -267,6 +267,36 @@ class WideLakeSpec extends SparkSpec {
       .where(col("symbol") === "BBBUSDT")
       .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
     assert(hWin == wWin && hWin.nonEmpty)
+  }
+
+  test("bounded wide reads touch ONLY the window's day dirs (inputFiles-pinned)") {
+    // 3-day lake; every bounded read form must plan over the touched
+    // day's files alone — the depth-flat guarantee, asserted from the
+    // plan's file list rather than timed
+    val wRoot = Files.createTempDirectory("graft-wide-bounded").toString
+    val writer = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 3))
+    writer.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 72))
+    val reader = new MinuteLakeReader(wRoot)
+    val spec = Timeframes.parse("1h")
+    AggregatorRunner.runBackfillAll(spark, reader,
+      new HtfLakeWriter(s"$wRoot/htf", LakeLayout.DayWide(filesPerDay = 3)),
+      new AggregatorStateStore(s"$wRoot/_aggstate"), s"$wRoot/htf", spec)
+
+    val lo = instant("2026-01-16T10:00:00Z"); val hi = instant("2026-01-16T11:59:00Z")
+    def onlyDay16(files: Seq[String], what: String): Unit = {
+      assert(files.nonEmpty, what)
+      assert(files.forall(_.contains("/day=16/")),
+        s"$what read outside day=16: ${files.filterNot(_.contains("/day=16/")).take(3)}")
+    }
+    onlyDay16(reader.readWindow(spark, "AAAUSDT", lo, hi).inputFiles.toSeq,
+      "readWindow")
+    onlyDay16(reader.readWindowAllSymbols(spark, lo, hi).get.inputFiles.toSeq,
+      "readWindowAllSymbols")
+    onlyDay16(new HtfLakeReader(s"$wRoot/htf")
+        .readWindow(spark, "1h", "AAAUSDT", instant("2026-01-16T05:00:00Z"),
+          instant("2026-01-16T09:00:00Z")).get.inputFiles.toSeq,
+      "HtfLakeReader.readWindow")
   }
 
   test("wide scanSymbol pushes the symbol predicate into the parquet scan") {
