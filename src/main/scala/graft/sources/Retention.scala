@@ -126,6 +126,75 @@ object Retention {
     }
   }
 
+  /** Drop MINUTE-LAKE day partitions strictly older than `cutoff` — the
+    * lifecycle verb that bounds a decade lake. Day-wide: O(days)
+    * directory deletes at ANY width (the layout's point — retention on
+    * a 100k-symbol lake is the same handful of metadata ops as on a
+    * 100-symbol one); hourly: a per-symbol day-dir walk. Emptied
+    * month/year parents are removed. Ledger rows for dropped days are
+    * re-upserted with status DROPPED (the append-only log is preserved
+    * and `auditPartitions` only audits COMMITTED rows, so retention
+    * does not manufacture missing_partition noise). Drop the HTF tree
+    * with [[dropHtfDaysBefore]] at the SAME cutoff: the aggregator
+    * derives missing buckets from available minutes, so matching
+    * cutoffs keep backfill a no-op over the retired range. */
+  def dropLakeDaysBefore(spark: SparkSession, root: String, cutoff: Instant,
+                         ledger: Option[PartitionLedger] = None): Seq[String] = {
+    val lakeDir = s"$root/futures/um/minute"
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(lakeDir))) return Seq.empty
+    val cutoffDay = cutoff.atZone(ZoneOffset.UTC).toLocalDate
+    val dropped = LakeLayout.detect(fs, lakeDir) match {
+      case Some(_: LakeLayout.DayWide) => dropYmdTree(fs, lakeDir, cutoffDay)
+      case _ =>
+        fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("symbol=")).toSeq
+          .flatMap(sd => dropYmdTree(fs, sd.toString, cutoffDay))
+    }
+    ledger.foreach { l =>
+      l.all().filter(e => e.status == "COMMITTED" &&
+          scala.util.Try(LocalDate.parse(e.day)).toOption.exists(_.isBefore(cutoffDay)))
+        .foreach(e => l.upsert(e.copy(status = "DROPPED")))
+    }
+    dropped
+  }
+
+  /** [[dropLakeDaysBefore]] for one HTF timeframe tree (both layouts:
+    * `timeframe=T/symbol=S/y/m/d` hourly, `timeframe=T/y/m/d` wide). */
+  def dropHtfDaysBefore(spark: SparkSession, htfRoot: String, timeframe: String,
+                        cutoff: Instant): Seq[String] = {
+    val tfDir = s"$htfRoot/timeframe=$timeframe"
+    val fs = FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(tfDir))) return Seq.empty
+    val cutoffDay = cutoff.atZone(ZoneOffset.UTC).toLocalDate
+    val symbolDirs = fs.listStatus(new HPath(tfDir)).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("symbol=")).toSeq
+    if (symbolDirs.nonEmpty) symbolDirs.flatMap(sd => dropYmdTree(fs, sd.toString, cutoffDay))
+    else dropYmdTree(fs, tfDir, cutoffDay)
+  }
+
+  /** Delete every `year=/month=/day=` dir under `base` whose date is
+    * before `cutoffDay`; prune parents emptied by the deletes. Returns
+    * the dropped day-dir paths. */
+  private def dropYmdTree(fs: FileSystem, base: String,
+                          cutoffDay: LocalDate): Seq[String] = {
+    val dropped = DayDirs.ascending(fs, base).filter { p =>
+      val (y, m, d) = DayDirs.ymdOf(p)
+      scala.util.Try(LocalDate.of(y, m, d)).toOption.exists(_.isBefore(cutoffDay))
+    }
+    dropped.foreach(p => fs.delete(new HPath(p), true))
+    // prune emptied month=/year= parents (two levels is the tree depth)
+    var parents = dropped.map(p => new HPath(p).getParent).distinct
+    (0 until 2).foreach { _ =>
+      val next = parents.filter(p => fs.exists(p) && fs.listStatus(p).isEmpty)
+      next.foreach(p => fs.delete(p, false))
+      parents = next.map(_.getParent).distinct
+    }
+    dropped
+  }
+
   /** Drop `day=YYYY-MM-DD`-style partitions older than `cutoff` under
     * `root/<partitionCol>=...`. Returns dropped partition values. */
   def dropDayPartitionsBefore(spark: SparkSession, root: String,

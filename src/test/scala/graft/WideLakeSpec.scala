@@ -299,6 +299,47 @@ class WideLakeSpec extends SparkSpec {
       "HtfLakeReader.readWindow")
   }
 
+  test("lake retention drops aged days on both layouts; audit and backfill stay clean") {
+    import graft.sources.Retention
+    val spec = Timeframes.parse("1h")
+    val cutoff = instant("2026-01-16T00:00:00Z") // retires day 15 only
+
+    // wide: 3-day lake + HTF tree, ledgered
+    val wRoot = Files.createTempDirectory("graft-ret-w").toString
+    val ledger = new PartitionLedger(s"$wRoot/_state")
+    new MinuteLakeWriter(wRoot, ledger, LakeLayout.DayWide(filesPerDay = 3))
+      .writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 72))
+    val reader = new MinuteLakeReader(wRoot)
+    val htfWriter = new HtfLakeWriter(s"$wRoot/htf", LakeLayout.DayWide(filesPerDay = 3))
+    val state = new AggregatorStateStore(s"$wRoot/_aggstate")
+    AggregatorRunner.runBackfillAll(spark, reader, htfWriter, state, s"$wRoot/htf", spec)
+
+    val droppedMin = Retention.dropLakeDaysBefore(spark, wRoot, cutoff, Some(ledger))
+    val droppedHtf = Retention.dropHtfDaysBefore(spark, s"$wRoot/htf", "1h", cutoff)
+    assert(droppedMin.size == 1 && droppedMin.head.contains("day=15"))
+    assert(droppedHtf.size == 1 && droppedHtf.head.contains("day=15"))
+
+    // retired range reads empty; retained range intact
+    assert(reader.readWindow(spark, "AAAUSDT",
+      instant("2026-01-15T00:00:00Z"), instant("2026-01-15T23:59:00Z")).count() == 0)
+    assert(reader.scanSymbol(spark, "AAAUSDT").count() == 48 * 60)
+    // ledger rows for the dropped day flipped to DROPPED → audit stays ok
+    assert(ledger.all().exists(e => e.day == "2026-01-15" && e.status == "DROPPED"))
+    assert(new MinuteLakeWriter(wRoot, ledger, LakeLayout.DayWide(filesPerDay = 3))
+      .auditPartitions(spark).forall(_.issue == "ok"))
+    // matching cutoffs ⇒ nothing looks missing: backfill re-run writes 0
+    assert(AggregatorRunner.runBackfillAll(spark, reader, htfWriter, state,
+      s"$wRoot/htf", spec).bucketsWritten == 0L)
+
+    // hourly: per-symbol day-dir walk
+    val hRoot = Files.createTempDirectory("graft-ret-h").toString
+    hourlyLake(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 48), hRoot)
+    val hDropped = Retention.dropLakeDaysBefore(spark, hRoot, cutoff)
+    assert(hDropped.size == 2 && hDropped.forall(_.contains("day=15"))) // one per symbol
+    val hr = new MinuteLakeReader(hRoot)
+    assert(hr.scanSymbol(spark, "BBBUSDT").count() == 24 * 60)
+  }
+
   test("wide scanSymbol pushes the symbol predicate into the parquet scan") {
     val syms = (0 until 8).map(i => f"SY${i}%02dUSDT")
     val wRoot = Files.createTempDirectory("graft-wide-plan").toString
