@@ -351,15 +351,16 @@ object AggregatorRunner {
                         allowIncomplete: Boolean = false,
                         repairLookbackMinutes: Long = 120): IncrementalResult = {
     import spark.implicits._
-    // per-symbol latest via partition-directory descent (reads ONE hour
-    // partition per symbol, not the lake's history — the steady-state
-    // tick must not scale with lake depth)
-    val latest = reader.latestMinuteAllSymbols(spark)
-    if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
-
     // ONE store read for all symbols (per-symbol get() re-parses the
     // whole watermark file per call — O(width²) at width 10k)
     val wmAll = state.getAll(spec.name)
+    // per-symbol latest via partition-directory descent (reads ONE hour
+    // partition per symbol, not the lake's history — the steady-state
+    // tick must not scale with lake depth). Watermarked symbols absent
+    // from the wide layout's recent-day scan (idle > 2 days) are
+    // end-probed so their trailing buckets still finalize (ADVICE r13).
+    val latest = reader.latestMinuteAllSymbols(spark, wmAll.keySet)
+    if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
       val repairStart = spec.floorInstant(
         latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))

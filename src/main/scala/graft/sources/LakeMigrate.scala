@@ -49,10 +49,16 @@ object LakeMigrate {
     }
     val joined = fp(srcRoot).alias("a")
       .join(fp(dstRoot).alias("b"), Seq("symbol"), "full_outer")
+    // RELATIVE tolerance on the double sum: summation order differs
+    // between the two sides' partitionings, and at production scale a
+    // per-symbol sum(open) is ~1e7–1e9, where reordering error routinely
+    // exceeds any absolute epsilon — an absolute 1e-6 would flag a
+    // byte-identical migration as failed (ADVICE r13)
+    val sumsClose = abs(col("a.s") - col("b.s")) <=
+      lit(1e-9) * greatest(abs(col("a.s")), abs(col("b.s")), lit(1.0))
     val m = joined.agg(
       sum(when(col("a.n") === col("b.n") && col("a.mn") === col("b.mn") &&
-        col("a.mx") === col("b.mx") &&
-        abs(col("a.s") - col("b.s")) < 1e-6, 0L).otherwise(1L)).as("mism"),
+        col("a.mx") === col("b.mx") && sumsClose, 0L).otherwise(1L)).as("mism"),
       sum(coalesce(col("b.n"), lit(0L))).as("rows"),
       count(lit(1)).as("symbols")).collect()(0)
     val mismatches = if (m.isNullAt(0)) 0L else m.getLong(0)

@@ -106,10 +106,14 @@ class HtfLakeReader(root: String) {
         java.sql.Timestamp.from(start), java.sql.Timestamp.from(end)))
     if (completeOnly) df = df.where(col("bucket_complete"))
     // duplicate bucket rows should not exist, but if a repair ever
-    // leaves one, prefer the complete / most-observed row deterministically
+    // leaves one, prefer the complete / most-observed row deterministically.
+    // `symbol` is dropped too: the wide branch carries it as a data
+    // column (already pinned to one value by the equality filter above)
+    // while the hourly per-symbol subtree has none — both layouts must
+    // return the SAME schema through this API (ADVICE r13).
     Some(Ops.dedupKeepLast(df, Seq("bucket_start"),
         Seq(col("bucket_complete"), col("observed_minutes_in_bucket")))
-      .drop("year", "month", "day")
+      .drop("year", "month", "day", "symbol")
       .withColumnRenamed("bucket_start", "timestamp"))
   }
 }
@@ -234,7 +238,8 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     * per-symbol latest every cadence — computing it from a full-lake
     * scan reads the whole history per tick; this form reads one hour
     * partition per symbol regardless of lake depth. */
-  def latestMinuteAllSymbols(spark: SparkSession): Map[String, Instant] = {
+  def latestMinuteAllSymbols(spark: SparkSession,
+                             knownSymbols: Set[String] = Set.empty): Map[String, Instant] = {
     if (!hasData(spark)) return Map.empty
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
@@ -242,13 +247,25 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       // day-wide: the deepest TWO day partitions cover every symbol that
       // wrote within the last day (day-boundary stragglers included) —
       // one job over ≤2 × filesPerDay files regardless of width or
-      // depth. A symbol idle longer than that is a backfill concern
-      // (partition-change detection), not the steady-state tick's.
+      // depth. A symbol idle LONGER than that (delisted/halted while
+      // others keep writing) is absent from this scan, so callers pass
+      // the symbols they track (watermark store / ledger) and each
+      // missing one is reconciled through the per-symbol end-probe —
+      // O(log depth) jobs per IDLE symbol only, zero in the steady state
+      // (ADVICE r13: without this, runIncrementalAll silently never
+      // finalizes an idle symbol's trailing buckets on the wide layout).
       val days = deepestDayDirs(fs, 2)
       if (days.isEmpty) return Map.empty
-      return spark.read.option("basePath", lakeDir).parquet(days: _*)
+      val recent = spark.read.option("basePath", lakeDir).parquet(days: _*)
         .groupBy("symbol").agg(max("timestamp").as("latest"))
         .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+      val idle = knownSymbols.map(_.toUpperCase) -- recent.keySet
+      if (idle.isEmpty) return recent
+      val allDaysDesc = dayDirsAscending(spark).reverse
+      return recent ++ idle.toSeq.flatMap { sym =>
+        probeDays(spark, allDaysDesc, sym, max(col("timestamp")))
+          .map(ts => sym -> ts.toInstant)
+      }
     }
     // maxBy the PARSED numeric value after '=': lexicographic compare is
     // only correct on zero-padded names (our writer pads, but a lake with

@@ -320,10 +320,17 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       }
 
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // sort by the PARTITION columns first: FileFormatWriter's required
+      // ordering for a dynamic-partition write is (year, month, day), and
+      // a sort that doesn't already satisfy it gets an extra SortExec on
+      // just those columns inserted above the write — which is not
+      // guaranteed stable, so the (symbol, timestamp) clustering the
+      // layout's file-stat pruning depends on could silently scramble.
+      // Leading with them makes the writer's requirement already met.
       withPartCols(effective)
         .repartitionByRange(nDays * filesPerDay,
           col("year"), col("month"), col("day"), col("symbol"), col("timestamp"))
-        .sortWithinPartitions("symbol", "timestamp")
+        .sortWithinPartitions("year", "month", "day", "symbol", "timestamp")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("year", "month", "day")
         .option("compression", "zstd")
@@ -663,10 +670,13 @@ class HtfLakeWriter(root: String,
           }
       }
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // partition columns lead the sort — see writeDaysWide: satisfies
+      // the dynamic-partition writer's required ordering so no unstable
+      // extra sort is inserted above the (symbol, bucket_start) clustering
       withPartCols(effective)
         .repartitionByRange(nDays * filesPerDay,
           col("year"), col("month"), col("day"), col("symbol"), col("bucket_start"))
-        .sortWithinPartitions("symbol", "bucket_start")
+        .sortWithinPartitions("year", "month", "day", "symbol", "bucket_start")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("year", "month", "day")
         .option("compression", "zstd")

@@ -257,15 +257,20 @@ class WideLakeSpec extends SparkSpec {
     val n = fs.listStatus(dayDir).count(_.getPath.getName.endsWith(".parquet"))
     assert(n > 0 && n <= 3, s"wide HTF day dir has $n files, want ≤3")
 
-    // per-symbol HTF window read parity through HtfLakeReader
+    // per-symbol HTF window read parity through HtfLakeReader — the two
+    // layouts must return IDENTICAL schemas (the wide branch drops its
+    // symbol data column after the equality filter; a layout-dependent
+    // schema would leak through QueryService.btcLocalOnlyBars)
     val hb = new graft.sources.HtfLakeReader(s"$hRoot/htf")
     val wb = new graft.sources.HtfLakeReader(s"$wRoot/htf")
     val lo = instant("2026-01-15T05:00:00Z"); val hi = instant("2026-01-15T09:00:00Z")
-    val hWin = hb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
-      .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
-    val wWin = wb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
-      .where(col("symbol") === "BBBUSDT")
-      .orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
+    val hDf = hb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
+    val wDf = wb.readWindow(spark, "1h", "BBBUSDT", lo, hi).get
+    assert(hDf.columns.sorted.toSeq == wDf.columns.sorted.toSeq,
+      s"HTF reader schema diverges by layout: hourly=${hDf.columns.sorted.mkString(",")} " +
+        s"wide=${wDf.columns.sorted.mkString(",")}")
+    val hWin = hDf.orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
+    val wWin = wDf.orderBy("timestamp").select("open", "close").collect().map(_.toString).toSeq
     assert(hWin == wWin && hWin.nonEmpty)
   }
 
@@ -355,6 +360,49 @@ class WideLakeSpec extends SparkSpec {
     // directory tree used to) — not be applied post-scan only
     assert(formatted.contains("EqualTo(symbol,SY03USDT)"),
       formatted.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("wide day files cluster by symbol (writer sort survives the partition write)") {
+    // The layout's pruning claim rests on the day's FILES being
+    // (symbol, timestamp)-clustered so parquet min/max stats skip whole
+    // files per symbol. The dynamic-partition writer requires ordering
+    // on (year, month, day); the writer's sort leads with them so no
+    // extra (possibly unstable) sort is inserted above the clustering
+    // (ADVICE r13). Pin it physically: with 8 symbols over 4 files/day,
+    // a clustered day stores each symbol in ≤2 files (range boundary
+    // straddle); a scrambled day smears symbols across all 4.
+    val syms = (0 until 8).map(i => f"CL${i}%02dUSDT")
+    val wRoot = Files.createTempDirectory("graft-wide-cluster").toString
+    new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 4))
+      .writeDaysWide(minutes(syms, hours = 24))
+    val perSymbolFiles = spark.read.parquet(s"$wRoot/futures/um/minute")
+      .select(col("symbol"), input_file_name().as("f"))
+      .groupBy("symbol").agg(countDistinct("f").as("nf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSymbolFiles.keySet == syms.toSet)
+    assert(perSymbolFiles.values.forall(_ <= 2),
+      s"symbols smeared across files — clustering lost: $perSymbolFiles")
+  }
+
+  test("idle symbols are reconciled into latestMinuteAllSymbols via the end-probe") {
+    // IDLUSDT stops writing on day 1 of a 4-day lake — outside the
+    // 2-deepest-day scan. Without the knownSymbols hint it's absent
+    // (documented trade); with it, the per-symbol probe finds its true
+    // latest, so runIncrementalAll can finalize its trailing buckets.
+    val wRoot = Files.createTempDirectory("graft-wide-idle").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 3))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 96)
+      .unionByName(minutes(Seq("IDLUSDT"), hours = 20)))
+    val r = new MinuteLakeReader(wRoot)
+    val bare = r.latestMinuteAllSymbols(spark)
+    assert(!bare.contains("IDLUSDT") && bare.keySet == Set("AAAUSDT", "BBBUSDT"))
+    val hinted = r.latestMinuteAllSymbols(spark,
+      knownSymbols = Set("IDLUSDT", "AAAUSDT", "GONEUSDT"))
+    assert(hinted("IDLUSDT") == instant("2026-01-15T19:59:00Z"))
+    assert(hinted("AAAUSDT") == bare("AAAUSDT"))
+    assert(!hinted.contains("GONEUSDT")) // never existed: probe finds nothing
   }
 
   test("QueryService.candleBars serves identical bars from hourly and wide lakes") {
