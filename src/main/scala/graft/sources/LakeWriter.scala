@@ -305,10 +305,10 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           // read the touched day dirs EXPLICITLY — a root-read +
           // partition semi-join still LISTS every file in the lake
           // before pruning, so merging one day into a years-deep lake
-          // paid O(depth) listing (same fix as the reader paths)
+          // paid O(depth) listing (same fix as the reader paths); the
+          // walk itself descends only the touched years/months
           val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-          val touchedDirs = DayDirs.ascending(fs, lakeDir)
-            .filter(p => touchedSet.contains(DayDirs.ymdOf(p)))
+          val touchedDirs = DayDirs.matching(fs, lakeDir, touchedSet)
           if (touchedDirs.isEmpty) staged
           else {
             val existingTouched = spark.read.option("basePath", lakeDir)
@@ -343,9 +343,8 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       // (one executors-side hash job for all touched days) because a
       // bulk day at production width is hundreds of MB
       val touchedYmd = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-      val committedDirs = DayDirs.ascending(fs, lakeDir)
+      val committedDirs = DayDirs.matching(fs, lakeDir, touchedYmd)
         .map(p => DayDirs.ymdOf(p) -> p).toMap
-        .filter { case (ymd, _) => touchedYmd.contains(ymd) }
       val hashes = MinuteLakeWriter.dayContentHashes(spark, committedDirs.values.toSeq)
       val bounds = withPartCols(effective)
         .groupBy(col("year").cast("int").as("y"),
@@ -653,10 +652,9 @@ class HtfLakeWriter(root: String,
         case None => staged
         case Some(t) =>
           // explicit touched-day read — same no-root-listing rule as
-          // writeDaysWide's merge
+          // writeDaysWide's merge; descends only touched years/months
           val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-          val touchedDirs = DayDirs.ascending(fs, dir)
-            .filter(p => touchedSet.contains(DayDirs.ymdOf(p)))
+          val touchedDirs = DayDirs.matching(fs, dir, touchedSet)
           if (touchedDirs.isEmpty) staged
           else {
             val existingTouched = spark.read.option("basePath", dir)
