@@ -43,13 +43,16 @@ private[sources] object DayDirs {
 
   /** Every day directory under `base` in ascending (year, month, day)
     * numeric order — the full O(depth) walk; use only when the consumer
-    * genuinely needs every day (retention sweeps, full-range probes). */
-  def ascending(fs: FileSystem, base: String): Seq[String] =
+    * genuinely needs every day (retention sweeps, full-range probes).
+    * A missing base reads as an empty tree (all walks). */
+  def ascending(fs: FileSystem, base: String): Seq[String] = {
+    if (!fs.exists(new HPath(base))) return Seq.empty
     for {
       (y, _) <- numericAsc(fs, new HPath(base))
       (m, _) <- numericAsc(fs, y)
       (d, _) <- numericAsc(fs, m)
     } yield d.toString
+  }
 
   /** The (year, month, day) of a walked day-dir path — parsed from the
     * directory names rather than re-constructed, so int- and zero-padded
@@ -76,6 +79,7 @@ private[sources] object DayDirs {
     * spec pins the request-economics bound from this count. */
   private[sources] def inRangeCounting(fs: FileSystem, base: String, start: Instant,
                                        end: Instant): (Seq[String], Int) = {
+    if (!fs.exists(new HPath(base))) return (Seq.empty, 0)
     val s = start.atZone(java.time.ZoneOffset.UTC).toLocalDate
     val e = end.atZone(java.time.ZoneOffset.UTC).toLocalDate
     var lists = 0
@@ -101,7 +105,7 @@ private[sources] object DayDirs {
     * walk descends only those years/months: O(touched) LISTs. */
   def matching(fs: FileSystem, base: String,
                ymds: Set[(Int, Int, Int)]): Seq[String] = {
-    if (ymds.isEmpty) return Seq.empty
+    if (ymds.isEmpty || !fs.exists(new HPath(base))) return Seq.empty
     val years = ymds.map(_._1)
     val yearMonths = ymds.map(t => (t._1, t._2))
     for {
@@ -117,6 +121,7 @@ private[sources] object DayDirs {
   /** The k deepest day directories by descending (year, month, day) —
     * visits only the years/months it needs. */
   def deepest(fs: FileSystem, base: String, k: Int): Seq[String] = {
+    if (!fs.exists(new HPath(base))) return Seq.empty
     def numericDesc(p: HPath): Seq[HPath] = numericAsc(fs, p).reverse.map(_._1)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val years = numericDesc(new HPath(base))
@@ -212,6 +217,69 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   private def isWide(spark: SparkSession): Boolean =
     layoutOf(spark).isInstanceOf[LakeLayout.DayWide]
 
+  // ------------------------------------------------ delta overlay (wide)
+  // Late point repairs land as small `_delta/year=/month=/day=` files
+  // beside the base (MinuteLakeWriter.writeDeltaPatch) — O(patch)
+  // writes instead of a day × all-symbols rewrite. Every wide read
+  // overlays them through the ONE shared merge policy (mergeKeyed:
+  // delta wins, highest __delta_seq wins among deltas, LIVE_ONLY
+  // preserved from base), so a patch is visible immediately and
+  // compaction (which applies the same policy at write time) never
+  // changes what a reader sees. The delta population is bounded small
+  // by compaction; delta days ⊆ base days by writer invariant.
+
+  private def deltaRoot = s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}"
+
+  private def fsOf(spark: SparkSession): FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  /** Delta day dirs intersecting the window (all of them when
+    * unbounded) — the same O(touched) pruned walk as the base. */
+  private def deltaDaysFor(spark: SparkSession, start: Option[Instant],
+                           end: Option[Instant]): Seq[String] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(new HPath(deltaRoot))) Seq.empty
+    else (start, end) match {
+      case (Some(s), Some(e)) => DayDirs.inRange(fs, deltaRoot, s, e)
+      case _ => DayDirs.ascending(fs, deltaRoot)
+    }
+  }
+
+  /** ymd → delta-day-dir map for the probe paths (empty when no deltas). */
+  private def deltaYmdMap(spark: SparkSession): Map[(Int, Int, Int), String] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(new HPath(deltaRoot))) Map.empty
+    else DayDirs.ascending(fs, deltaRoot).map(p => DayDirs.ymdOf(p) -> p).toMap
+  }
+
+  /** The delta rows of `days`, collapsed last-wins per
+    * (symbol, timestamp) by `__delta_seq` — one fresh row per key. */
+  private def collapsedDeltas(spark: SparkSession, days: Seq[String]): DataFrame =
+    Ops.dedupKeepLast(
+      spark.read.option("basePath", deltaRoot).parquet(days: _*)
+        .drop("year", "month", "day"),
+      Seq("symbol", "timestamp"), Seq(col("__delta_seq")))
+      .drop("__delta_seq")
+
+  /** Overlay the window's deltas onto a base wide read. With
+    * `symbol = Some(s)` both sides are single-symbol frames without the
+    * symbol column (merge keyed by timestamp); otherwise multi-symbol
+    * (keyed by (symbol, timestamp)). No deltas → base unchanged, so the
+    * steady-state plan (and its inputFiles bound) is untouched. */
+  private def overlayDeltas(spark: SparkSession, base: DataFrame,
+                            deltaDays: Seq[String],
+                            symbol: Option[String]): DataFrame = {
+    if (deltaDays.isEmpty) return base
+    val all = collapsedDeltas(spark, deltaDays)
+    symbol match {
+      case Some(sym) =>
+        val d = all.where(col("symbol") === sym.toUpperCase).drop("symbol")
+        MinuteLakeWriter.mergeKeyed(base, d, Seq("timestamp"))
+      case None =>
+        MinuteLakeWriter.mergeKeyed(base, all, Seq("symbol", "timestamp"))
+    }
+  }
+
   /** Single-symbol scan, scoped to the symbol's OWN directory subtree.
     * Reading the lake root and filtering `symbol === X` prunes the
     * PARTITIONS correctly, but file LISTING happens before pruning —
@@ -227,10 +295,13 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       // day-wide: symbol is a DATA column, files sorted+range-bucketed
       // by it, so the predicate prunes via parquet min/max file stats —
       // and the whole-lake file listing is O(days × filesPerDay), which
-      // is the layout's point (no per-symbol subtree needed)
-      return spark.read.parquet(lakeDir)
-        .where(col("symbol") === symbol.toUpperCase)
-        .drop("year", "month", "day", "symbol")
+      // is the layout's point (no per-symbol subtree needed). The root
+      // read skips `_delta` (underscore dir); deltas overlay explicitly.
+      return overlayDeltas(spark,
+        spark.read.parquet(lakeDir)
+          .where(col("symbol") === symbol.toUpperCase)
+          .drop("year", "month", "day", "symbol"),
+        deltaDaysFor(spark, None, None), Some(symbol))
     val symbolDir = s"$lakeDir/symbol=${symbol.toUpperCase}"
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
@@ -247,7 +318,9 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   def scanAllSymbols(spark: SparkSession): Option[DataFrame] =
     if (!hasData(spark)) None
     else if (isWide(spark))
-      Some(spark.read.parquet(lakeDir).drop("year", "month", "day"))
+      Some(overlayDeltas(spark,
+        spark.read.parquet(lakeDir).drop("year", "month", "day"),
+        deltaDaysFor(spark, None, None), None))
     else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
 
   /** Whole-lake windowed read with per-(symbol, minute) latest-wins
@@ -269,15 +342,18 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
         // before pruning, so bounded windows paid O(depth) listing
         // (WideDepthProbe); the O(depth) directory walk is metadata-only
         val days = dayDirsInRange(spark, start, end)
-        if (days.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              org.apache.spark.sql.types.StructField("symbol",
-                org.apache.spark.sql.types.StringType) +:
-              CanonicalSchema.structType.fields))
-        else spark.read.option("basePath", lakeDir).parquet(days: _*)
-          .drop("year", "month", "day")
+        val base =
+          if (days.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                org.apache.spark.sql.types.StructField("symbol",
+                  org.apache.spark.sql.types.StringType) +:
+                CanonicalSchema.structType.fields))
+          else spark.read.option("basePath", lakeDir).parquet(days: _*)
+            .drop("year", "month", "day")
+        overlayDeltas(spark, base,
+          deltaDaysFor(spark, Some(start), Some(end)), None)
       } else {
         val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHH")
           .withZone(java.time.ZoneOffset.UTC)
@@ -323,14 +399,24 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       // finalizes an idle symbol's trailing buckets on the wide layout).
       val days = DayDirs.deepest(fs, lakeDir, 2)
       if (days.isEmpty) return Map.empty
-      val recent = spark.read.option("basePath", lakeDir).parquet(days: _*)
+      var scan = spark.read.option("basePath", lakeDir).parquet(days: _*)
+        .select("symbol", "timestamp")
+      // deltas in those same days can carry a later minute for a symbol
+      // (a correction is usually older, but the API doesn't forbid it)
+      val deltaDays = DayDirs.matching(fs, deltaRoot,
+        days.map(DayDirs.ymdOf).toSet)
+      if (deltaDays.nonEmpty)
+        scan = scan.unionByName(
+          spark.read.parquet(deltaDays: _*).select("symbol", "timestamp"))
+      val recent = scan
         .groupBy("symbol").agg(max("timestamp").as("latest"))
         .collect().map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
       val idle = knownSymbols.map(_.toUpperCase) -- recent.keySet
       if (idle.isEmpty) return recent
       val allDaysDesc = dayDirsAscending(spark).reverse
+      val deltaByYmd = deltaYmdMap(spark)
       return recent ++ idle.toSeq.flatMap { sym =>
-        probeDays(spark, allDaysDesc, sym, max(col("timestamp")))
+        probeDays(spark, allDaysDesc, sym, max(col("timestamp")), deltaByYmd)
           .map(ts => sym -> ts.toInstant)
       }
     }
@@ -374,9 +460,10 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   def inspectRange(spark: SparkSession, symbol: String): (Option[Instant], Option[Instant]) = {
     if (isWide(spark)) {
       val days = dayDirsAscending(spark)
-      val mn = probeDays(spark, days, symbol, min(col("timestamp")))
+      val deltaByYmd = deltaYmdMap(spark)
+      val mn = probeDays(spark, days, symbol, min(col("timestamp")), deltaByYmd)
       val mx = if (mn.isEmpty) None
-               else probeDays(spark, days.reverse, symbol, max(col("timestamp")))
+               else probeDays(spark, days.reverse, symbol, max(col("timestamp")), deltaByYmd)
       return (mn.map(_.toInstant), mx.map(_.toInstant))
     }
     val r = scanSymbol(spark, symbol)
@@ -388,7 +475,7 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   def latestMinute(spark: SparkSession, symbol: String): Option[Instant] =
     if (isWide(spark))
       probeDays(spark, dayDirsAscending(spark).reverse, symbol,
-        max(col("timestamp"))).map(_.toInstant)
+        max(col("timestamp")), deltaYmdMap(spark)).map(_.toInstant)
     else inspectRange(spark, symbol)._2
 
   /** Every `year=/month=/day=` directory of a day-wide lake in ascending
@@ -405,16 +492,27 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   /** First non-null `agg` over `symbol`'s rows, probing `order`ed day
     * dirs in batches of 1, 2, 4, … — at most O(log depth) jobs, and the
     * total files read across ALL probes is ≤ 2× the files before the
-    * terminating batch. */
+    * terminating batch. Each slice also reads its days' delta files
+    * (delta days ⊆ base days by writer invariant) so a patched minute
+    * bounds the range exactly like a base one. */
   private def probeDays(spark: SparkSession, order: Seq[String], symbol: String,
-                        agg: Column): Option[java.sql.Timestamp] = {
+                        agg: Column,
+                        deltaByYmd: Map[(Int, Int, Int), String] = Map.empty)
+      : Option[java.sql.Timestamp] = {
     var taken = 0
     var batch = 1
     while (taken < order.length) {
       val slice = order.slice(taken, taken + batch)
-      val r = spark.read.option("basePath", lakeDir).parquet(slice: _*)
+      var df = spark.read.option("basePath", lakeDir).parquet(slice: _*)
         .where(col("symbol") === symbol.toUpperCase)
-        .agg(agg).collect().head
+        .select("timestamp")
+      val extra = slice.map(DayDirs.ymdOf).flatMap(deltaByYmd.get)
+      if (extra.nonEmpty)
+        df = df.unionByName(
+          spark.read.parquet(extra: _*)
+            .where(col("symbol") === symbol.toUpperCase)
+            .select("timestamp"))
+      val r = df.agg(agg).collect().head
       if (!r.isNullAt(0)) return Some(r.getTimestamp(0))
       taken += batch
       batch *= 2
@@ -445,13 +543,16 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
         // latency ×5.7 from 30 to 365 days, WideDepthProbe). The
         // directory walk is O(depth) metadata; the read is O(window)
         val days = dayDirsInRange(spark, start, end)
-        if (days.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            CanonicalSchema.structType)
-        else spark.read.option("basePath", lakeDir).parquet(days: _*)
-          .where(col("symbol") === symbol.toUpperCase)
-          .drop("year", "month", "day", "symbol")
+        val b =
+          if (days.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              CanonicalSchema.structType)
+          else spark.read.option("basePath", lakeDir).parquet(days: _*)
+            .where(col("symbol") === symbol.toUpperCase)
+            .drop("year", "month", "day", "symbol")
+        overlayDeltas(spark, b,
+          deltaDaysFor(spark, Some(start), Some(end)), Some(symbol))
       } else scanSymbol(spark, symbol)
     val df = base
       .where(col("timestamp").between(

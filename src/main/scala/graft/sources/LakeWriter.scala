@@ -56,32 +56,12 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * symbol's partition on `timestamp` alone; the day-wide layout holds
     * every symbol in one partition and merges on (symbol, timestamp).
     * Identical policy either way — the layouts share ONE merge
-    * implementation so their semantics cannot drift. */
+    * implementation so their semantics cannot drift (it also serves the
+    * READ-time delta overlay, so pre- and post-compaction results are
+    * the same plan by construction). */
   def mergePartitionFramesKeyed(existing: DataFrame, fresh: DataFrame,
-                                keys: Seq[String]): DataFrame = {
-    val coverage = Set("has_ws_latency", "has_depth", "has_liq")
-    val liveOnly = CanonicalSchema.liveOnly
-
-    val merged = Ops.dedupKeepLast(
-      existing.withColumn("__src", lit(0)).unionByName(fresh.withColumn("__src", lit(1))),
-      keys, Seq(col("__src"))).drop("__src")
-
-    val existingLive = existing.select(
-      (keys.map(col) ++ liveOnly.map(c => col(c).as(s"${c}__existing"))): _*)
-
-    val joined = merged.join(existingLive, keys, "left")
-    val preserved = liveOnly.foldLeft(joined) { (df, c) =>
-      val ex = col(s"${c}__existing")
-      val expr =
-        if (coverage.contains(c))
-          coalesce(col(c), lit(false)) || coalesce(ex, lit(false))
-        else coalesce(col(c), ex)
-      df.withColumn(c, expr)
-    }
-    val outCols = keys.filterNot(CanonicalSchema.columnNames.contains) ++
-      CanonicalSchema.columnNames
-    preserved.select(outCols.map(col): _*)
-  }
+                                keys: Seq[String]): DataFrame =
+    MinuteLakeWriter.mergeKeyed(existing, fresh, keys)
 
   /** Write (merge if present) one symbol-hour partition. Atomicity =
     * write to `.tmp/<uuid>` then rename over the final directory — the
@@ -90,17 +70,25 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     val spark = frame.sparkSession
     layout match {
       case LakeLayout.DayWide(_) =>
-        // Same API, day-wide physics: the rewrite unit is the day
-        // partition, so a single-hour repair amplifies to a day rewrite
-        // — fine for occasional repair; batch fleet-scale writes via
-        // [[writeDaysWide]] directly (the bulk path is the fleet path,
-        // measured r12). Merge semantics are identical by construction
-        // (one shared mergePartitionFramesKeyed).
+        // Same API, day-wide physics. A repair into an EXISTING day
+        // lands as a small delta file — O(patch), not O(day): the
+        // reference's repair cadence (2 h lookback every 30 s,
+        // `aggregator/config.py:17-21`) makes point repairs the common
+        // case, and rewriting day × all-symbols per patch was the one
+        // remaining write-amplification cliff (164.6 s/day at width
+        // 100k, r13). A NEW day still bootstraps through the bulk
+        // merge write. Read results are identical either way — the
+        // delta overlay and the bulk merge share mergeKeyed.
         val dq = DQValidator.validate(frame)
-        writeDaysWide(frame.withColumn("symbol", lit(symbol.toUpperCase)), merge = true)
         val z = hourStart.atZone(ZoneOffset.UTC)
         val dayDir = f"$root/futures/um/minute/year=${z.getYear}%04d/" +
           f"month=${z.getMonthValue}%02d/day=${z.getDayOfMonth}%02d"
+        val spark2 = frame.sparkSession
+        val fs2 = FileSystem.get(new java.net.URI(root),
+          spark2.sparkContext.hadoopConfiguration)
+        val withSym = frame.withColumn("symbol", lit(symbol.toUpperCase))
+        if (fs2.exists(new HPath(dayDir))) writeDeltaPatch(withSym)
+        else writeDaysWide(withSym, merge = true)
         ledger.upsert(PartitionLedgerEntry(
           symbol = symbol.toUpperCase,
           day = hourStart.atZone(ZoneOffset.UTC).toLocalDate.toString,
@@ -377,6 +365,171 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
     }
   }
+
+  /** Bounded POINT repair for the day-wide layout (VERDICT r13 #1): a
+    * late patch lands as a small DELTA file beside the day's base files
+    * instead of rewriting day × all-symbols — O(patch) work where
+    * [[writeDaysWide]]`(merge = true)` is O(day) (measured 164.6 s/day
+    * at width 100k; the reference's repair cadence, 2 h lookback polled
+    * every 30 s (`aggregator/config.py:17-21`), makes point repairs the
+    * COMMON case, so they must not pay the day rewrite).
+    *
+    * Physics: `frame` (must carry `symbol`) is appended under
+    * `minute/_delta/year=/month=/day=` with a monotone `__delta_seq`
+    * stamp. Readers overlay base ∪ delta through the shared
+    * [[MinuteLakeWriter.mergeKeyed]] last-wins policy (delta wins;
+    * among deltas the highest `__delta_seq` wins), so a patch is
+    * visible immediately and pre-/post-compaction results are
+    * identical by construction. [[compactWideDeltas]] folds deltas
+    * into the base on a threshold.
+    *
+    * Invariant: every patched day must already have a BASE day
+    * partition (new days go through [[writeDaysWide]]) — this keeps
+    * delta days ⊆ base days, which the readers' probe paths rely on.
+    *
+    * S13: each touched delta day gets a day-grain ledger row
+    * (symbol `__DELTA__`, hour −2) with row bounds and a distributed
+    * content hash over the day's delta files, so tamper/delete audit
+    * covers the delta tree exactly like the base.
+    *
+    * @return the touched delta day directories */
+  def writeDeltaPatch(frame: DataFrame): Seq[String] = {
+    layout match {
+      case LakeLayout.DayWide(_) => ()
+      case LakeLayout.HourlySymbol =>
+        throw new IllegalStateException(
+          "writeDeltaPatch requires LakeLayout.DayWide; hourly repairs " +
+            "rewrite their one symbol-hour partition (already O(patch))")
+    }
+    val spark = frame.sparkSession
+    val lakeDir = s"$root/futures/um/minute"
+    val deltaRoot = s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    def withPartCols(df: DataFrame): DataFrame = df
+      .withColumn("year", date_format(col("timestamp"), "yyyy"))
+      .withColumn("month", date_format(col("timestamp"), "MM"))
+      .withColumn("day", date_format(col("timestamp"), "dd"))
+
+    // a patch is small by definition: the touched-day set is a tiny
+    // driver-side collect, and the write is one coalesced task
+    val touched = withPartCols(frame)
+      .select(col("year").cast("int"), col("month").cast("int"), col("day").cast("int"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    if (touched.isEmpty) return Seq.empty
+    val baseDays = DayDirs.matching(fs, lakeDir, touched).map(DayDirs.ymdOf).toSet
+    require(touched.subsetOf(baseDays),
+      s"writeDeltaPatch: days ${touched -- baseDays} have no base partition — " +
+        "route new days through writeDaysWide; deltas only overlay existing days")
+
+    // monotone patch stamp: 1 + max over the existing delta population
+    // (bounded small by compaction — one metadata walk + one tiny scan;
+    // no counter file, so there is no crash window that could reset it)
+    val existingDeltaDays = DayDirs.ascending(fs, deltaRoot)
+    val seq =
+      if (existingDeltaDays.isEmpty) 1L
+      else {
+        val r = spark.read.parquet(existingDeltaDays: _*)
+          .agg(max("__delta_seq")).collect()(0)
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+      }
+
+    DQValidator.validate(frame)
+    withPartCols(frame)
+      .coalesce(1)
+      .sortWithinPartitions("year", "month", "day", "symbol", "timestamp")
+      .withColumn("__delta_seq", lit(seq))
+      .write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .option("compression", "zstd")
+      .parquet(deltaRoot)
+
+    // ledger rows re-read the written dirs so the recorded bounds/hash
+    // cover the day's WHOLE delta population (prior patches included) —
+    // the same surface auditPartitions recomputes
+    val deltaDirs = DayDirs.matching(fs, deltaRoot, touched)
+    val hashes = MinuteLakeWriter.dayContentHashes(spark, deltaDirs)
+    val bounds = spark.read.option("basePath", deltaRoot).parquet(deltaDirs: _*)
+      .groupBy(col("year").cast("int").as("y"),
+               col("month").cast("int").as("m"),
+               col("day").cast("int").as("d"))
+      .agg(count(lit(1)).as("n"),
+           min(col("timestamp")).cast("string").as("mn"),
+           max(col("timestamp")).cast("string").as("mx"))
+      .collect()
+    val dirByYmd = deltaDirs.map(p => DayDirs.ymdOf(p) -> p).toMap
+    bounds.foreach { r =>
+      val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
+      dirByYmd.get(ymd).foreach { dayDir =>
+        ledger.upsert(PartitionLedgerEntry(
+          symbol = "__DELTA__",
+          day = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d",
+          hour = -2,
+          path = dayDir,
+          rowCount = r.getLong(3),
+          minTs = r.getString(4),
+          maxTs = r.getString(5),
+          schemaHash = CanonicalSchema.schemaHash,
+          status = "COMMITTED",
+          committedAtUtc = Instant.now.toString,
+          contentHash = hashes.getOrElse(ymd, "")))
+      }
+    }
+    deltaDirs
+  }
+
+  /** Fold accumulated deltas back into the day-wide base — the
+    * threshold companion of [[writeDeltaPatch]]: delta days holding at
+    * least `minFilesPerDay` delta files are merged into their base day
+    * partitions through ONE [[writeDaysWide]]`(merge = true)` job
+    * (same last-wins + LIVE_ONLY-preserve policy the read overlay
+    * applies, so compaction never changes what a reader sees), then
+    * the folded delta dirs are deleted and their `__DELTA__` ledger
+    * rows flipped to DROPPED (base day rows were re-committed with
+    * fresh hashes by the bulk write, so the audit stays coherent).
+    *
+    * Crash-safe by idempotence: if the fold commits but the delete is
+    * lost, the surviving deltas re-overlay rows the base now already
+    * holds — the merge is a fixpoint — and the next compaction retries
+    * the delete.
+    *
+    * @return the delta day directories folded and removed */
+  def compactWideDeltas(spark: SparkSession, minFilesPerDay: Int = 1): Seq[String] = {
+    require(minFilesPerDay >= 1, "minFilesPerDay must be at least 1")
+    val lakeDir = s"$root/futures/um/minute"
+    val deltaRoot = s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(deltaRoot))) return Seq.empty
+    val eligible = DayDirs.ascending(fs, deltaRoot).filter { d =>
+      fs.listStatus(new HPath(d))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) >= minFilesPerDay
+    }
+    if (eligible.isEmpty) return Seq.empty
+
+    // collapse the delta population first (last-wins by __delta_seq per
+    // key) so the bulk merge sees ONE fresh row per (symbol, timestamp)
+    val folded = Ops.dedupKeepLast(
+      spark.read.option("basePath", deltaRoot).parquet(eligible: _*)
+        .drop("year", "month", "day"),
+      Seq("symbol", "timestamp"), Seq(col("__delta_seq")))
+      .drop("__delta_seq")
+    writeDaysWide(folded, merge = true)
+
+    eligible.foreach(d => fs.delete(new HPath(d), true))
+    // prune emptied month=/year= parents (two levels is the tree depth)
+    var parents = eligible.map(d => new HPath(d).getParent).distinct
+    (0 until 2).foreach { _ =>
+      val next = parents.filter(p => fs.exists(p) && fs.listStatus(p).isEmpty)
+      next.foreach(p => fs.delete(p, false))
+      parents = next.map(_.getParent).distinct
+    }
+    val foldedYmd = eligible.map(DayDirs.ymdOf).toSet
+    ledger.all()
+      .filter(e => e.hour == -2 && e.status == "COMMITTED" &&
+        scala.util.Try(DayDirs.ymdOf(e.path)).toOption.exists(foldedYmd.contains))
+      .foreach(e => ledger.upsert(e.copy(status = "DROPPED")))
+    eligible
+  }
 }
 
 /** One row of [[MinuteLakeWriter.auditPartitions]]: `issue` is "ok",
@@ -388,6 +541,44 @@ final case class PartitionAuditResult(symbol: String, day: String, hour: Int,
 }
 
 object MinuteLakeWriter {
+
+  /** Subdirectory of the day-wide minute lake holding late-patch DELTA
+    * files (`_delta/year=/month=/day=`, same day partitioning as the
+    * base). Underscore-prefixed so Spark's file listing never picks it
+    * up on a base read; readers overlay it explicitly. */
+  val DeltaSubdir = "_delta"
+
+  /** Last-wins + LIVE_ONLY-preserve merge of `fresh` over `existing`,
+    * keyed by `keys` — the ONE merge policy every write path and the
+    * read-time delta overlay share (reference `atomic.py:65-97`):
+    * fresh rows win on key collision; coverage flags (has_ws_latency /
+    * has_depth / has_liq) are bool-OR'd; every other LIVE_ONLY column
+    * is coalesce(fresh, existing). */
+  def mergeKeyed(existing: DataFrame, fresh: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val coverage = Set("has_ws_latency", "has_depth", "has_liq")
+    val liveOnly = CanonicalSchema.liveOnly
+
+    val merged = Ops.dedupKeepLast(
+      existing.withColumn("__src", lit(0)).unionByName(fresh.withColumn("__src", lit(1))),
+      keys, Seq(col("__src"))).drop("__src")
+
+    val existingLive = existing.select(
+      (keys.map(col) ++ liveOnly.map(c => col(c).as(s"${c}__existing"))): _*)
+
+    val joined = merged.join(existingLive, keys, "left")
+    val preserved = liveOnly.foldLeft(joined) { (df, c) =>
+      val ex = col(s"${c}__existing")
+      val expr =
+        if (coverage.contains(c))
+          coalesce(col(c), lit(false)) || coalesce(ex, lit(false))
+        else coalesce(col(c), ex)
+      df.withColumn(c, expr)
+    }
+    val outCols = keys.filterNot(CanonicalSchema.columnNames.contains) ++
+      CanonicalSchema.columnNames
+    preserved.select(outCols.map(col): _*)
+  }
 
   /** SHA-256 over a partition directory's data files (reference hashes
     * the single parquet file, `atomic.py:108-114`; a Spark partition is

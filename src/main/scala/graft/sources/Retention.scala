@@ -146,7 +146,12 @@ object Retention {
     if (!fs.exists(new HPath(lakeDir))) return Seq.empty
     val cutoffDay = cutoff.atZone(ZoneOffset.UTC).toLocalDate
     val dropped = LakeLayout.detect(fs, lakeDir) match {
-      case Some(_: LakeLayout.DayWide) => dropYmdTree(fs, lakeDir, cutoffDay)
+      case Some(_: LakeLayout.DayWide) =>
+        // aged delta days retire with their base days (the `_delta`
+        // subtree is day-partitioned identically; ledger rows for both
+        // flip to DROPPED via the day-string filter below)
+        dropYmdTree(fs, lakeDir, cutoffDay) ++
+          dropYmdTree(fs, s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}", cutoffDay)
       case _ =>
         fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory).map(_.getPath)
           .filter(_.getName.startsWith("symbol=")).toSeq

@@ -302,6 +302,20 @@ class WideLakeSpec extends SparkSpec {
         .readWindow(spark, "1h", "AAAUSDT", instant("2026-01-16T05:00:00Z"),
           instant("2026-01-16T09:00:00Z")).get.inputFiles.toSeq,
       "HtfLakeReader.readWindow")
+
+    // with a delta patch present the bound still holds: the overlay adds
+    // ONLY the window's delta day files, and a window over a different
+    // day plans over zero delta files
+    writer.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1,
+      dayStart = instant("2026-01-16T10:00:00Z"), openBase = 700.0))
+    val withDelta = reader.readWindow(spark, "AAAUSDT", lo, hi).inputFiles.toSeq
+    onlyDay16(withDelta, "readWindow+delta")
+    assert(withDelta.exists(_.contains("/_delta/")), "delta files missing from the plan")
+    val otherDay = reader.readWindow(spark, "AAAUSDT",
+      instant("2026-01-17T10:00:00Z"), instant("2026-01-17T11:59:00Z")).inputFiles.toSeq
+    assert(otherDay.nonEmpty && otherDay.forall(f =>
+      f.contains("/day=17/") && !f.contains("/_delta/")),
+      s"day-17 window read outside its base day: ${otherDay.take(3)}")
   }
 
   test("lake retention drops aged days on both layouts; audit and backfill stay clean") {
@@ -403,6 +417,146 @@ class WideLakeSpec extends SparkSpec {
     assert(hinted("IDLUSDT") == instant("2026-01-15T19:59:00Z"))
     assert(hinted("AAAUSDT") == bare("AAAUSDT"))
     assert(!hinted.contains("GONEUSDT")) // never existed: probe finds nothing
+  }
+
+  private def baseFileSnapshot(root: String): Map[String, (Long, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/futures/um/minute"), true)
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toString.contains("/_delta/"))
+        out += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+    }
+    out.toMap
+  }
+
+  test("point repair lands as a delta: base files untouched, patch visible with merge semantics") {
+    val wRoot = Files.createTempDirectory("graft-wide-delta").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 3))
+    // base: 26h × 2 symbols, AAAUSDT carries a LIVE_ONLY coverage flag
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 26)
+      .withColumn("has_depth", lit(true)))
+    val before = baseFileSnapshot(wRoot)
+
+    // patch: AAAUSDT's first hour, new opens, has_depth null in the patch
+    val deltaDirs = w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 700.0))
+    assert(deltaDirs.size == 1 && deltaDirs.head.contains("/_delta/"))
+    assert(baseFileSnapshot(wRoot) == before, "base day files were rewritten by a point patch")
+
+    val r = new MinuteLakeReader(wRoot)
+    val a = r.scanSymbol(spark, "AAAUSDT")
+    assert(a.count() == 26 * 60) // no duplicate keys after overlay
+    val patched = a.where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open", "has_depth").head
+    assert(patched.getDouble(0) == 700.0)       // delta wins
+    assert(patched.getBoolean(1))               // LIVE_ONLY preserved from base
+    assert(a.where(col("timestamp") === ts("2026-01-15T01:00:00Z"))
+      .select("open").head.getDouble(0) == 110.0) // unpatched hour intact
+    assert(r.scanSymbol(spark, "BBBUSDT")
+      .where(col("timestamp") === ts("2026-01-15T00:30:00Z"))
+      .select("open").head.getDouble(0) == 130.0) // sibling untouched (step 30)
+
+    // a second patch to the same keys wins over the first (__delta_seq)
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 900.0))
+    assert(r.readWindow(spark, "AAAUSDT",
+        instant("2026-01-15T00:00:00Z"), instant("2026-01-15T00:59:00Z"))
+      .agg(min("open"), max("open")).head.toSeq == Seq(900.0, 949.0))
+
+    // all-symbols window read sees the overlay too
+    val win = r.readWindowAllSymbols(spark,
+      instant("2026-01-15T00:00:00Z"), instant("2026-01-15T00:00:00Z")).get
+    assert(win.where(col("symbol") === "AAAUSDT").select("open").head.getDouble(0) == 900.0)
+    assert(win.where(col("symbol") === "BBBUSDT").select("open").head.getDouble(0) == 100.0)
+
+    // audit covers the delta tree (symbol __DELTA__, hour -2) and stays ok
+    assert(w.auditPartitions(spark).forall(_.ok))
+    val ledger = new PartitionLedger(s"$wRoot/_state")
+    val dRows = ledger.all().filter(_.hour == -2)
+    assert(dRows.size == 1 && dRows.head.symbol == "__DELTA__" &&
+      dRows.head.rowCount == 120 && dRows.head.contentHash.nonEmpty)
+
+    // probes see patched minutes: a patch extending past the base max
+    val late = minutes(Seq("AAAUSDT"), hours = 1,
+      dayStart = instant("2026-01-16T02:00:00Z"))
+    w.writeDeltaPatch(late)
+    assert(r.latestMinute(spark, "AAAUSDT").contains(instant("2026-01-16T02:59:00Z")))
+    assert(r.inspectRange(spark, "AAAUSDT")._2.contains(instant("2026-01-16T02:59:00Z")))
+
+    // patches may only overlay EXISTING days
+    intercept[IllegalArgumentException] {
+      w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1,
+        dayStart = instant("2026-03-01T00:00:00Z")))
+    }
+  }
+
+  test("delta compaction folds into base: reads identical, deltas gone, ledger coherent") {
+    val wRoot = Files.createTempDirectory("graft-wide-compact").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 3))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 26)
+      .withColumn("has_depth", lit(true)))
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 700.0))
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 900.0))
+
+    val r = new MinuteLakeReader(wRoot)
+    def fingerprint() = sortedRows(r.scanAllSymbols(spark).get) ->
+      r.scanAllSymbols(spark).get.agg(
+        sum(when(col("has_depth"), 1L).otherwise(0L))).head.getLong(0)
+    val pre = fingerprint()
+
+    val folded = w.compactWideDeltas(spark)
+    assert(folded.size == 1 && folded.head.contains("/_delta/"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(folded.head)))
+
+    // compaction is invisible to readers — same rows, same LIVE_ONLY
+    assert(fingerprint() == pre)
+    // audit: day rows re-committed with fresh hashes; __DELTA__ rows DROPPED
+    assert(w.auditPartitions(spark).forall(_.ok))
+    val ledger = new PartitionLedger(s"$wRoot/_state")
+    assert(ledger.all().filter(_.hour == -2).forall(_.status == "DROPPED"))
+    // second compaction is a no-op; a fresh patch afterwards still wins
+    assert(w.compactWideDeltas(spark).isEmpty)
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 333.0))
+    assert(r.scanSymbol(spark, "AAAUSDT")
+      .where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open").head.getDouble(0) == 333.0)
+  }
+
+  test("writeHourPartition point-repairs an existing wide day as a delta; new days bootstrap bulk") {
+    val wRoot = Files.createTempDirectory("graft-wide-hourapi").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 2))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 24))
+    val before = baseFileSnapshot(wRoot)
+
+    // repair INTO the existing day → delta, base untouched
+    val hour = instant("2026-01-15T10:00:00Z")
+    w.writeHourPartition("AAAUSDT", hour,
+      minutes(Seq("AAAUSDT"), hours = 1, dayStart = hour, openBase = 777.0)
+        .drop("symbol"))
+    assert(baseFileSnapshot(wRoot) == before,
+      "an hour repair into an existing wide day rewrote the day")
+    val r = new MinuteLakeReader(wRoot)
+    assert(r.readWindow(spark, "AAAUSDT", hour, instant("2026-01-15T10:00:00Z"))
+      .select("open").head.getDouble(0) == 777.0)
+
+    // first write of a NEW day → bulk base write, no delta dir for it
+    val nextDay = instant("2026-01-16T00:00:00Z")
+    w.writeHourPartition("AAAUSDT", nextDay,
+      minutes(Seq("AAAUSDT"), hours = 1, dayStart = nextDay).drop("symbol"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$wRoot/futures/um/minute/year=2026/month=01/day=16")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$wRoot/futures/um/minute/_delta/year=2026/month=01/day=16")))
+    assert(r.scanSymbol(spark, "AAAUSDT").count() == 25 * 60) // 24h base + 1 new-day hour
   }
 
   test("QueryService.candleBars serves identical bars from hourly and wide lakes") {
