@@ -1409,6 +1409,35 @@ object SparkEntry {
         .withColumn("rows_per_band", lit(rowsPer.toLong))
     }),
 
+    // DEDUP: star + ONE rescue round — the chain-recall repair
+    // (VERDICT r13 #4): members whose star edge failed exact verify
+    // re-pair with their bucket predecessor and verify once more.
+    // Verify volume stays linear in bucket occupancy (< 2× star);
+    // recall recovers the chain loss mode (measured: StarRecallProbe).
+    "dedup_cc_verified_star_rescue" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.shingleHashesFromText("text", 3).as("sh"))
+        .localCheckpoint()
+      val n = docs.count()
+      val (nBands, rowsPer) = TextFns.minhashGeometryFor(16, n, targetBucketSize = 128)
+      val withSig = docs
+        .select(col("doc_id"), TextFns.minhashSignature("sh", 16).as("sig"))
+      val bandExprs = (0 until nBands).map { b =>
+        md5(concat_ws("|",
+          (0 until rowsPer).map(r => col("sig").getItem(b * rowsPer + r).cast("string")): _*))
+      }
+      val bands = withSig
+        .select(col("doc_id"), col("sig"), explode(array(bandExprs: _*)).as("bucket"))
+      val edges = graft.operators.DedupOps.verifiedStarRescueEdges(
+        bands, docs.select(col("doc_id"), col("sh")))
+      graft.operators.GraphOps
+        .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component_id"),
+          (col("id") === col("component_id")).as("is_canonical"))
+        .withColumn("num_bands", lit(nBands.toLong))
+        .withColumn("rows_per_band", lit(rowsPer.toLong))
+    }),
+
     // DEDUP: 32-bit SimHash per document (md5-bit voting over tokens).
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2401,6 +2430,66 @@ object SparkEntry {
         .withColumn("rank", row_number().over(wE))
         .where(col("rank") <= 5)
         .select(col("q_id"), col("n_id"), round(col("cos"), 5).as("cos"), col("rank"))
+    }),
+
+    // S16: day-wide lake round trip THROUGH the real machinery — bulk
+    // write (writeDaysWide), a point-repair delta patch
+    // (writeDeltaPatch), then a windowed read (readWindowAllSymbols)
+    // whose base∪delta overlay must equal the oracle's declarative
+    // merge. The DayWide layout is the designated 100 TB layout; this
+    // row upgrades it from spec-pinned to DuckDB-oracle-pinned
+    // (VERDICT r13 #3). Canonical minutes derive from events (symbol =
+    // user_id mod 7, one row per (symbol, minute)); the patch overlays
+    // the error-typed minutes with open+1000. The result is collected
+    // (small: 7 symbols) so the scratch lake can be deleted eagerly.
+    "s16_wide_lake_roundtrip" -> ((s, dir) => {
+      import graft.sources.{LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+      val ev = eventsK(s, dir)
+        .withColumn("symbol",
+          concat(lit("SYM"), lpad((col("user_id") % 7).cast("string"), 2, "0"),
+            lit("USDT")))
+      def canon(df: DataFrame, bump: Double): DataFrame = {
+        val g = df.groupBy(col("symbol"), col("minute").as("timestamp"))
+          .agg((round(sum(col("value")), 4) + bump).as("open"))
+          // HARD_REQUIRED columns derived from open (the DQ gate inside
+          // writeDeltaPatch rejects nulls there — correctly)
+          .withColumn("high", col("open") + 1.0)
+          .withColumn("low", col("open") - 1.0)
+          .withColumn("close", col("open") + 0.5)
+          .withColumn("volume_btc", lit(1.0))
+          .withColumn("volume_usdt", lit(100.0))
+          .withColumn("trade_count", lit(10L))
+          .withColumn("mark_price_open", col("open"))
+          .withColumn("mark_price_close", col("open"))
+          .withColumn("index_price_open", col("open"))
+          .withColumn("index_price_close", col("open"))
+        graft.schema.CanonicalSchema.columns.foldLeft(g) { (d, c) =>
+          if (d.columns.contains(c.name)) d.withColumn(c.name, col(c.name).cast(c.sparkType))
+          else d.withColumn(c.name, lit(null).cast(c.sparkType))
+        }
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft-s16-lake").toString
+      try {
+        val writer = new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"),
+          LakeLayout.DayWide(filesPerDay = 4))
+        writer.writeDaysWide(canon(ev, 0.0))
+        writer.writeDeltaPatch(canon(ev.where(col("event_type") === "error"), 1000.0))
+        val b = ev.agg(min(col("minute")), max(col("minute"))).collect()(0)
+        val win = new MinuteLakeReader(root)
+          .readWindowAllSymbols(s, b.getTimestamp(0).toInstant, b.getTimestamp(1).toInstant)
+          .get
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_minutes"),
+               round(sum(col("open")), 2).as("sum_open"),
+               round(max(col("open")), 4).as("max_open"))
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(win.collect(): _*)),
+          win.schema)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
     })
   )
 
@@ -2904,6 +2993,28 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS sum_price
         |FROM d GROUP BY o_orderstatus""".stripMargin,
 
+    // the lake round trip's declarative equivalent: base per-(symbol,
+    // minute) aggregate, error-typed minutes overlaid at +1000 (the
+    // delta patch), merged patch-wins — what writeDaysWide +
+    // writeDeltaPatch + readWindowAllSymbols must compute physically
+    "s16_wide_lake_roundtrip" ->
+      """WITH sym AS (
+        |  SELECT 'SYM' || lpad(CAST(user_id % 7 AS VARCHAR), 2, '0') || 'USDT'
+        |           AS symbol,
+        |         date_trunc('minute', ts) AS m, value, event_type
+        |  FROM events),
+        |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
+        |         FROM sym GROUP BY 1, 2),
+        |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
+        |          FROM sym WHERE event_type = 'error' GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
+        |  FROM base b LEFT JOIN patch p ON b.symbol = p.symbol AND b.m = p.m)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_minutes,
+        |       round(sum(open), 2) AS sum_open,
+        |       round(max(open), 4) AS max_open
+        |FROM merged GROUP BY symbol""".stripMargin,
+
     "txt_quality_score" ->
       """WITH d AS (SELECT doc_id, text,
         |                  string_split_regex(trim(text), '\s+') AS toks
@@ -3287,6 +3398,54 @@ object SparkEntry {
         s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
         s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
         s"edges AS (SELECT src, dst FROM vp UNION SELECT dst, src FROM vp), " +
+        s"reach(id, rr) AS (" +
+        s"  SELECT doc_id, doc_id FROM documents " +
+        s"  UNION " +
+        s"  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.rr) " +
+        s"SELECT id AS doc_id, min(rr) AS component_id, " +
+        s"  (min(rr) = id) AS is_canonical, " +
+        s"  (SELECT CAST(greatest(1, 16 // r) AS BIGINT) FROM params) AS num_bands, " +
+        s"  (SELECT CAST(r AS BIGINT) FROM params) AS rows_per_band " +
+        s"FROM reach GROUP BY id"
+    },
+
+    // Star + rescue: the star closure's verified pairs (vp), plus a
+    // second round where every (hub, member) candidate NOT in vp
+    // re-pairs with the member's bucket predecessor (lag by doc_id over
+    // distinct members) and passes the same two gates — mirrors
+    // DedupOps.verifiedStarRescueEdges exactly.
+    "dedup_cc_verified_star_rescue" -> {
+      val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
+        s"bm AS (SELECT bucket, min(doc_id) AS id_a FROM abands GROUP BY bucket), " +
+        s"cand AS (SELECT DISTINCT m.id_a, x.doc_id AS id_b " +
+        s"  FROM abands x JOIN bm m ON x.bucket = m.bucket AND m.id_a < x.doc_id), " +
+        s"surv AS (SELECT c.id_a, c.id_b FROM cand c " +
+        s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
+        s"  WHERE ($agree) >= 4), " +
+        s"vp AS (SELECT s.id_a AS src, s.id_b AS dst FROM surv s " +
+        s"  JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b " +
+        s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
+        s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
+        s"mem AS (SELECT DISTINCT bucket, doc_id FROM abands), " +
+        s"failed AS (SELECT m2.bucket, x.doc_id FROM mem x " +
+        s"  JOIN bm m2 ON x.bucket = m2.bucket AND m2.id_a < x.doc_id " +
+        s"  WHERE NOT EXISTS (SELECT 1 FROM vp v " +
+        s"    WHERE v.src = m2.id_a AND v.dst = x.doc_id)), " +
+        s"ord AS (SELECT bucket, doc_id, " +
+        s"  lag(doc_id) OVER (PARTITION BY bucket ORDER BY doc_id) AS prev_id FROM mem), " +
+        s"rcand AS (SELECT DISTINCT o.prev_id AS id_a, f.doc_id AS id_b " +
+        s"  FROM failed f JOIN ord o ON o.bucket = f.bucket AND o.doc_id = f.doc_id " +
+        s"  WHERE o.prev_id IS NOT NULL), " +
+        s"rsurv AS (SELECT c.id_a, c.id_b FROM rcand c " +
+        s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
+        s"  WHERE ($agree) >= 4), " +
+        s"rvp AS (SELECT s.id_a AS src, s.id_b AS dst FROM rsurv s " +
+        s"  JOIN d da ON da.doc_id = s.id_a JOIN d db ON db.doc_id = s.id_b " +
+        s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
+        s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
+        s"vp2 AS (SELECT src, dst FROM vp UNION SELECT src, dst FROM rvp), " +
+        s"edges AS (SELECT src, dst FROM vp2 UNION SELECT dst, src FROM vp2), " +
         s"reach(id, rr) AS (" +
         s"  SELECT doc_id, doc_id FROM documents " +
         s"  UNION " +

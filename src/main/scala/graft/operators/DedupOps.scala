@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The verified-closure dedup family as reusable library pieces.
@@ -95,6 +96,63 @@ object DedupOps {
       when(col("id_a") < col("id_b"), col("sig_a")).otherwise(col("sig_b")).as("sig_a"),
       when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b"),
       when(col("id_a") < col("id_b"), col("sig_b")).otherwise(col("sig_a")).as("sig_b"))
+  }
+
+  /** STAR plus ONE rescue round — the chain-recall repair for the star
+    * policy (VERDICT r13 #4). Star's measured loss mode
+    * (StarRecallProbe): on CHAIN-shaped near-dups the bucket-min is
+    * often a member that is NOT a true dup of the far members, so its
+    * (min, member) edges fail the exact verify and the chain never
+    * bridges. Rescue: every member whose star edge FAILED verify is
+    * re-paired with its PREDECESSOR member (next-smallest doc_id) in
+    * the same bucket and verified once more — inside a bucket of
+    * id-sorted members m1 < m2 < … the union of star and rescue edges
+    * contains a verified path wherever adjacent-by-id members are true
+    * dups, which is what a chain that co-buckets locally needs.
+    *
+    * Cost bound: |rescue| ≤ |failed star candidates|, so the total
+    * verify volume is < 2× star — still linear in bucket occupancy,
+    * never quadratic. Measured (StarRecallProbe, r14 annex): rescue
+    * recovers the chain-recall gap to within ~1 pt of all-pairs at a
+    * fraction of its verified-pair volume; cluster-shaped corpora are
+    * unchanged (rescue fires only where star failed).
+    *
+    * Returns verified undirected edges (src, dst) — the drop-in
+    * replacement for `verifiedEdges(starCandidates(bands), sh)`. */
+  def verifiedStarRescueEdges(bands: DataFrame, shingles: DataFrame,
+                              minAgree: Int = 4, jacNum: Int = 1,
+                              jacDen: Int = 3): DataFrame = {
+    val starEdges = verifiedEdges(starCandidates(bands), shingles,
+      minAgree, jacNum, jacDen)
+    starEdges
+      .unionByName(verifiedEdges(starRescueCandidates(bands, starEdges),
+        shingles, minAgree, jacNum, jacDen))
+      .distinct()
+  }
+
+  /** The rescue round's candidate pairs, given the already-verified
+    * star edges: (predecessor-member, failed-member) per bucket —
+    * exposed separately so probes can meter the round's verify volume
+    * with the same derivation the operator uses. */
+  def starRescueCandidates(bands: DataFrame, starEdges: DataFrame): DataFrame = {
+    // distinct members per bucket: a doc whose two bands hash to one
+    // bucket string must not self-pair through the lag
+    val members = bands.select(col("bucket"), col("doc_id"), col("sig"))
+      .dropDuplicates("bucket", "doc_id")
+    val hubs = bands.groupBy("bucket").agg(min(col("doc_id")).as("hub"))
+    val failed = members.join(hubs, Seq("bucket"))
+      .where(col("doc_id") > col("hub"))
+      .join(starEdges.select(col("src").as("hub"), col("dst").as("doc_id")),
+        Seq("hub", "doc_id"), "left_anti")
+      .select("bucket", "doc_id")
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val ordered = members
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+    failed.join(ordered, Seq("bucket", "doc_id"))
+      .where(col("prev_id").isNotNull)
+      .select(col("prev_id").as("id_a"), col("prev_sig").as("sig_a"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
   }
 
   /** Estimate-gate then exact-verify candidate pairs into edges.

@@ -434,7 +434,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
 
-    DQValidator.validate(frame)
+    DQValidator.validateKeyed(frame, Seq("symbol", "timestamp"))
     withPartCols(frame)
       .coalesce(1)
       .sortWithinPartitions("year", "month", "day", "symbol", "timestamp")
@@ -646,7 +646,12 @@ object MinuteLakeWriter {
     * place, then delete the aside copy. Readers see the old or the new
     * partition except during the instant between the two renames (a
     * brief missing-partition window); a crash in that window leaves the
-    * old data recoverable under `.tmp` rather than lost. */
+    * old data recoverable under `.tmp` rather than lost.
+    *
+    * OBJECT-STORE SEAM: rename is copy+delete on S3 — this method is
+    * the single choke point a cluster deployment re-implements as a
+    * manifest pointer swap (write under a unique prefix, commit by
+    * PUTting a small manifest object; see SURVEY §4.1). */
   def publishAtomically(fs: FileSystem, tmpDir: String, finalDir: String): Unit = {
     val finalPath = new HPath(finalDir)
     val aside = new HPath(tmpDir + ".aside")

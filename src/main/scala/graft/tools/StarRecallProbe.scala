@@ -101,8 +101,24 @@ object StarRecallProbe {
       GraphOps.connectedComponents(ids, DedupOps.verifiedEdges(cand, sh))
         .localCheckpoint()
 
+    /** Pairs that reach the EXACT verify stage (post est-gate, distinct)
+      * — the comparable cost meter across policies. */
+    def verifyVolume(cand: DataFrame): Long = cand
+      .where(expr("graft_sig_agree(sig_a, sig_b)") >= 4)
+      .select("id_a", "id_b").distinct().count()
+
     val (allCc, allSecs) = timed(close(DedupOps.allPairCandidates(bands)))
     val (starCc, starSecs) = timed(close(DedupOps.starCandidates(bands)))
+    val ((rescueCc, rescueVol), rescueSecs) = timed {
+      val starEdges = DedupOps.verifiedEdges(DedupOps.starCandidates(bands), sh)
+        .localCheckpoint()
+      val rescueCand = DedupOps.starRescueCandidates(bands, starEdges)
+      val edges = starEdges.unionByName(
+        DedupOps.verifiedEdges(rescueCand, sh)).distinct()
+      (GraphOps.connectedComponents(ids, edges).localCheckpoint(),
+        verifyVolume(DedupOps.starCandidates(bands)) + verifyVolume(rescueCand))
+    }
+    val allVol = verifyVolume(DedupOps.allPairCandidates(bands))
 
     // ---- truth: adjacent chain pairs are the true dups
     val truth = spark.read.parquet(dir)
@@ -122,6 +138,7 @@ object StarRecallProbe {
 
     val allHit = recall(allCc)
     val starHit = recall(starCc)
+    val rescueHit = recall(rescueCc)
 
     // ---- partition diff between the two policies
     val joined = allCc.select(col("id"), col("component_id").as("c_all"))
@@ -136,6 +153,10 @@ object StarRecallProbe {
     println(f"[star-recall] truthPairs=$nTruth allPairs: hit=$allHit " +
       f"(${100.0 * allHit / nTruth}%.3f%%) wall=$allSecs%.1f s | " +
       f"star: hit=$starHit (${100.0 * starHit / nTruth}%.3f%%) wall=$starSecs%.1f s")
+    println(f"[star-recall] star+rescue: hit=$rescueHit " +
+      f"(${100.0 * rescueHit / nTruth}%.3f%%) wall=$rescueSecs%.1f s " +
+      f"verifyVolume=$rescueVol vs allPairs=$allVol " +
+      f"(${100.0 * rescueVol / math.max(allVol, 1L)}%.1f%%)")
     println(s"[star-recall] components all=${d.getLong(0)} star=${d.getLong(1)} " +
       s"crossLabels=${d.getLong(2)} labelDiffDocs=${d.getLong(3)} " +
       s"partitionsIdentical=${d.getLong(0) == d.getLong(1) && d.getLong(1) == d.getLong(2)}")

@@ -14,7 +14,12 @@ final case class DQResult(rowCount: Long, minTs: String, maxTs: String)
   * All three checks fold into ONE aggregation pass. */
 object DQValidator {
 
-  def validate(frame: DataFrame): DQResult = {
+  def validate(frame: DataFrame): DQResult = validateKeyed(frame, Seq("timestamp"))
+
+  /** [[validate]] with an explicit uniqueness key: per-symbol frames
+    * dedup on `timestamp` alone; multi-symbol frames (the day-wide bulk
+    * and delta-patch paths) on (symbol, timestamp). */
+  def validateKeyed(frame: DataFrame, keys: Seq[String]): DQResult = {
     val missing = CanonicalSchema.columnNames.toSet -- frame.columns.toSet
     if (missing.nonEmpty)
       throw new DataQualityException(
@@ -24,7 +29,7 @@ object DQValidator {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
     val aggs = Seq(
       count(lit(1)).as("__rows"),
-      countDistinct(col("timestamp")).as("__distinct_ts"),
+      countDistinct(struct(keys.map(col): _*)).as("__distinct_ts"),
       min(col("timestamp")).cast("string").as("__min_ts"),
       max(col("timestamp")).cast("string").as("__max_ts")) ++ nullCounts
     val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
@@ -33,7 +38,8 @@ object DQValidator {
     val distinctTs = r.getLong(1)
     if (distinctTs < rows)
       throw new DataQualityException(
-        s"Found ${rows - distinctTs} duplicated timestamp buckets")
+        s"Found ${rows - distinctTs} duplicated " +
+          s"${keys.mkString("(", ", ", ")")} buckets")
 
     val violations = CanonicalSchema.hardRequired.zipWithIndex.collect {
       case (c, i) if r.getLong(4 + i) > 0 => s"$c=${r.getLong(4 + i)}"

@@ -59,6 +59,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(cStar == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("rescue round recovers the constructed star loss, matching all-pairs") {
+    // same false-collision corpus: star verifies nothing. Rescue pairs
+    // each FAILED member with its predecessor member — (1,2) fails
+    // again (1 is the false collision) but (2,3) verifies, so the
+    // closure matches all-pairs at 2 extra candidate pairs, not the
+    // quadratic bucket.
+    val b = bands((1L, sigA, "b0", false), (2L, sigX, "b0", false), (3L, sigX, "b0", false))
+    val starEdges = DedupOps.verifiedEdges(DedupOps.starCandidates(b), shingles)
+    val rescueCand = DedupOps.starRescueCandidates(b, starEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rescueCand == Set((1L, 2L), (2L, 3L)),
+      "both failed members re-pair with their bucket predecessor")
+    val edges = DedupOps.verifiedStarRescueEdges(b, shingles)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((2L, 3L)))
+    val c = comps(Seq(1L, 2L, 3L), DedupOps.verifiedStarRescueEdges(b, shingles))
+    assert(c == Map(1L -> 1L, 2L -> 2L, 3L -> 2L), "closure matches all-pairs")
+  }
+
   test("a second band without the false min restores star's edge (the b-fold bound)") {
     // same corpus, but band 2 hashes X and Y into a bucket of their own:
     // the min there is X itself, the star pair (X, Y) verifies, and the
