@@ -16,9 +16,12 @@
 #   SOLO_QUERIES         space-separated override of the fixed set
 #   SPARK_DRIVER_MEM     heap (default 16g)
 #
-# The fixed set = the 6 slowest sf0.1 queries of the r12 ledger plus
-# the two drift-watch rows (p3_book_ticker_exprs drifted r12;
-# dedup_cc_verified_star is the new default policy's row).
+# The fixed set = the 6 slowest sf0.1 queries of the r14 full ledger
+# (the suite gained s16_wide_lake_roundtrip and
+# dedup_cc_verified_star_rescue this round, both of which enter the
+# slowest-6) plus two drift-watch rows (p3_book_ticker_exprs drifted
+# r12; mb_canonical_build is the API-latency representative, solo-
+# pinned since r13).
 set -euo pipefail
 
 CLASSES="${1:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
@@ -26,9 +29,10 @@ OUT="${2:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
 SAMPLES="${3:-8}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 MEM="${SPARK_DRIVER_MEM:-16g}"
-QUERIES="${SOLO_QUERIES:-dedup_cc_incremental dedup_cc_verified_incremental \
-dedup_cc_autosize mb_canonical_build native_enrich_route \
-ivf_kmeans_train_k64 dedup_cc_verified_star p3_book_ticker_exprs}"
+QUERIES="${SOLO_QUERIES:-s16_wide_lake_roundtrip dedup_cc_incremental \
+dedup_cc_verified_incremental dedup_cc_verified_star_rescue \
+dedup_cc_autosize dedup_cc_verified_star \
+mb_canonical_build p3_book_ticker_exprs}"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
