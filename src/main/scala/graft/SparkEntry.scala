@@ -3411,9 +3411,9 @@ object SparkEntry {
 
     // Star + rescue: the star closure's verified pairs (vp), plus a
     // second round where every (hub, member) candidate NOT in vp
-    // re-pairs with the member's bucket predecessor (lag by doc_id over
-    // distinct members) and passes the same two gates — mirrors
-    // DedupOps.verifiedStarRescueEdges exactly.
+    // re-pairs with its highest-signature-agreement non-hub bucket
+    // partner (ties → smallest pid) and passes the same two gates —
+    // mirrors DedupOps.verifiedStarRescueEdges exactly.
     "dedup_cc_verified_star_rescue" -> {
       val agree = (0 until 16).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"WITH RECURSIVE $minhashAutosizeBandsCtes, " +
@@ -3428,15 +3428,20 @@ object SparkEntry {
         s"  WHERE len(list_intersect(da.sh, db.sh)) >= 1 " +
         s"    AND len(list_intersect(da.sh, db.sh)) * 3 >= len(da.sh) + len(db.sh)), " +
         s"mem AS (SELECT DISTINCT bucket, doc_id FROM abands), " +
-        s"failed AS (SELECT m2.bucket, x.doc_id FROM mem x " +
+        s"failed AS (SELECT m2.bucket, m2.id_a AS hub, x.doc_id FROM mem x " +
         s"  JOIN bm m2 ON x.bucket = m2.bucket AND m2.id_a < x.doc_id " +
         s"  WHERE NOT EXISTS (SELECT 1 FROM vp v " +
         s"    WHERE v.src = m2.id_a AND v.dst = x.doc_id)), " +
-        s"ord AS (SELECT bucket, doc_id, " +
-        s"  lag(doc_id) OVER (PARTITION BY bucket ORDER BY doc_id) AS prev_id FROM mem), " +
-        s"rcand AS (SELECT DISTINCT o.prev_id AS id_a, f.doc_id AS id_b " +
-        s"  FROM failed f JOIN ord o ON o.bucket = f.bucket AND o.doc_id = f.doc_id " +
-        s"  WHERE o.prev_id IS NOT NULL), " +
+        s"scored AS (SELECT f.bucket, f.doc_id, x.doc_id AS pid, ($agree) AS agree " +
+        s"  FROM failed f JOIN mem x " +
+        s"    ON x.bucket = f.bucket AND x.doc_id <> f.doc_id AND x.doc_id <> f.hub " +
+        s"  JOIN sig a ON a.doc_id = f.doc_id JOIN sig b ON b.doc_id = x.doc_id), " +
+        s"top1 AS (SELECT bucket, doc_id, pid FROM (" +
+        s"  SELECT bucket, doc_id, pid, row_number() OVER (" +
+        s"    PARTITION BY bucket, doc_id ORDER BY agree DESC, pid ASC) AS rn " +
+        s"  FROM scored) WHERE rn = 1), " +
+        s"rcand AS (SELECT DISTINCT least(doc_id, pid) AS id_a, " +
+        s"  greatest(doc_id, pid) AS id_b FROM top1), " +
         s"rsurv AS (SELECT c.id_a, c.id_b FROM rcand c " +
         s"  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b " +
         s"  WHERE ($agree) >= 4), " +

@@ -27,18 +27,30 @@ import org.apache.spark.sql.functions._
   *    assignment is identical to all-pairs (sf0.01: 476/476
   *    components, sf10: 5,268/5,268, zero docs differ).
   *
-  *    MEASURED DOMAIN BOUNDARY (StarRecallProbe, r13): the equality
-  *    holds for CLUSTER-shaped duplicate structure (verbatim/variant
-  *    groups — every member is a true dup of every other, so any
-  *    bucket-min is a valid hub). On CHAIN-shaped structure (adjacent-
-  *    overlap near-dups where skip-one members co-bucket but fail the
-  *    exact verify) star loses real recall: 56.2% vs 51.0% pair recall
-  *    at 500k docs (81.3% vs 74.6% at 20k with denser banding) — the
-  *    bucket-min is a chain member that is NOT a dup of the far
-  *    members, and verified (min, member) edges cannot bridge them.
-  *    Policy: all-pairs stays the high-recall default; choose star
-  *    (3.9× cheaper verification, measured sf10) when duplicate
-  *    structure is known cluster-shaped.
+  *    MEASURED DOMAIN BOUNDARY (StarRecallProbe, r13; rescue measured
+  *    r14): the equality holds for CLUSTER-shaped duplicate structure
+  *    (verbatim/variant groups — every member is a true dup of every
+  *    other, so any bucket-min is a valid hub). On CHAIN-shaped
+  *    structure (adjacent-overlap near-dups where skip-one members
+  *    co-bucket but fail the exact verify) star loses real recall:
+  *    56.2% vs 51.0% pair recall at 500k docs (81.3% vs 74.6% at 20k
+  *    with denser banding) — the bucket-min is a chain member that is
+  *    NOT a dup of the far members, and verified (min, member) edges
+  *    cannot bridge them.
+  *
+  *    [[verifiedStarRescueEdges]] (r14) closes most of that boundary:
+  *    one agreement-ranked rescue round recovers the chain gap to
+  *    within 0.26 pts of all-pairs at 500k (55.96% vs 56.22%; 80.9% vs
+  *    81.3% at 20k) while keeping ALL of star's cluster savings —
+  *    on the 50k cluster corpus star+rescue's exact-verify volume is
+  *    EXACTLY star's (18.2% of all-pairs; zero rescue pairs fire,
+  *    because rescue only triggers on failed star edges). On chains
+  *    the combined volume ≈ all-pairs (96.9% at 500k) — chains bucket
+  *    in pairs, so star never had savings there to preserve.
+  *    Policy: all-pairs stays the high-recall default (it is still
+  *    0.26–0.45 pts ahead on chains); choose star+rescue over PLAIN
+  *    star whenever choosing the cheap policy — same cost where star
+  *    is cheap, near-closes the gap where star loses recall.
   *  - INCIDENT (`incidentCandidates`): pairs with at least one endpoint
   *    in a marked increment — the daily-tick policy; composes with
   *    [[GraphOps.incrementalComponents]].
@@ -104,18 +116,22 @@ object DedupOps {
     * often a member that is NOT a true dup of the far members, so its
     * (min, member) edges fail the exact verify and the chain never
     * bridges. Rescue: every member whose star edge FAILED verify is
-    * re-paired with its PREDECESSOR member (next-smallest doc_id) in
-    * the same bucket and verified once more — inside a bucket of
-    * id-sorted members m1 < m2 < … the union of star and rescue edges
-    * contains a verified path wherever adjacent-by-id members are true
-    * dups, which is what a chain that co-buckets locally needs.
+    * re-paired with its HIGHEST-SIGNATURE-AGREEMENT partner among the
+    * bucket's other non-hub members and verified once more. Agreement
+    * is the est-gate kernel (`graft_sig_agree`, whole-stage codegen) —
+    * scoring a failed member against its bucket is the CHEAP stage;
+    * the expensive exact shingle verify stays capped at ONE pair per
+    * failed (bucket, member). A true chain neighbor has the highest
+    * expected agreement in the bucket (its Jaccard is the largest), so
+    * top-1-by-agreement finds it wherever it co-buckets.
     *
-    * Cost bound: |rescue| ≤ |failed star candidates|, so the total
-    * verify volume is < 2× star — still linear in bucket occupancy,
-    * never quadratic. Measured (StarRecallProbe, r14 annex): rescue
-    * recovers the chain-recall gap to within ~1 pt of all-pairs at a
-    * fraction of its verified-pair volume; cluster-shaped corpora are
-    * unchanged (rescue fires only where star failed).
+    * Cost bound: exact-verify volume ≤ star volume + |failed| < 2× star
+    * — linear in bucket occupancy, never quadratic. A predecessor-by-id
+    * rescue was measured first and REJECTED: on the 20k chain corpus it
+    * recovered only 1.9 of the 6.7-pt gap at 96.8% of all-pairs verify
+    * volume (ids are unordered within a bucket, so the predecessor is a
+    * random member); agreement-ranked rescue is the one that works —
+    * see the r14 annex table for the measured recall/volume.
     *
     * Returns verified undirected edges (src, dst) — the drop-in
     * replacement for `verifiedEdges(starCandidates(bands), sh)`. */
@@ -131,12 +147,16 @@ object DedupOps {
   }
 
   /** The rescue round's candidate pairs, given the already-verified
-    * star edges: (predecessor-member, failed-member) per bucket —
-    * exposed separately so probes can meter the round's verify volume
-    * with the same derivation the operator uses. */
+    * star edges: for each (bucket, member) whose star edge failed, the
+    * ONE other non-hub member with the highest signature agreement
+    * (ties broken by smallest partner id — deterministic). Exposed
+    * separately so probes can meter the round's verify volume with the
+    * same derivation the operator uses. Requires
+    * [[graft.functions.NativeVectorExprs]] registered on the session
+    * (same prerequisite as [[verifiedEdges]]). */
   def starRescueCandidates(bands: DataFrame, starEdges: DataFrame): DataFrame = {
     // distinct members per bucket: a doc whose two bands hash to one
-    // bucket string must not self-pair through the lag
+    // bucket string must not partner with itself
     val members = bands.select(col("bucket"), col("doc_id"), col("sig"))
       .dropDuplicates("bucket", "doc_id")
     val hubs = bands.groupBy("bucket").agg(min(col("doc_id")).as("hub"))
@@ -144,15 +164,22 @@ object DedupOps {
       .where(col("doc_id") > col("hub"))
       .join(starEdges.select(col("src").as("hub"), col("dst").as("doc_id")),
         Seq("hub", "doc_id"), "left_anti")
-      .select("bucket", "doc_id")
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
-    val ordered = members
-      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
-      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
-    failed.join(ordered, Seq("bucket", "doc_id"))
-      .where(col("prev_id").isNotNull)
-      .select(col("prev_id").as("id_a"), col("prev_sig").as("sig_a"),
-        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // score against every other non-hub member — the codegen'd cheap
+    // stage; only the top-1 partner proceeds to the exact verify
+    val partners = members.select(col("bucket"), col("doc_id").as("pid"),
+      col("sig").as("psig"))
+    val w = Window.partitionBy("bucket", "doc_id")
+      .orderBy(col("agree").desc, col("pid").asc)
+    failed.join(partners, Seq("bucket"))
+      .where(col("pid") =!= col("doc_id") && col("pid") =!= col("hub"))
+      .withColumn("agree", expr("graft_sig_agree(sig, psig)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        when(col("pid") < col("doc_id"), col("pid")).otherwise(col("doc_id")).as("id_a"),
+        when(col("pid") < col("doc_id"), col("psig")).otherwise(col("sig")).as("sig_a"),
+        when(col("pid") < col("doc_id"), col("doc_id")).otherwise(col("pid")).as("id_b"),
+        when(col("pid") < col("doc_id"), col("sig")).otherwise(col("psig")).as("sig_b"))
   }
 
   /** Estimate-gate then exact-verify candidate pairs into edges.

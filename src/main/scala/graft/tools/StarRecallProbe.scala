@@ -115,8 +115,11 @@ object StarRecallProbe {
       val rescueCand = DedupOps.starRescueCandidates(bands, starEdges)
       val edges = starEdges.unionByName(
         DedupOps.verifiedEdges(rescueCand, sh)).distinct()
+      // combined distinct volume (star∩rescue overlap dedup'd):
+      // star∪rescue ⊆ all-pairs as candidate sets, so this never
+      // exceeds the all-pairs meter
       (GraphOps.connectedComponents(ids, edges).localCheckpoint(),
-        verifyVolume(DedupOps.starCandidates(bands)) + verifyVolume(rescueCand))
+        verifyVolume(DedupOps.starCandidates(bands).unionByName(rescueCand)))
     }
     val allVol = verifyVolume(DedupOps.allPairCandidates(bands))
 

@@ -61,16 +61,17 @@ class DedupOpsSpec extends SparkSpec {
 
   test("rescue round recovers the constructed star loss, matching all-pairs") {
     // same false-collision corpus: star verifies nothing. Rescue pairs
-    // each FAILED member with its predecessor member — (1,2) fails
-    // again (1 is the false collision) but (2,3) verifies, so the
-    // closure matches all-pairs at 2 extra candidate pairs, not the
+    // each FAILED member (2 and 3) with its highest-agreement non-hub
+    // partner — each picks the other (agree 16 vs the hub's 5, and the
+    // hub is excluded anyway), so (2,3) verifies and the closure
+    // matches all-pairs at ONE extra exact-verify pair, not the
     // quadratic bucket.
     val b = bands((1L, sigA, "b0", false), (2L, sigX, "b0", false), (3L, sigX, "b0", false))
     val starEdges = DedupOps.verifiedEdges(DedupOps.starCandidates(b), shingles)
     val rescueCand = DedupOps.starRescueCandidates(b, starEdges)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(rescueCand == Set((1L, 2L), (2L, 3L)),
-      "both failed members re-pair with their bucket predecessor")
+    assert(rescueCand == Set((2L, 3L)),
+      "both failed members pick each other as top-agreement partner")
     val edges = DedupOps.verifiedStarRescueEdges(b, shingles)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges == Set((2L, 3L)))
