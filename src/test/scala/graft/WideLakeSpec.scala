@@ -526,6 +526,22 @@ class WideLakeSpec extends SparkSpec {
     assert(r.scanSymbol(spark, "AAAUSDT")
       .where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
       .select("open").head.getDouble(0) == 333.0)
+
+    // threshold: minFilesPerDay above the day's delta file count leaves
+    // it alone (still served through the overlay); at the threshold it
+    // folds
+    assert(w.compactWideDeltas(spark, minFilesPerDay = 2).isEmpty)
+    assert(r.scanSymbol(spark, "AAAUSDT")
+      .where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open").head.getDouble(0) == 333.0)
+    assert(w.compactWideDeltas(spark, minFilesPerDay = 1).size == 1)
+
+    // a patch extending a symbol's latest minute is seen by the
+    // all-symbols latest scan (deepest base days ∪ their delta days)
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1,
+      dayStart = instant("2026-01-16T05:00:00Z")))
+    assert(r.latestMinuteAllSymbols(spark)("AAAUSDT") ==
+      instant("2026-01-16T05:59:00Z"))
   }
 
   test("writeHourPartition point-repairs an existing wide day as a delta; new days bootstrap bulk") {
