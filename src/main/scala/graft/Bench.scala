@@ -31,6 +31,13 @@ import org.apache.spark.sql.SparkSession
   * exact-accuracy baselines) are excluded — the correctness gate still
   * checks them; timing the documented anti-pattern is not a signal.
   *
+  * The ledger is SPLIT (VERDICT r14 #6): alongside the all-rows
+  * `value`, every summary line carries `total_queries` (timed minus
+  * [[SparkEntry.engineRoundtrip]]), `total_engine` (the roundtrip rows
+  * alone), and `comparable` — the PINNED r13-era 88-query subtotal
+  * ([[SparkEntry.benchAddedAfterR13]] names everything born since), so
+  * round-over-round comparison is one field, not manual subtraction.
+  *
   * `runMain graft.Bench --solo <query> [samples]` pins ONE query with an
   * isolated 10-sample run (after the standard warm-up) — the drift-
   * pinning protocol that has separated contention from regression three
@@ -135,11 +142,25 @@ object Bench {
     // only the survivors silently masks a regression as a speedup when
     // round-over-round totals are compared (round-9 lesson).
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    // Split ledger (VERDICT r14 #6): `total_queries` excludes the
+    // engine-roundtrip rows (their wall prices write machinery, not a
+    // query); `total_engine` is those rows alone; `comparable` is the
+    // PINNED r13-era query set — the one number that is
+    // round-over-round comparable without manual subtraction.
+    def subtotal(p: String => Boolean): Double =
+      if (failed.exists(p)) -1.0
+      else results.collect { case (n, v, _) if p(n) => v }.sum
+    val totalQueries = subtotal(n => !SparkEntry.engineRoundtrip(n))
+    val totalEngine = subtotal(SparkEntry.engineRoundtrip)
+    val comparable = subtotal(n =>
+      !SparkEntry.engineRoundtrip(n) && !SparkEntry.benchAddedAfterR13(n))
+    val splits = s""""total_queries":${ms(totalQueries)},""" +
+      s""""total_engine":${ms(totalEngine)},"comparable":${ms(comparable)}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val medians =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},$splits,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"samples":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},$splits,"unit":"sec","queries":$qs,"failed":$failedJson,"samples":$raw,"sf":"$sfDir"}"""
     println(medians)
     val parts = results.grouped(20).toSeq
     parts.zipWithIndex.foreach { case (grp, i) =>
@@ -168,7 +189,7 @@ object Bench {
     // BENCH_LOCAL.json write, spark.stop(), and the failure report.
     // Per-query medians remain in the headline/part lines above and
     // per-sample values in BENCH_LOCAL.json.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"$ledger","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},$splits,"unit":"sec","nq":${results.size},"nfailed":${failed.size},"detail":"$ledger","sf":"$sfDir"}""")
     if (failed.nonEmpty)
       sys.exit(3) // nonzero rc so exit-code gating can't green-light a bad run
   }

@@ -147,6 +147,83 @@ object SparkEntry {
            date_trunc("hour", max(col("ts"))).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
 
+  /** Calendar-frame HTF aggregation (`htf_aggregate_1w` / `_1mo`):
+    * the 1h row's minute build, aggregated by a CALENDAR TimeframeSpec
+    * — Monday-floored weeks / day-1 months with add_months bucket ends
+    * (Timeframes.bucketStart/bucketEnd), so expected-minutes varies
+    * per bucket and the completeness accounting is exercised where it
+    * is data-dependent. */
+  private def htfCalendarAgg(s: SparkSession, dir: String, tf: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    val minutes = eventsK(s, dir).groupBy("minute").agg(
+      Ops.firstByOrd(col("value"), ord).as("open"),
+      max(col("value")).as("high"),
+      min(col("value")).as("low"),
+      Ops.lastByOrd(col("value"), ord).as("close"),
+      sum(col("value")).as("volume_btc"),
+      sum(col("value") * col("k")).as("volume_usdt"),
+      count(lit(1)).as("trade_count"),
+      max(when(col("event_type") === "view", col("k").cast("double"))).as("oi_contracts"))
+      .withColumnRenamed("minute", "timestamp")
+    val canonical = graft.operators.MinuteBuilder.finalizeSchema(minutes)
+    graft.operators.HtfAggregator
+      .aggregateMinutes(canonical, graft.schema.Timeframes.parse(tf), "EVT")
+      .select(col("bucket_start"),
+        round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+        round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+        round(col("volume_btc"), 4).as("volume_btc"),
+        round(col("vwap"), 4).as("vwap"),
+        col("trade_count"), col("observed_minutes_in_bucket"),
+        col("expected_minutes_in_bucket"), col("missing_minutes_count"),
+        col("bucket_complete"),
+        round(col("oi_contracts"), 4).as("oi_contracts"),
+        round(col("realized_vol_htf"), 6).as("realized_vol_htf"))
+  }
+
+  /** DuckDB twin of [[htfCalendarAgg]]: `part` = date_trunc part,
+    * `interval` = one-bucket span for the expected-minutes math. */
+  private def htfCalendarOracle(part: String, interval: String): String = {
+    val exp = s"CAST(date_diff('minute', bucket_start, bucket_start + INTERVAL $interval) AS BIGINT)"
+    s"""WITH e AS (SELECT *, CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+       |                  date_trunc('minute', ts) AS minute FROM events),
+       |mw AS (
+       |  SELECT minute, ts, event_id, value, event_type, k,
+       |         first_value(value) OVER w AS mo, last_value(value) OVER w AS mc
+       |  FROM e WINDOW w AS (PARTITION BY minute ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |mins AS (
+       |  SELECT minute, any_value(mo) AS o, max(value) AS hi, min(value) AS lo,
+       |         any_value(mc) AS c, sum(value) AS vb, sum(value * k) AS vu,
+       |         count(*) AS tc,
+       |         max(CASE WHEN event_type = 'view' THEN CAST(k AS DOUBLE) END) AS oi
+       |  FROM mw GROUP BY minute),
+       |b AS (
+       |  SELECT CAST(date_trunc('$part', minute) AS TIMESTAMP) AS bucket_start, minute,
+       |         o, hi, lo, c, vb, vu, tc, oi,
+       |         first_value(o) OVER wb AS bo, last_value(c) OVER wb AS bc,
+       |         last_value(oi IGNORE NULLS) OVER wb AS boi,
+       |         lag(c) OVER (PARTITION BY date_trunc('$part', minute)
+       |                      ORDER BY minute) AS prev_c
+       |  FROM mins
+       |  WINDOW wb AS (PARTITION BY date_trunc('$part', minute) ORDER BY minute
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT bucket_start,
+       |       round(any_value(bo), 4) AS open, round(max(hi), 4) AS high,
+       |       round(min(lo), 4) AS low, round(any_value(bc), 4) AS close,
+       |       round(sum(vb), 4) AS volume_btc,
+       |       round(CASE WHEN sum(vb) > 0 THEN sum(vu) / sum(vb) END, 4) AS vwap,
+       |       CAST(sum(tc) AS BIGINT) AS trade_count,
+       |       count(*) AS observed_minutes_in_bucket,
+       |       $exp AS expected_minutes_in_bucket,
+       |       $exp - count(*) AS missing_minutes_count,
+       |       count(*) = $exp AS bucket_complete,
+       |       round(any_value(boi), 4) AS oi_contracts,
+       |       round(sqrt(coalesce(sum(CASE WHEN prev_c > 0 AND c > 0
+       |                                    THEN pow(ln(c / prev_c), 2) END), 0.0)), 6)
+       |         AS realized_vol_htf
+       |FROM b GROUP BY bucket_start""".stripMargin
+  }
+
   /** Flagship query on sf=0.001 (star-join revenue rollup). */
   def entry(spark: SparkSession): DataFrame =
     queries("j9_star_join_revenue")(spark, "/root/testdata/sf0.001")
@@ -173,6 +250,25 @@ object SparkEntry {
       // gate — same argument as the three baselines above (VERDICT
       // r10 #4).
       "dedup_cc_canonical")
+
+  /** ENGINE-roundtrip rows (VERDICT r14 #6): queries whose timed body
+    * is write/patch/read MACHINERY (staged writes, content hashing,
+    * tempdir lifecycle), kept in the bench for drift detection but
+    * priced in their own `total_engine` ledger line — summing them
+    * into a query wall-time total misleads round-over-round reads. */
+  val engineRoundtrip: Set[String] = Set("s16_wide_lake_roundtrip")
+
+  /** Bench rows added AFTER the r13 ledger froze the `comparable`
+    * subtotal's membership. [[Bench]] reports
+    * `comparable` = timed ∖ engineRoundtrip ∖ this set — the SAME
+    * 88-query basis every round, so round-over-round deltas stop
+    * requiring manual subtraction. Append new query names here as they
+    * are born; never remove. */
+  val benchAddedAfterR13: Set[String] = Set(
+    "s16_wide_lake_roundtrip",       // r14 (also engine-roundtrip)
+    "dedup_cc_verified_star_rescue", // r14
+    "htf_aggregate_1w",              // r15
+    "htf_aggregate_1mo")             // r15
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1474,6 +1570,17 @@ object SparkEntry {
           round(col("oi_contracts"), 4).as("oi_contracts"),
           round(col("realized_vol_htf"), 6).as("realized_vol_htf"))
     }),
+
+    // A5/ST6 calendar frames end-to-end (VERDICT r14 #3): weekly
+    // (Monday-floor date_trunc) and monthly (day-1 floor, add_months
+    // bucket end) buckets through the SAME HtfAggregator machinery as
+    // the 1h row. Calendar math is exactly where engines silently
+    // disagree (reference `bucketing.py:71-114`, weekly/monthly
+    // boundary test `test_aggregator.py:328`), so both frames are
+    // oracle-pinned including the month-length-varying
+    // expected-minutes completeness accounting.
+    "htf_aggregate_1w" -> ((s, dir) => htfCalendarAgg(s, dir, "1w")),
+    "htf_aggregate_1mo" -> ((s, dir) => htfCalendarAgg(s, dir, "1M")),
 
     // A6 end-to-end through the domain QueryAggregator: dense canonical
     // minutes from the spine (zero-filled trade columns, sparse funding
@@ -3529,6 +3636,9 @@ object SparkEntry {
         |                                    THEN pow(ln(c / prev_c), 2) END), 0.0)), 6)
         |         AS realized_vol_htf
         |FROM b GROUP BY bucket_start""".stripMargin,
+
+    "htf_aggregate_1w" -> htfCalendarOracle("week", "7 DAY"),
+    "htf_aggregate_1mo" -> htfCalendarOracle("month", "1 MONTH"),
 
     // Unrolled 2-iteration Lloyd's: 3 assignment passes (seeds → c1 →
     // c2) + 2 centroid updates, distances and centroid components

@@ -33,8 +33,10 @@ object AggregatorRunner {
 
   /** Per-(symbol, timeframe) aggregator checkpoint (reference
     * `aggregator/state_store.py:35-105`). */
-  final class AggregatorStateStore(dir: String) {
-    private val wm = new graft.sources.WatermarkStore(dir)
+  final class AggregatorStateStore(
+      dir: String,
+      committer: graft.sources.CommitProtocol = graft.sources.RenameCommit) {
+    private val wm = new graft.sources.WatermarkStore(dir, committer)
     def get(symbol: String, timeframe: String): Option[Instant] =
       wm.get(s"$symbol|$timeframe")
     def set(symbol: String, timeframe: String, lastCompleted: Instant): Unit =

@@ -28,9 +28,15 @@ object GraphOps {
     * iterative DataFrame — the logical plan still nests and doubles per
     * round (planner OOM by ~10 rounds); the checkpoint cuts the plan to
     * a LogicalRDD so every round starts O(1). Superseded rounds'
-    * blocks are freed by Spark's ContextCleaner once unreferenced. On a
-    * cluster that must survive executor loss, swap for reliable
-    * `checkpoint` with a checkpoint dir — same shape, durable blocks.
+    * blocks are freed by Spark's ContextCleaner once unreferenced.
+    *
+    * `checkpointer` is the materialization seam (VERDICT r14 #4):
+    * default `localCheckpoint` (fast, executor-loss-fragile — a lost
+    * executor kills the job late because the truncated lineage cannot
+    * recompute); a cluster that must survive executor loss passes
+    * `_.checkpoint()` with `sparkContext.setCheckpointDir` pointed at
+    * durable storage — same shape, durable blocks (pinned equivalent
+    * by GraphOpsSpec's reliable-checkpoint row).
     *
     * @param vertices one column `id` (every vertex, including isolated
     *                 ones — they become their own component)
@@ -40,17 +46,17 @@ object GraphOps {
     *         the component; deterministic.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = 25,
+                          checkpointer: DataFrame => DataFrame =
+                            _.localCheckpoint()): DataFrame = {
     // bidirect once so min labels flow both ways, and MATERIALIZE: the
     // edge frame is re-joined every round — without the checkpoint each
     // round would re-run the (possibly expensive) upstream pair
     // pipeline that produced the edges
-    val undirected = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val undirected = checkpointer(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
 
-    var labels = vertices.select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    var labels = checkpointer(vertices.select(col("id"), col("id").as("comp")))
     var round = 0
     var converged = false
     while (!converged) {
@@ -66,11 +72,11 @@ object GraphOps {
       // just that value) — the convergence check then scans the
       // checkpointed result instead of paying a second label-sized join
       // per round
-      val gathered = labels.select(col("id"), col("comp"), lit(true).as("isPrev"))
-        .union(propagated)
-        .groupBy("id").agg(min(col("comp")).as("comp"),
-                           max(when(col("isPrev"), col("comp"))).as("prev"))
-        .localCheckpoint()
+      val gathered = checkpointer(
+        labels.select(col("id"), col("comp"), lit(true).as("isPrev"))
+          .union(propagated)
+          .groupBy("id").agg(min(col("comp")).as("comp"),
+                             max(when(col("isPrev"), col("comp"))).as("prev")))
       // pointer doubling from round 3: jump to the label OF my label
       // (comp values are vertex ids, so one self-join shortcuts a hop —
       // convergence in O(log diameter) rounds instead of O(diameter)).
@@ -82,13 +88,12 @@ object GraphOps {
       // rounds.
       val next =
         if (round < 3) gathered
-        else gathered.as("a")
+        else checkpointer(gathered.as("a")
           .join(gathered.select(col("id").as("lid"), col("comp").as("lcomp")).as("b"),
                 col("a.comp") === col("b.lid"), "left")
           .select(col("a.id").as("id"),
                   least(col("a.comp"), coalesce(col("lcomp"), col("a.comp"))).as("comp"),
-                  col("a.prev").as("prev"))
-          .localCheckpoint()
+                  col("a.prev").as("prev")))
       val changed = next.where(col("comp") =!= col("prev")).limit(1).count()
       labels = next.select("id", "comp")
       converged = changed == 0L
@@ -125,8 +130,10 @@ object GraphOps {
     * @return (`id`, `component_id`) over assign ∪ newIds
     */
   def incrementalComponents(assign: DataFrame, newIds: DataFrame,
-                            deltaEdges: DataFrame): DataFrame = {
-    val delta = deltaEdges.select(col("src"), col("dst")).localCheckpoint()
+                            deltaEdges: DataFrame,
+                            checkpointer: DataFrame => DataFrame =
+                              _.localCheckpoint()): DataFrame = {
+    val delta = checkpointer(deltaEdges.select(col("src"), col("dst")))
     // The touch set and the affected-component list are increment-sized;
     // the assignment is corpus-sized. Broadcasting the small side turns
     // every assignment join into a scan (NO corpus shuffle — phase-2
@@ -139,13 +146,14 @@ object GraphOps {
       .union(delta.select(col("dst").as("id"))).distinct()
     val affectedComps = hinted(assign.join(hinted(touchedDocs), Seq("id"))
       .select("component_id").distinct())
-    val affectedAssign = assign.join(affectedComps, Seq("component_id"))
-      .localCheckpoint() // consumed twice (nodes + star edges)
+    val affectedAssign = checkpointer( // consumed twice (nodes + star edges)
+      assign.join(affectedComps, Seq("component_id")))
     val unaffected = assign.join(affectedComps, Seq("component_id"), "left_anti")
     val nodes = affectedAssign.select(col("id")).union(newIds).distinct()
     val assignEdges = affectedAssign.where(col("component_id") =!= col("id"))
       .select(col("component_id").as("src"), col("id").as("dst"))
-    connectedComponents(nodes, assignEdges.unionByName(delta))
+    connectedComponents(nodes, assignEdges.unionByName(delta),
+        checkpointer = checkpointer)
       .unionByName(unaffected.select("id", "component_id"))
   }
 }

@@ -6,7 +6,7 @@ import java.time.temporal.ChronoUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.MinuteBuilder
-import graft.sources.{MinuteLakeWriter, WatermarkStore}
+import graft.sources.{CompactionPolicy, LakeLayout, MinuteLakeWriter, WatermarkStore}
 
 /** Minute-ingestion orchestrator — the reference's
   * `MinuteIngestionPipeline` lifecycle (`pipeline/orchestrator.py`):
@@ -83,7 +83,8 @@ object Orchestrator {
 
   final case class Settings(symbol: String,
                             safetyLagMinutes: Long = 3,
-                            bootstrapLookbackMinutes: Long = 120)
+                            bootstrapLookbackMinutes: Long = 120,
+                            compaction: CompactionPolicy = CompactionPolicy())
 
   final class DataQualityError(msg: String) extends RuntimeException(msg)
 
@@ -111,8 +112,13 @@ object Orchestrator {
         watermarks.set(settings.symbol, w)
         w
       }
-      if (!watermark.isBefore(target))
+      if (!watermark.isBefore(target)) {
+        // idle tick: nothing to ingest, but the age half of the
+        // compaction policy must still fire (a quiet lake's stale
+        // deltas fold exactly here)
+        maybeCompact(nowForBand)
         return RunSummary(settings.symbol, target, Some(watermark), Some(watermark), 0, Nil)
+      }
 
       val missingStart = watermark.plus(1, ChronoUnit.MINUTES)
       val cappedTarget = maxHours.filter(_ > 0).map { h =>
@@ -138,8 +144,22 @@ object Orchestrator {
         committed += 1
         hourStart = hourStart.plus(1, ChronoUnit.HOURS)
       }
+      maybeCompact(nowForBand)
       RunSummary(settings.symbol, cappedTarget, before, Some(current), committed,
         bands.result())
+    }
+
+    /** The tick owns delta compaction on the day-wide layout (VERDICT
+      * r14 #2): late repairs land as delta patches during the hour
+      * loop; days whose delta population crossed the policy's
+      * threshold-OR-age bound fold here, every tick (busy or idle).
+      * Idempotent + crash-safe (the fold is a merge fixpoint) and
+      * readers see identical rows either side of it, so cadence is
+      * pure economics. */
+    private def maybeCompact(now: Instant): Unit = writer.layout match {
+      case _: LakeLayout.DayWide =>
+        writer.compactWideDeltasIfDue(spark, now, settings.compaction); ()
+      case LakeLayout.HourlySymbol => ()
     }
 
     /** See [[Orchestrator.collectAndBuild]]. */

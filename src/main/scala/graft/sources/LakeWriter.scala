@@ -33,8 +33,17 @@ import graft.validation.DQValidator
   *    Use at lake width ≥10k where the hourly layout's file population
   *    (width × 24 files/day) is the measured constraint (SURVEY §8.15).
   */
+/** When the ingestion tick folds accumulated day-wide delta patches
+  * into their base days — threshold OR age, whichever trips first
+  * (see [[MinuteLakeWriter.compactWideDeltasIfDue]]). Defaults: fold a
+  * day at 8 delta files (read-overlay economics) or once its oldest
+  * patch is a day old (staleness). */
+final case class CompactionPolicy(minFilesPerDay: Int = 8,
+                                  maxAgeMinutes: Long = 1440L)
+
 class MinuteLakeWriter(root: String, ledger: PartitionLedger,
-                       val layout: LakeLayout = LakeLayout.HourlySymbol) {
+                       val layout: LakeLayout = LakeLayout.HourlySymbol,
+                       committer: CommitProtocol = RenameCommit) {
 
   private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH").withZone(ZoneOffset.UTC)
 
@@ -111,17 +120,22 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     val finalDir = partitionDir(symbol, hourStart)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-    val effective =
-      if (fs.exists(new HPath(finalDir)) && fs.listStatus(new HPath(finalDir)).nonEmpty)
-        mergePartitionFrames(spark.read.parquet(finalDir), frame)
-      else frame
+    // existing content is read through the committer's resolve — on a
+    // manifest deployment the live version sits behind the pointer,
+    // not at the partition path itself (SURVEY §4.1)
+    val existingDir = committer.resolve(fs, finalDir)
+      .filter(d => fs.listStatus(new HPath(d)).exists(_.isFile))
+    val effective = existingDir match {
+      case Some(d) => mergePartitionFrames(spark.read.parquet(d), frame)
+      case None    => frame
+    }
 
     val dq = DQValidator.validate(effective)
 
     val tmpDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     effective.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmpDir)
-    MinuteLakeWriter.publishAtomically(fs, tmpDir, finalDir)
+    committer.publish(fs, tmpDir, finalDir)
 
     ledger.upsert(PartitionLedgerEntry(
       symbol = symbol.toUpperCase,
@@ -134,9 +148,16 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       schemaHash = CanonicalSchema.schemaHash,
       status = "COMMITTED",
       committedAtUtc = Instant.now.toString,
-      contentHash = MinuteLakeWriter.contentHashOfDir(fs, finalDir)))
+      contentHash = MinuteLakeWriter.contentHashOfDir(fs,
+        committer.resolve(fs, finalDir).getOrElse(finalDir))))
     finalDir
   }
+
+  /** The path readers scan for a published hour partition — identity
+    * under [[RenameCommit]]; the live manifest version under
+    * [[ManifestCommit]]. */
+  def resolvePartitionDir(fs: FileSystem, dir: String): Option[String] =
+    committer.resolve(fs, dir)
 
   /** Recompute every COMMITTED ledger partition's content hash and
     * compare against what was recorded at commit time (reference
@@ -496,13 +517,42 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * @return the delta day directories folded and removed */
   def compactWideDeltas(spark: SparkSession, minFilesPerDay: Int = 1): Seq[String] = {
     require(minFilesPerDay >= 1, "minFilesPerDay must be at least 1")
+    compactWideDeltasWhere(spark)((files, _) => files >= minFilesPerDay)
+  }
+
+  /** Policy-driven compaction for the ingestion tick (VERDICT r14 #2):
+    * a delta day folds when it holds at least `policy.minFilesPerDay`
+    * delta files (read-overlay cost bound) OR its oldest delta file is
+    * older than `policy.maxAgeMinutes` relative to `now` (staleness
+    * bound — a quiet day with two ancient patches must not carry them
+    * forever). The DeltaAccumProbe showed overlay cost stays flat
+    * across accumulated deltas, so the cadence is an economics knob,
+    * not a correctness one: readers see identical rows pre-/post-fold
+    * by construction (one shared [[MinuteLakeWriter.mergeKeyed]]).
+    * Owned by [[graft.pipeline.Orchestrator.MinutePipeline]]'s tick. */
+  def compactWideDeltasIfDue(spark: SparkSession, now: Instant,
+                             policy: CompactionPolicy): Seq[String] = {
+    require(policy.minFilesPerDay >= 1, "minFilesPerDay must be at least 1")
+    val cutoffMs = now.toEpochMilli - policy.maxAgeMinutes * 60000L
+    compactWideDeltasWhere(spark) { (files, oldestMtimeMs) =>
+      files >= policy.minFilesPerDay || oldestMtimeMs <= cutoffMs
+    }
+  }
+
+  /** Shared fold machinery behind the two eligibility surfaces; the
+    * predicate sees (parquet-file count, oldest file mtime ms) per
+    * delta day. */
+  private def compactWideDeltasWhere(spark: SparkSession)
+                                    (due: (Int, Long) => Boolean): Seq[String] = {
     val lakeDir = s"$root/futures/um/minute"
     val deltaRoot = s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(deltaRoot))) return Seq.empty
     val eligible = DayDirs.ascending(fs, deltaRoot).filter { d =>
-      fs.listStatus(new HPath(d))
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) >= minFilesPerDay
+      val parquets = fs.listStatus(new HPath(d))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      parquets.nonEmpty &&
+        due(parquets.length, parquets.map(_.getModificationTime).min)
     }
     if (eligible.isEmpty) return Seq.empty
 
@@ -648,23 +698,14 @@ object MinuteLakeWriter {
     * brief missing-partition window); a crash in that window leaves the
     * old data recoverable under `.tmp` rather than lost.
     *
-    * OBJECT-STORE SEAM: rename is copy+delete on S3 — this method is
-    * the single choke point a cluster deployment re-implements as a
-    * manifest pointer swap (write under a unique prefix, commit by
-    * PUTting a small manifest object; see SURVEY §4.1). */
-  def publishAtomically(fs: FileSystem, tmpDir: String, finalDir: String): Unit = {
-    val finalPath = new HPath(finalDir)
-    val aside = new HPath(tmpDir + ".aside")
-    fs.mkdirs(finalPath.getParent)
-    val hadOld = fs.exists(finalPath)
-    if (hadOld && !fs.rename(finalPath, aside))
-      throw new RuntimeException(s"aside rename failed for $finalDir")
-    if (!fs.rename(new HPath(tmpDir), finalPath)) {
-      if (hadOld) fs.rename(aside, finalPath) // restore the old partition
-      throw new RuntimeException(s"atomic rename failed for $finalDir")
-    }
-    if (hadOld) fs.delete(aside, true)
-  }
+    * OBJECT-STORE SEAM: rename is copy+delete on S3 — the
+    * [[CommitProtocol]] trait is the executable seam (this method is
+    * its rename-default, kept as the writers' shared shorthand); a
+    * cluster deployment constructs the writers with [[ManifestCommit]]
+    * instead (manifest pointer swap; see SURVEY §4.1 and
+    * CommitSeamSpec's crash matrix). */
+  def publishAtomically(fs: FileSystem, tmpDir: String, finalDir: String): Unit =
+    RenameCommit.publish(fs, tmpDir, finalDir)
 }
 
 /** HTF bucket writer (reference `aggregator/target_writer.py:14-69`):
@@ -675,7 +716,8 @@ object MinuteLakeWriter {
   * — at width 10k the hourly-era HTF tree is 10k files/day/timeframe,
   * the same file-count wall the minute lake hit (SURVEY §8.15). */
 class HtfLakeWriter(root: String,
-                    val layout: LakeLayout = LakeLayout.HourlySymbol) {
+                    val layout: LakeLayout = LakeLayout.HourlySymbol,
+                    committer: CommitProtocol = RenameCommit) {
 
   def partitionDir(timeframe: String, symbol: String, day: java.time.LocalDate): String =
     f"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}/year=${day.getYear}%04d/" +
@@ -886,18 +928,21 @@ class HtfLakeWriter(root: String,
                    day: java.time.LocalDate, buckets: DataFrame): String = {
     val dir = partitionDir(timeframe, symbol, day)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val effective =
-      if (fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty) {
-        val existing = spark.read.parquet(dir)
+    val existingDir = committer.resolve(fs, dir)
+      .filter(d => fs.listStatus(new HPath(d)).exists(_.isFile))
+    val effective = existingDir match {
+      case Some(d) =>
+        val existing = spark.read.parquet(d)
         Ops.dedupKeepLast(
           existing.withColumn("__src", lit(0))
             .unionByName(buckets.withColumn("__src", lit(1)), allowMissingColumns = true),
           Seq("bucket_start"), Seq(col("__src"))).drop("__src")
-      } else buckets
+      case None => buckets
+    }
     val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     effective.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmp)
-    MinuteLakeWriter.publishAtomically(fs, tmp, dir)
+    committer.publish(fs, tmp, dir)
     dir
   }
 }

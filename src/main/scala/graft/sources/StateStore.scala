@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -66,8 +66,11 @@ class PartitionLedger(dir: String) {
 }
 
 /** Per-symbol watermark: last fully-ingested minute (reference
-  * `state/store.py:46-75`). Atomic replace on every update. */
-class WatermarkStore(dir: String) {
+  * `state/store.py:46-75`). Atomic replace on every update; the
+  * replace itself goes through the [[CommitProtocol]] state-plane seam
+  * (§4.1 seam 3) — `ATOMIC_MOVE` by default, a whole-object PUT under
+  * an object-store deployment. */
+class WatermarkStore(dir: String, committer: CommitProtocol = RenameCommit) {
   private val file = Paths.get(dir, "watermarks.json")
   Files.createDirectories(Paths.get(dir))
 
@@ -97,9 +100,6 @@ class WatermarkStore(dir: String) {
       entries.map { case (k, v) => k.toUpperCase -> v.toString }
     val json = updated.toSeq.sorted
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val tmp = Paths.get(dir, s".watermarks.${java.util.UUID.randomUUID()}.tmp")
-    Files.writeString(tmp, json, StandardCharsets.UTF_8)
-    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    committer.putState(file, json.getBytes(StandardCharsets.UTF_8))
   }
 }

@@ -33,6 +33,23 @@ import graft.functions.TextFns
   *  - a doc matches in a bucket if any live member's signature agrees
   *    in ≥ `minAgree` of 16 positions (the batch family's est-gate).
   *
+  * STAR-RESCUE POLICY NOTE (VERDICT r14 #5): the batch star policy
+  * needed an agreement-ranked rescue round because it verifies only
+  * (bucket-min, member) pairs, and on CHAIN corpora the bucket-min is
+  * often not a true dup of far members
+  * ([[graft.operators.DedupOps.verifiedStarRescueEdges]]). The stream
+  * stage has NO such loss mode by construction: a doc is compared
+  * against EVERY live member of its bucket (incident-pairs within the
+  * horizon), not only the min, so a chain doc's true neighbor — when
+  * co-bucketed and inside the horizon — is always among the candidates
+  * already. Measured (StreamNearDupProbe `--chain` leg, r15 annex):
+  * on the permuted-id chain corpus the full-span stream flags equal
+  * the batch ALL-PAIRS est-gate's later-arriving sides exactly
+  * (missed = 0) — all-pairs recall at star-free cost, no rescue round
+  * to add. What the stream DOES trade is the horizon (members older
+  * than `horizonMs` are pruned) and the hot-bucket cap; both losses
+  * are bounded+counted, and the nightly batch closure catches them.
+  *
   * One doc explodes into `bands` bucket rows, so per-bucket verdicts
   * are combined per doc by [[decisions]] — ANY bucket match flags the
   * doc. `decisions` is a plain aggregation: run it inside

@@ -29,6 +29,14 @@ import graft.sources.{HtfLakeWriter, LakeLayout, LakeMigrate, MinuteLakeReader, 
   *
   * Run: `sbt "runMain graft.tools.PointRepairProbe [width] [filesPerDay]"`
   * (defaults 10000 / 32).
+  *
+  * `wideonly` as the 3rd arg (VERDICT r14 #8) skips legs 0–1 (the
+  * hourly strawman + migration — at width 100k the hourly build alone
+  * is 2.4M files, hours of setup for legs that were already measured
+  * at width 10k) and bulk-builds the day-wide lake directly, so the
+  * width-100k run measures exactly what the verdict asks: patch cost
+  * O(patch), overlay read, repair tick, and one-day-merge compaction
+  * at the layout's documented design point.
   */
 object PointRepairProbe {
 
@@ -75,36 +83,44 @@ object PointRepairProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val wideOnly = args.lift(2).contains("wideonly")
     val tmp = java.nio.file.Files.createTempDirectory("graft-point-repair").toString
     val hRoot = s"$tmp/hourly"
     val wRoot = s"$tmp/wide"
 
-    // ---- 0. the adopter's lake: width-W hourly, one day (W × 24 files)
-    val (_, buildSecs) = timed {
-      dayFrame(spark, width, Day1)
-        .withColumn("year", date_format(col("timestamp"), "yyyy"))
-        .withColumn("month", date_format(col("timestamp"), "MM"))
-        .withColumn("day", date_format(col("timestamp"), "dd"))
-        .withColumn("hour", date_format(col("timestamp"), "HH"))
-        .repartition(col("symbol"))
-        .write.mode("overwrite")
-        .partitionBy("symbol", "year", "month", "day", "hour")
-        .option("compression", "zstd")
-        .parquet(s"$hRoot/futures/um/minute")
-    }
-    println(f"[point-repair] width=$width hourly build=$buildSecs%.1f s")
-
-    // ---- 1. migration at production width
-    val (report, migSecs) = timed {
-      LakeMigrate.hourlyToDayWide(spark, hRoot, wRoot, filesPerDay)
-    }
-    println(f"[point-repair] migrate width=$width wall=$migSecs%.1f s " +
-      f"rows=${report.rows} symbols=${report.symbols} parityOk=${report.parityOk} " +
-      f"mismatches=${report.mismatches}")
-    require(report.parityOk, "migration parity failed at production width")
-
     val writer = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
       LakeLayout.DayWide(filesPerDay))
+
+    if (wideOnly) {
+      // direct day-wide bootstrap — the lake an adopter holds AFTER
+      // migration; legs 0–1 were measured at width 10k (r14 annex)
+      val (_, buildSecs) = timed(writer.writeDaysWide(dayFrame(spark, width, Day1)))
+      println(f"[point-repair] width=$width wide bulk build=$buildSecs%.1f s (wideonly)")
+    } else {
+      // ---- 0. the adopter's lake: width-W hourly, one day (W × 24 files)
+      val (_, buildSecs) = timed {
+        dayFrame(spark, width, Day1)
+          .withColumn("year", date_format(col("timestamp"), "yyyy"))
+          .withColumn("month", date_format(col("timestamp"), "MM"))
+          .withColumn("day", date_format(col("timestamp"), "dd"))
+          .withColumn("hour", date_format(col("timestamp"), "HH"))
+          .repartition(col("symbol"))
+          .write.mode("overwrite")
+          .partitionBy("symbol", "year", "month", "day", "hour")
+          .option("compression", "zstd")
+          .parquet(s"$hRoot/futures/um/minute")
+      }
+      println(f"[point-repair] width=$width hourly build=$buildSecs%.1f s")
+
+      // ---- 1. migration at production width
+      val (report, migSecs) = timed {
+        LakeMigrate.hourlyToDayWide(spark, hRoot, wRoot, filesPerDay)
+      }
+      println(f"[point-repair] migrate width=$width wall=$migSecs%.1f s " +
+        f"rows=${report.rows} symbols=${report.symbols} parityOk=${report.parityOk} " +
+        f"mismatches=${report.mismatches}")
+      require(report.parityOk, "migration parity failed at production width")
+    }
     val reader = new MinuteLakeReader(wRoot)
 
     // ---- 2. point repair: 1 symbol-hour (60 rows), delta vs day-rewrite

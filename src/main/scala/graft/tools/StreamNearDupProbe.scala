@@ -29,14 +29,50 @@ import graft.streaming.StreamNearDup
   *
   * Run: `sbt "runMain graft.tools.StreamNearDupProbe [corpusDir]
   * [nBatches] [horizonFracPct]"` (defaults /tmp/sf10, 20, 10).
+  *
+  * CHAIN leg (VERDICT r14 #5): `corpusDir` = `chain:<nDocs>:<chainLen>`
+  * generates the StarRecallProbe chain corpus (sliding-token-window
+  * chains, PERMUTED doc ids — the star policy's measured loss mode) and
+  * runs the same legs over it. The full-span leg's `missed` count
+  * against the batch ALL-PAIRS est-gate is the rescue question's
+  * answer: the stream stage compares a doc against EVERY live bucket
+  * member (incident-pairs within the horizon), never only the
+  * bucket-min, so star's chain-loss mode cannot occur — missed = 0
+  * expected, hence no rescue round to adopt (policy note in
+  * [[graft.streaming.StreamNearDup]]'s scaladoc).
   */
 object StreamNearDupProbe {
+
+  /** StarRecallProbe's chain construction (60-token windows, step 12,
+    * permuted ids), reduced to the (doc_id, text) shape this probe
+    * consumes. */
+  private def writeChainCorpus(spark: SparkSession, nDocs: Int,
+                               chainLen: Int): String = {
+    import org.apache.spark.sql.functions._
+    val mult = Seq(48271L, 1000003L, 7919L)
+      .find(m => BigInt(m).gcd(BigInt(nDocs)) == 1)
+      .getOrElse(sys.error(s"no coprime multiplier for $nDocs"))
+    val tokensPerDoc = 60; val step = 12
+    val tokenExprs = (0 until tokensPerDoc).map { k =>
+      md5(concat(col("chain").cast("string"), lit("#"),
+        (col("pos") * step + k).cast("string")))
+    }
+    val dir = s"/tmp/snd_chain_${nDocs}_$chainLen"
+    spark.range(nDocs.toLong)
+      .select(((col("id") * mult) % nDocs).as("doc_id"),
+        expr(s"id div $chainLen").as("chain"),
+        (col("id") % chainLen).as("pos"))
+      .withColumn("text", concat_ws(" ", tokenExprs: _*))
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 
   final case class Doc(docId: Long, text: String,
                        eventTime: java.sql.Timestamp)
 
   def main(args: Array[String]): Unit = {
-    val corpusDir = args.headOption.getOrElse("/tmp/sf10")
+    val corpusArg = args.headOption.getOrElse("/tmp/sf10")
     val nBatches = args.lift(1).flatMap(_.toIntOption).getOrElse(20)
     val horizonFracPct = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
@@ -49,6 +85,14 @@ object StreamNearDupProbe {
     graft.functions.NativeVectorExprs.register(spark)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+
+    val corpusDir = corpusArg match {
+      case s if s.startsWith("chain:") =>
+        val parts = s.stripPrefix("chain:").split(":")
+        writeChainCorpus(spark, parts(0).toInt,
+          parts.lift(1).map(_.toInt).getOrElse(8))
+      case dir => dir
+    }
 
     val base = 1767175200000L // 2026-01-15T10:00:00Z
     val stepMs = 10L

@@ -40,6 +40,41 @@ class GraphOpsSpec extends SparkSpec {
       cc((1L to 40L).toSeq, (1L until 40L).map(i => (i, i + 1)), maxRounds = 2))
   }
 
+  test("reliable checkpointing is a constructor argument: closure identical through _.checkpoint() (VERDICT r14 #4)") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val prior = Option(spark.sparkContext.getCheckpointDir).flatten
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      // long chain (forces pointer-doubled rounds) + cluster + singleton
+      val vertices = ((1L to 30L) ++ Seq(100L, 101L, 102L, 200L)).toDF("id")
+      val edges = ((1L until 30L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")
+      val local = GraphOps.connectedComponents(vertices, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val reliable = GraphOps.connectedComponents(vertices, edges,
+        checkpointer = _.checkpoint())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable == local)
+      // durable blocks really were written (lineage cut survives
+      // executor loss on a cluster — the point of the parameter)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(ckptDir),
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(ckptDir)).nonEmpty)
+
+      // incremental closure through the same seam
+      val assign = GraphOps.connectedComponents(vertices, edges)
+      val incLocal = GraphOps.incrementalComponents(assign,
+        Seq(300L).toDF("id"), Seq((300L, 1L)).toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val incReliable = GraphOps.incrementalComponents(assign,
+        Seq(300L).toDF("id"), Seq((300L, 1L)).toDF("src", "dst"),
+        checkpointer = _.checkpoint())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(incReliable == incLocal)
+    } finally prior.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("star edges yield IDENTICAL components to the all-pairs bucket self-join (the dedup_cc_autosize shortcut)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns

@@ -74,6 +74,60 @@ class OrchestratorSpec extends SparkSpec {
     }
   }
 
+  test("the ingestion tick owns wide-delta compaction: busy tick folds at threshold, idle tick still compacts") {
+    val dir = Files.createTempDirectory("graft-orch-wide").toString
+    val writer = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"),
+      graft.sources.LakeLayout.DayWide(filesPerDay = 2))
+    val reader = new MinuteLakeReader(dir)
+    val wm = new WatermarkStore(s"$dir/_wm")
+    val collector = new FakeCollector(
+      klineRecords("2026-01-15T07:55:00Z", 200),
+      p => auxKlineRecords("2026-01-15T07:55:00Z", 200, p),
+      tradeRecords("2026-01-15T07:55:00Z", 200, qty = 2.0))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    def deltaDays = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/futures/um/minute/_delta" + "/year=*/month=*/day=*")).toSeq.map(_.getPath.toString)
+
+    // age disabled: this row pins the threshold half + the tick wiring
+    // (the age half is pinned against controlled `now` in WideLakeSpec)
+    val policy = graft.sources.CompactionPolicy(
+      minFilesPerDay = 3, maxAgeMinutes = Long.MaxValue / 120000L)
+    val pipe = new MinutePipeline(spark,
+      Settings("BTCUSDT", compaction = policy), collector, writer, wm)
+
+    // 3-hour bootstrap: hour 08 bulk-creates the wide day, hours 09/10
+    // land as 2 delta files — below the 3-file threshold, so the tick
+    // keeps them (served through the read overlay)
+    val now = instant("2026-01-15T10:03:00Z")
+    assert(pipe.runOnce(now).partitionsCommitted == 3)
+    assert(deltaDays.size == 1, "below-threshold young deltas survive the tick")
+    assert(reader.readWindow(spark, "BTCUSDT",
+      instant("2026-01-15T08:00:00Z"), instant("2026-01-15T10:59:00Z")).count() == 121)
+
+    // next tick re-covers hour 10 and adds hour 11: 2 more delta files
+    // cross the threshold, so the SAME tick folds the day
+    val now2 = instant("2026-01-15T11:03:00Z")
+    assert(pipe.runOnce(now2).partitionsCommitted == 2)
+    assert(deltaDays.isEmpty, "busy tick compacted its own repairs at the threshold")
+
+    // one repair patch below threshold — kept by its tick
+    writer.writeDeltaPatch(
+      reader.readWindow(spark, "BTCUSDT", instant("2026-01-15T09:00:00Z"),
+        instant("2026-01-15T09:59:00Z")).withColumn("symbol", lit("BTCUSDT")))
+    assert(deltaDays.size == 1)
+
+    // an idle tick (nothing to ingest) still runs the policy: with the
+    // threshold at 1 the stale delta folds even though no hour commits
+    val idlePipe = new MinutePipeline(spark,
+      Settings("BTCUSDT", compaction = policy.copy(minFilesPerDay = 1)),
+      collector, writer, wm)
+    assert(idlePipe.runOnce(now2).partitionsCommitted == 0)
+    assert(deltaDays.isEmpty, "idle tick folded the stale delta")
+    assert(reader.readWindow(spark, "BTCUSDT",
+      instant("2026-01-15T08:00:00Z"), instant("2026-01-15T11:59:00Z")).count() == 181)
+  }
+
   test("band choice: HOT ≤6h, WARM ≤7d, COLD beyond (orchestrator.py:634-641)") {
     val now = instant("2026-01-15T12:00:00Z")
     assert(Orchestrator.chooseBand(now, instant("2026-01-15T08:00:00Z")) == Band.Hot)

@@ -544,6 +544,58 @@ class WideLakeSpec extends SparkSpec {
       instant("2026-01-16T05:59:00Z"))
   }
 
+  test("compactWideDeltasIfDue: threshold OR age (whichever trips), reader-invariant, retention-safe") {
+    val wRoot = Files.createTempDirectory("graft-wide-policy").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 2))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 3))
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 700.0))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val deltaRoot = s"$wRoot/futures/um/minute/_delta"
+    def deltaDays = fs.globStatus(new org.apache.hadoop.fs.Path(
+      deltaRoot + "/year=*/month=*/day=*")).toSeq.map(_.getPath.toString)
+    val r = new MinuteLakeReader(wRoot)
+    def fingerprint() = sortedRows(r.scanAllSymbols(spark).get)
+    val pre = fingerprint()
+
+    // young single delta, threshold 3: neither bound trips — kept
+    val policy = graft.sources.CompactionPolicy(minFilesPerDay = 3, maxAgeMinutes = 120)
+    assert(w.compactWideDeltasIfDue(spark, java.time.Instant.now(), policy).isEmpty)
+    assert(deltaDays.size == 1)
+
+    // two more patches cross the count threshold — folds; readers see
+    // the SAME rows either side of the fold (the concurrent-reader
+    // guarantee: overlay and fold share mergeKeyed)
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 800.0))
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 900.0))
+    val byCount = w.compactWideDeltasIfDue(spark, java.time.Instant.now(), policy)
+    assert(byCount.size == 1 && deltaDays.isEmpty)
+    val post = fingerprint()
+    assert(post != pre && post == fingerprint(), "fold applied once, stable after")
+
+    // one fresh patch: below count threshold, but a tick whose `now`
+    // is past the patch's age bound folds it anyway
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 333.0))
+    assert(w.compactWideDeltasIfDue(spark, java.time.Instant.now(), policy).isEmpty)
+    val aged = w.compactWideDeltasIfDue(
+      spark, java.time.Instant.now().plus(121, java.time.temporal.ChronoUnit.MINUTES), policy)
+    assert(aged.size == 1 && deltaDays.isEmpty)
+    assert(r.scanSymbol(spark, "AAAUSDT")
+      .where(col("timestamp") === ts("2026-01-15T00:00:00Z"))
+      .select("open").head.getDouble(0) == 333.0)
+
+    // retention interplay: a dropped day takes its deltas with it, and
+    // the policy tick over the emptied tree is a clean no-op
+    w.writeDeltaPatch(minutes(Seq("AAAUSDT"), hours = 1, openBase = 555.0))
+    graft.sources.Retention.dropLakeDaysBefore(spark, wRoot,
+      instant("2026-01-16T00:00:00Z"))
+    assert(deltaDays.isEmpty)
+    assert(w.compactWideDeltasIfDue(spark,
+      java.time.Instant.now().plus(500, java.time.temporal.ChronoUnit.MINUTES),
+      policy).isEmpty)
+  }
+
   test("writeHourPartition point-repairs an existing wide day as a delta; new days bootstrap bulk") {
     val wRoot = Files.createTempDirectory("graft-wide-hourapi").toString
     val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),

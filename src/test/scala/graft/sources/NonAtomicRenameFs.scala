@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileUtil, Path => HPath, RawLocalFileSystem}
+
+/** Injected-fault filesystem modeling an S3-class object store's rename
+  * semantics over local disk (CommitSeamSpec's substrate):
+  *
+  *  - DIRECTORY rename = copy-file-by-file-then-delete (what S3
+  *    "rename" actually is), with a crash hook after N copied files
+  *    and before the source delete — every window of the non-atomic
+  *    rename is reachable;
+  *  - single-FILE rename and `create`+close stay atomic (a single
+  *    small-object PUT is atomic on real object stores — the property
+  *    [[ManifestCommit]]'s pointer swap relies on).
+  *
+  * Copy order is lexicographic so crash points are deterministic.
+  */
+final class InjectedCrash extends RuntimeException("injected crash")
+
+class NonAtomicRenameFs extends RawLocalFileSystem {
+
+  /** Crash when about to copy file number (crashAfterCopies + 1);
+    * −1 = never. The counter spans renames, so a multi-rename publish
+    * (aside + promote) can be crashed in its second rename. */
+  var crashAfterCopies: Int = -1
+
+  /** Crash after the copy phase completes, before the source delete. */
+  var crashBeforeDelete: Boolean = false
+
+  private var copies = 0
+
+  def armed(afterCopies: Int = -1, beforeDelete: Boolean = false): this.type = {
+    crashAfterCopies = afterCopies
+    crashBeforeDelete = beforeDelete
+    copies = 0
+    this
+  }
+
+  def copiedSoFar: Int = copies
+
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    if (getFileStatus(src).isFile) return super.rename(src, dst)
+    copyTree(src, dst)
+    if (crashBeforeDelete) throw new InjectedCrash
+    delete(src, true)
+    true
+  }
+
+  private def copyTree(src: HPath, dst: HPath): Unit = {
+    mkdirs(dst)
+    listStatus(src).sortBy(_.getPath.getName).foreach { s =>
+      val target = new HPath(dst, s.getPath.getName)
+      if (s.isDirectory) copyTree(s.getPath, target)
+      else {
+        if (crashAfterCopies >= 0 && copies >= crashAfterCopies)
+          throw new InjectedCrash
+        FileUtil.copy(this, s.getPath, this, target, false, getConf)
+        copies += 1
+      }
+    }
+  }
+}
