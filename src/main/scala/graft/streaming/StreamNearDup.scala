@@ -42,11 +42,11 @@ import graft.functions.TextFns
   * against EVERY live member of its bucket (incident-pairs within the
   * horizon), not only the min, so a chain doc's true neighbor — when
   * co-bucketed and inside the horizon — is always among the candidates
-  * already. Measured (StreamNearDupProbe `--chain` leg, r15 annex):
-  * on the permuted-id chain corpus the full-span stream flags equal
-  * the batch ALL-PAIRS est-gate's later-arriving sides exactly
-  * (missed = 0) — all-pairs recall at star-free cost, no rescue round
-  * to add. What the stream DOES trade is the horizon (members older
+  * already. Measured (StreamNearDupProbe `chain:20000:8` leg, SURVEY
+  * §8.18): on the permuted-id chain corpus the full-span stream flags
+  * equal the batch ALL-PAIRS est-gate's later-arriving sides exactly
+  * (11,643/11,643, missed = 0, extra = 0) — all-pairs recall at
+  * bounded-state cost, no rescue round to add. What the stream DOES trade is the horizon (members older
   * than `horizonMs` are pruned) and the hot-bucket cap; both losses
   * are bounded+counted, and the nightly batch closure catches them.
   *
