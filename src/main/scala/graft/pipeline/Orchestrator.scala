@@ -156,10 +156,17 @@ object Orchestrator {
       * Idempotent + crash-safe (the fold is a merge fixpoint) and
       * readers see identical rows either side of it, so cadence is
       * pure economics. */
-    private def maybeCompact(now: Instant): Unit = writer.layout match {
-      case _: LakeLayout.DayWide =>
-        writer.compactWideDeltasIfDue(spark, now, settings.compaction); ()
-      case LakeLayout.HourlySymbol => ()
+    private def maybeCompact(now: Instant): Unit = {
+      writer.layout match {
+        case _: LakeLayout.DayWide =>
+          writer.compactWideDeltasIfDue(spark, now, settings.compaction); ()
+        case LakeLayout.HourlySymbol => ()
+      }
+      // both layouts: keep the append-only partition ledger a bounded
+      // last-wins snapshot (the hourly layout appends the fastest —
+      // one row per symbol-hour commit)
+      writer.compactLedgerIfLarge(settings.compaction.ledgerMaxBytes)
+      ()
     }
 
     /** See [[Orchestrator.collectAndBuild]]. */

@@ -37,9 +37,12 @@ import graft.validation.DQValidator
   * into their base days — threshold OR age, whichever trips first
   * (see [[MinuteLakeWriter.compactWideDeltasIfDue]]). Defaults: fold a
   * day at 8 delta files (read-overlay economics) or once its oldest
-  * patch is a day old (staleness). */
+  * patch is a day old (staleness). `ledgerMaxBytes` bounds the
+  * append-only partition ledger the same tick owns
+  * ([[PartitionLedger.compactIfLarge]] — both layouts). */
 final case class CompactionPolicy(minFilesPerDay: Int = 8,
-                                  maxAgeMinutes: Long = 1440L)
+                                  maxAgeMinutes: Long = 1440L,
+                                  ledgerMaxBytes: Long = 16L * 1024 * 1024)
 
 class MinuteLakeWriter(root: String, ledger: PartitionLedger,
                        val layout: LakeLayout = LakeLayout.HourlySymbol,
@@ -158,6 +161,11 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * [[ManifestCommit]]. */
   def resolvePartitionDir(fs: FileSystem, dir: String): Option[String] =
     committer.resolve(fs, dir)
+
+  /** Tick-owned ledger compaction (see [[PartitionLedger.compact]]):
+    * the writer owns the ledger, the pipeline owns the cadence. */
+  def compactLedgerIfLarge(maxBytes: Long): Boolean =
+    ledger.compactIfLarge(maxBytes)
 
   /** Recompute every COMMITTED ledger partition's content hash and
     * compare against what was recorded at commit time (reference

@@ -16,7 +16,7 @@ final case class PartitionLedgerEntry(
     minTs: String, maxTs: String, schemaHash: String, status: String,
     committedAtUtc: String, contentHash: String = "")
 
-class PartitionLedger(dir: String) {
+class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
   private val file = Paths.get(dir, "partition_ledger.jsonl")
   Files.createDirectories(Paths.get(dir))
 
@@ -56,6 +56,35 @@ class PartitionLedger(dir: String) {
       StandardCharsets.UTF_8,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Rewrite the append-only log as its last-wins snapshot — the
+    * bounded-state companion of [[upsert]]. Every reader ([[all]], and
+    * through it the audit, retention, and delta-compaction verbs)
+    * parses the WHOLE log; without compaction that is O(total upserts
+    * ever) driver work per tick — at width 1000 the hourly layout
+    * appends ~24k rows/day, a multi-GB parse after a year. The
+    * snapshot is O(live partitions) (DROPPED tombstones kept: one row
+    * per retired day, bounded by lake lifetime). Atomic whole-object
+    * replace through the [[CommitProtocol]] state-plane seam; readers
+    * see the full old or full new log, and [[all]] is identical either
+    * side by construction (it already dedups last-wins).
+    *
+    * @return number of live rows in the snapshot */
+  def compact(): Int = synchronized {
+    val entries = all().sortBy(e => (e.symbol, e.day, e.hour))
+    val body = entries.map(toJson).map(_ + "\n").mkString
+    committer.putState(file, body.getBytes(StandardCharsets.UTF_8))
+    entries.size
+  }
+
+  /** [[compact]] when the log has outgrown `maxBytes` — the tick-owned
+    * trigger (cheap size stat per call; the rewrite only when the
+    * append history has meaningfully outrun the live set). */
+  def compactIfLarge(maxBytes: Long = 16L * 1024 * 1024): Boolean = synchronized {
+    val due = Files.exists(file) && Files.size(file) > maxBytes
+    if (due) compact()
+    due
   }
 
   /** Latest committed partition by (day desc, hour desc) — reference

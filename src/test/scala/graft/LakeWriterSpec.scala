@@ -194,6 +194,80 @@ class LakeWriterSpec extends SparkSpec {
     assert(graft.sources.Retention.compactDayPartitions(spark, dir, "day").isEmpty)
   }
 
+  test("ledger compaction: last-wins snapshot, identical reads, appends keep working") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("graft-ledger-compact").toString
+    val ledger = new PartitionLedger(dir)
+    def entry(sym: String, hour: Int, n: Long, status: String = "COMMITTED") =
+      graft.sources.PartitionLedgerEntry(sym, "2026-01-10", hour, s"$dir/p",
+        n, "a", "b", "h", status, "t")
+    // 30 keys × many superseding upserts + status flips
+    for (round <- 1 to 20; h <- 0 until 30)
+      ledger.upsert(entry(s"S${h % 3}", h, round.toLong,
+        if (round == 20 && h == 0) "DROPPED" else "COMMITTED"))
+    val logPath = Paths.get(dir, "partition_ledger.jsonl")
+    val before = ledger.all().sortBy(e => (e.symbol, e.day, e.hour))
+    assert(JFiles.readAllLines(logPath).size == 600)
+
+    assert(ledger.compact() == before.size)
+    assert(JFiles.readAllLines(logPath).size == before.size,
+      "log rewritten as the live snapshot")
+    assert(ledger.all().sortBy(e => (e.symbol, e.day, e.hour)) == before,
+      "reads identical across the compaction")
+    // tombstone survived, appends still work, fresh instance agrees
+    assert(ledger.all().count(_.status == "DROPPED") == 1)
+    ledger.upsert(entry("S0", 0, 99L))
+    assert(new PartitionLedger(dir).all()
+      .exists(e => e.symbol == "S0" && e.hour == 0 &&
+        e.rowCount == 99L && e.status == "COMMITTED"))
+    // size trigger: tiny threshold compacts, generous one is a no-op
+    assert(ledger.compactIfLarge(maxBytes = 1L))
+    assert(!ledger.compactIfLarge(maxBytes = 1L << 30))
+  }
+
+  test("events compaction through ManifestCommit: resolved reads identical, crash leftovers swept, repeat no-op (§4.1 seam 4)") {
+    import graft.sources.{ManifestCommit, Retention}
+    val dir = Files.createTempDirectory("graft-compact-mf").toString
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, 100.0 + i)).toDF("event_id", "px")
+        .coalesce(1).write.mode("append").parquet(s"$dir/day=2026-01-10")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    def resolved = ManifestCommit.resolve(fs, s"$dir/day=2026-01-10")
+    def rowsOf(p: String) = spark.read.parquet(p).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    def looseParquet = new java.io.File(s"$dir/day=2026-01-10").listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+    val done = Retention.compactDayPartitions(spark, dir, "day",
+      committer = ManifestCommit)
+    assert(done.map(_.partition) == Seq("2026-01-10"))
+    assert(done.head.filesBefore == 6 && done.head.filesAfter == 1
+      && done.head.rows == 6L)
+    // live content behind the manifest pointer, byte-identical rows;
+    // the superseded loose originals are gone
+    assert(resolved.isDefined && rowsOf(resolved.get) == (1L to 6L))
+    assert(looseParquet.isEmpty)
+
+    // second run reads eligibility from the RESOLVED dir (1 healthy
+    // file) — no-op, same version stays live
+    val v1 = resolved.get
+    assert(Retention.compactDayPartitions(spark, dir, "day",
+      committer = ManifestCommit).isEmpty)
+    assert(resolved.get == v1)
+
+    // crashed pre-delete window: a loose file beside the manifest (its
+    // rows are in the verified version by construction) — swept on the
+    // next run without being double-counted
+    spark.read.parquet(v1).coalesce(1).write.mode("append")
+      .parquet(s"$dir/day=2026-01-10")
+    assert(looseParquet.nonEmpty)
+    assert(Retention.compactDayPartitions(spark, dir, "day",
+      committer = ManifestCommit).isEmpty)
+    assert(looseParquet.isEmpty && rowsOf(resolved.get) == (1L to 6L))
+  }
+
   test("compaction crash recovery: every crash window keeps one complete copy; reader sees old or new, never a mix (ADVICE r7)") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     def mkPartition(dir: String): Unit = (1 to 6).foreach { i =>

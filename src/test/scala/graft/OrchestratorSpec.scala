@@ -128,6 +128,32 @@ class OrchestratorSpec extends SparkSpec {
       instant("2026-01-15T08:00:00Z"), instant("2026-01-15T11:59:00Z")).count() == 181)
   }
 
+  test("the tick also bounds the partition ledger: oversized log rewritten as its live snapshot") {
+    val (dir, writer, _, wm) = env()
+    val collector = new FakeCollector(
+      klineRecords("2026-01-15T07:55:00Z", 130),
+      p => auxKlineRecords("2026-01-15T07:55:00Z", 130, p),
+      tradeRecords("2026-01-15T07:55:00Z", 130, qty = 2.0))
+    // pre-seed superseded history: 120 appends over 3 live keys
+    val ledger = new PartitionLedger(s"$dir/_state")
+    for (r <- 1 to 40; h <- 0 until 3)
+      ledger.upsert(graft.sources.PartitionLedgerEntry(
+        "BTCUSDT", "2026-01-14", h, s"$dir/p", r.toLong, "a", "b", "h",
+        "COMMITTED", "t"))
+    val logPath = java.nio.file.Paths.get(s"$dir/_state/partition_ledger.jsonl")
+    assert(java.nio.file.Files.readAllLines(logPath).size == 120)
+
+    val pipe = new MinutePipeline(spark,
+      Settings("BTCUSDT",
+        compaction = graft.sources.CompactionPolicy(ledgerMaxBytes = 1L)),
+      collector, writer, wm)
+    assert(pipe.runOnce(instant("2026-01-15T10:03:00Z")).partitionsCommitted == 3)
+    val after = java.nio.file.Files.readAllLines(logPath).size
+    // 3 pre-seeded live keys + 3 freshly committed hours, nothing else
+    assert(after == ledger.all().size && after == 6,
+      s"log holds the live snapshot, saw $after lines")
+  }
+
   test("band choice: HOT ≤6h, WARM ≤7d, COLD beyond (orchestrator.py:634-641)") {
     val now = instant("2026-01-15T12:00:00Z")
     assert(Orchestrator.chooseBand(now, instant("2026-01-15T08:00:00Z")) == Band.Hot)
