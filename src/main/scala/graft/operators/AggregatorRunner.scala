@@ -295,7 +295,6 @@ object AggregatorRunner {
     if (latestMinuteOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
     val latestMinute = latestMinuteOpt.get
 
-    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
     val repairStart = spec.floorInstant(
       latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
     val start = state.get(symbol, spec.name) match {
@@ -305,6 +304,25 @@ object AggregatorRunner {
       case None => repairStart
     }
 
+    // Completable-bucket gate (long/calendar frames): when no bucket
+    // overlapping [start, latest] can be complete — mid-bucket on a
+    // 1d/1w/1M spec, the common case for every tick but the one after
+    // a bucket boundary — the aggregation would compute only
+    // incomplete buckets and write nothing, so skip the scan entirely.
+    // A 1M tick otherwise re-aggregates month-to-date × symbols every
+    // poll for zero output. Repairs are unaffected: a window reaching
+    // back across the boundary (start ≤ last completable bucket) still
+    // aggregates.
+    if (!allowIncomplete &&
+        spec.latestCompleteBucketStart(latestMinute).forall(_.isBefore(start))) {
+      val lag = state.get(symbol, spec.name).map { lc =>
+        math.max((latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli
+          + 60000L) / 60000L, 0L)
+      }
+      return IncrementalResult(0, 0, 0, 0, lag)
+    }
+
+    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
     val source = reader.readWindow(spark, symbol, start, latestMinute)
     val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol).persist()
     val (scanned, written, skipped, repaired) =
@@ -373,6 +391,24 @@ object AggregatorRunner {
         case None => repairStart
       }
       (sym, start, latestMinute)
+    }
+    // Completable-bucket gate, fleet-wide (see runIncremental): if NO
+    // symbol's window can contain a complete bucket, the whole tick's
+    // scan+aggregation would produce zero writable rows — skip it. The
+    // check is O(symbols) driver arithmetic on the bounds already in
+    // hand.
+    if (!allowIncomplete && boundsSeq.forall { case (_, start, lm) =>
+          spec.latestCompleteBucketStart(lm).forall(_.isBefore(start)) }) {
+      val perSymbolLag = boundsSeq.map { case (sym, _, lm) =>
+        wmAll.get(sym.toUpperCase).map { lc =>
+          math.max((lm.toEpochMilli - spec.addBuckets(lc).toEpochMilli
+            + 60000L) / 60000L, 0L)
+        }
+      }
+      val lag =
+        if (perSymbolLag.exists(_.isEmpty)) None
+        else perSymbolLag.flatten.maxOption
+      return IncrementalResult(0, 0, 0, 0, lag)
     }
     val bounds = boundsSeq
       .map { case (s, st, lt) =>

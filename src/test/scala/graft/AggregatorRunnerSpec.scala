@@ -95,6 +95,55 @@ class AggregatorRunnerSpec extends SparkSpec {
     assert(after.select("close").head.getDouble(0) == 500.5 && before == 104.5)
   }
 
+  test("completable-bucket gate: mid-bucket 1d ticks skip the scan entirely; the boundary tick aggregates") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    val spec1d = Timeframes.parse("1d")
+    // one mid-day hour of minutes: every bucket overlapping any tick
+    // window is the (incomplete) current day — the gate must return
+    // zeros WITHOUT creating the htf tree (no scan, no aggregation)
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T10:00:00Z"),
+      canonicalMinutes("2026-01-01T10:00:00Z", 60))
+    val skipped = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec1d)
+    assert(skipped == AggregatorRunner.IncrementalResult(0, 0, 0, 0, None))
+    val skippedAll = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec1d)
+    assert(skippedAll == AggregatorRunner.IncrementalResult(0, 0, 0, 0, None))
+    assert(!new java.io.File(s"$dir/htf/timeframe=1d").exists(),
+      "gate skipped before any aggregation or write")
+    // allowIncomplete callers bypass the gate (they WANT the partial bucket)
+    val partial = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec1d, allowIncomplete = true)
+    assert(partial.bucketsScanned == 1 && partial.bucketsWritten == 1)
+
+    // complete the day + one next-day hour: the boundary tick's window
+    // reaches the now-completable bucket, so it aggregates and writes
+    (0 until 24).foreach { h =>
+      mw.writeHourPartition("BTCUSDT",
+        instant("2026-01-01T00:00:00Z").plusSeconds(3600L * h),
+        canonicalMinutes(
+          instant("2026-01-01T00:00:00Z").plusSeconds(3600L * h).toString, 60))
+    }
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-02T00:00:00Z"),
+      canonicalMinutes("2026-01-02T00:00:00Z", 60))
+    val boundary = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec1d)
+    assert(boundary.bucketsWritten >= 1)
+    val idx = AggregatorRunner.scanExistingIndex(spark, s"$dir/htf", "1d", "BTCUSDT")
+      .where(col("bucket_complete")).collect()
+    assert(idx.map(_.getTimestamp(0).toInstant).toSeq ==
+      Seq(instant("2026-01-01T00:00:00Z")))
+    // once the tick's lookback has cleared the boundary (repairs of the
+    // closed bucket are no longer in-window), mid-bucket ticks skip
+    // again — with the watermark set, lag is still reported
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-02T03:00:00Z"),
+      canonicalMinutes("2026-01-02T03:00:00Z", 60))
+    val again = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec1d)
+    assert(again.bucketsScanned == 0 && again.bucketsWritten == 0 &&
+      again.lagMinutes.isDefined)
+  }
+
   test("watermark stops at last WRITTEN-complete bucket, not last missing") {
     val (dir, mw, reader, hw, state) = newEnv()
     // 7 minutes: one complete 5m bucket + an incomplete trailing bucket
