@@ -98,6 +98,49 @@ object AggregatorRunner {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** Window-bounded [[scanExistingIndex]] (r15): everything the
+    * incremental tick consults the index FOR — repaired-bucket counting
+    * and the freshly-completable watermark advance — concerns buckets
+    * inside the tick's repair window, so reading the WHOLE HTF history
+    * per tick (O(depth) directory LISTs + an O(history) scan, growing
+    * forever) was waste. Descends only the day dirs from `from`
+    * forward via `DayDirs.inRange` — 1 + touchedYears + touchedMonths
+    * LISTs at any tree depth, same request-economics bound as the
+    * minute-lake reads. Rows of `from`'s own day that precede `from`
+    * may be included (day granularity); every consumer is insensitive
+    * to extras below the window (semi-joins and monotone maxima). */
+  def scanExistingIndexFrom(spark: SparkSession, htfRoot: String,
+                            timeframe: String, symbol: String,
+                            from: Instant): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val farEnd = Instant.parse("9999-01-01T00:00:00Z")
+    def empty() = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("bucket_complete",
+          org.apache.spark.sql.types.BooleanType))))
+    val symDir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
+    if (fs.exists(new HPath(symDir))) {
+      val days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      if (days.isEmpty) empty()
+      else spark.read.option("basePath", symDir).parquet(days: _*)
+        .select("bucket_start", "bucket_complete")
+    } else {
+      val tfDir = s"$htfRoot/timeframe=$timeframe"
+      if (graft.sources.LakeLayout.detect(fs, tfDir)
+          .exists(_.isInstanceOf[graft.sources.LakeLayout.DayWide])) {
+        val days = graft.sources.DayDirs.inRange(fs, tfDir, from, farEnd)
+        if (days.isEmpty) empty()
+        else spark.read.option("basePath", tfDir).parquet(days: _*)
+          .where(col("symbol") === symbol.toUpperCase)
+          .select("bucket_start", "bucket_complete")
+      } else empty()
+    }
+  }
+
   /** Complete buckets available in the source minus complete buckets
     * already written (reference `validator.py:17-52`). */
   def detectMissingBuckets(minuteTimestamps: DataFrame, existingIndex: DataFrame,
@@ -297,7 +340,8 @@ object AggregatorRunner {
 
     val repairStart = spec.floorInstant(
       latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
-    val start = state.get(symbol, spec.name) match {
+    val wmBefore = state.get(symbol, spec.name)
+    val start = wmBefore match {
       case Some(lastCompleted) =>
         val next = spec.addBuckets(lastCompleted)
         if (next.isBefore(repairStart)) next else repairStart
@@ -315,14 +359,18 @@ object AggregatorRunner {
     // aggregates.
     if (!allowIncomplete &&
         spec.latestCompleteBucketStart(latestMinute).forall(_.isBefore(start))) {
-      val lag = state.get(symbol, spec.name).map { lc =>
+      val lag = wmBefore.map { lc =>
         math.max((latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli
           + 60000L) / 60000L, 0L)
       }
       return IncrementalResult(0, 0, 0, 0, lag)
     }
 
-    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+    // window-bounded index read (see scanExistingIndexFrom): repairs
+    // can only touch in-window buckets, so the full-history scan the
+    // tick used to pay — O(depth) LISTs + O(history) rows, twice per
+    // tick, forever-growing — is bounded to the window's days
+    val existing = scanExistingIndexFrom(spark, htfRoot, spec.name, symbol, start)
     val source = reader.readWindow(spark, symbol, start, latestMinute)
     val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol).persist()
     val (scanned, written, skipped, repaired) =
@@ -346,11 +394,19 @@ object AggregatorRunner {
         (total, nKept, if (allowIncomplete) 0L else total - nComplete, rep)
       } finally aggregated.unpersist()
 
-    val lastCompleted = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+    // watermark advance from the WINDOW's complete buckets, monotone
+    // against the stored value — a bounded read cannot see pre-window
+    // completes, and the watermark must never regress (re-scanning the
+    // lake from an old gap to now would otherwise follow)
+    val windowCompleted = scanExistingIndexFrom(spark, htfRoot, spec.name,
+        symbol, start)
       .where(col("bucket_complete"))
       .agg(max(col("bucket_start"))).collect().headOption
       .flatMap(r => Option(r.getTimestamp(0))).map(_.toInstant)
-    lastCompleted.foreach(state.set(symbol, spec.name, _))
+    val lastCompleted = (windowCompleted.toSeq ++ wmBefore.toSeq)
+      .maxOption(Ordering.by[Instant, Long](_.toEpochMilli))
+    lastCompleted.filter(lc => !wmBefore.contains(lc))
+      .foreach(state.set(symbol, spec.name, _))
 
     val lag = lastCompleted.map { lc =>
       val lagMs = latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L
@@ -426,11 +482,29 @@ object AggregatorRunner {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(htfRoot),
       spark.sparkContext.hadoopConfiguration)
     val tfDir = s"$htfRoot/timeframe=${spec.name}"
+    val farEnd = Instant.parse("9999-01-01T00:00:00Z")
+    val loBound = spec.floorInstant(globalLo)
+    // wide HTF tree: every index consumer below is window-bounded
+    // (repaired-count semi-join, fingerprint compare), so read ONLY the
+    // window's day dirs — explicit descent, never a root read + a
+    // partition predicate, which lists every file in the tree before
+    // pruning and scans history that grows forever (r15; the hourly
+    // layout keeps the plain read — it is the ≤1000-width regime and
+    // its tree is per-symbol). An empty day set reads as an empty frame.
+    val wideTf = graft.sources.LakeLayout.detect(fs, tfDir)
+      .exists(_.isInstanceOf[graft.sources.LakeLayout.DayWide])
+    def emptyIndex = bounds.limit(0).select(col("symbol"),
+      col("__start").as("bucket_start"), lit(true).as("bucket_complete"))
+    lazy val windowDays =
+      graft.sources.DayDirs.inRange(fs, tfDir, loBound, farEnd)
     val existing =
-      if (fs.exists(new HPath(tfDir)))
+      if (!fs.exists(new HPath(tfDir))) emptyIndex
+      else if (wideTf) {
+        if (windowDays.isEmpty) emptyIndex
+        else spark.read.option("basePath", tfDir).parquet(windowDays: _*)
+          .select("symbol", "bucket_start", "bucket_complete")
+      } else
         spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
-      else bounds.limit(0).select(col("symbol"),
-        col("__start").as("bucket_start"), lit(true).as("bucket_complete"))
 
     val aggregated = HtfAggregator
       .aggregateMinutes(source, spec, symbol = "", byCols = Seq("symbol"))
@@ -460,24 +534,34 @@ object AggregatorRunner {
         // explicit so ("x", null) != (null, "x").
         val tfDirPath = new HPath(tfDir)
         val changed =
-          if (!fs.exists(tfDirPath)) kept
+          if (!fs.exists(tfDirPath) || (wideTf && windowDays.isEmpty)) kept
           else {
-            // push the lookback window into the year/month/day PARTITION
-            // columns (lpad-normalized, robust to int-inferred values) so
-            // the comparison read lists/reads only the lookback partitions
-            // — a data-column-only filter on bucket_start still walks the
+            // bound the comparison read to the lookback window. Wide
+            // tree: explicit window day dirs (see `existing` above — a
+            // root read + partition predicate would still LIST every
+            // file in the tree first). Hourly tree: the year/month/day
+            // PARTITION-column predicate (lpad-normalized, robust to
+            // int-inferred values) scan-prunes to the lookback days —
+            // a data-column-only filter on bucket_start would walk the
             // whole table history on every tick.
             val lo = spec.floorInstant(globalLo)
-            val dayKey = concat(
-              lpad(col("year").cast("string"), 4, "0"),
-              lpad(col("month").cast("string"), 2, "0"),
-              lpad(col("day").cast("string"), 2, "0"))
-            val loDay = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-              .withZone(java.time.ZoneOffset.UTC).format(lo)
-            val existingFull = spark.read.parquet(tfDir)
-              .where(dayKey >= loDay)
-              .drop("year", "month", "day")
-              .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
+            val existingFull =
+              if (wideTf)
+                spark.read.option("basePath", tfDir).parquet(windowDays: _*)
+                  .drop("year", "month", "day")
+                  .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
+              else {
+                val dayKey = concat(
+                  lpad(col("year").cast("string"), 4, "0"),
+                  lpad(col("month").cast("string"), 2, "0"),
+                  lpad(col("day").cast("string"), 2, "0"))
+                val loDay = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+                  .withZone(java.time.ZoneOffset.UTC).format(lo)
+                spark.read.parquet(tfDir)
+                  .where(dayKey >= loDay)
+                  .drop("year", "month", "day")
+                  .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
+              }
             val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
             def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
               md5(to_json(struct(cmpCols.map(col): _*),

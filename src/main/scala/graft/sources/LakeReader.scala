@@ -29,7 +29,7 @@ import graft.schema.CanonicalSchema
   * Shared by the minute and HTF readers so bounded window reads touch
   * exactly the day dirs they need (a root-read + partition predicate
   * still LISTS every file in the lake before pruning). */
-private[sources] object DayDirs {
+private[graft] object DayDirs {
 
   /** One partition level's child dirs with their parsed numeric values,
     * ascending (unparsable values sort first as -1 and are filtered by
