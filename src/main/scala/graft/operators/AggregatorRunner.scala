@@ -141,6 +141,52 @@ object AggregatorRunner {
     }
   }
 
+  /** Rows of `kept` whose content FINGERPRINT differs from the stored
+    * row with the same key — the write-skip shared by both incremental
+    * paths. md5 of to_json(struct(common columns)): keyed fields and
+    * JSON escaping make the encoding unambiguous (a '|'-joined cast
+    * collides on values containing the separator), and nulls stay
+    * explicit so ("x", null) != (null, "x"). */
+  private def changedAgainst(kept: DataFrame, existingFull: DataFrame,
+                             keys: Seq[String]): DataFrame = {
+    val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
+    def fp(df: DataFrame) = df.withColumn("__fp",
+      md5(to_json(struct(cmpCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))))
+    fp(kept).join(fp(existingFull).select((keys :+ "__fp").map(col): _*),
+        keys :+ "__fp", "left_anti")
+      .drop("__fp")
+  }
+
+  /** Full-row, window-bounded read of one symbol's stored HTF buckets
+    * (the comparison side of [[changedAgainst]]); None when the window
+    * holds no stored days. Same explicit day-dir descent as
+    * [[scanExistingIndexFrom]]. */
+  private def readExistingWindowRows(spark: SparkSession, htfRoot: String,
+                                     timeframe: String, symbol: String,
+                                     from: Instant): Option[DataFrame] = {
+    val fs = FileSystem.get(new java.net.URI(htfRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val farEnd = Instant.parse("9999-01-01T00:00:00Z")
+    val symDir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
+    if (fs.exists(new HPath(symDir))) {
+      val days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      if (days.isEmpty) None
+      else Some(spark.read.option("basePath", symDir).parquet(days: _*)
+        .drop("year", "month", "day"))
+    } else {
+      val tfDir = s"$htfRoot/timeframe=$timeframe"
+      if (graft.sources.LakeLayout.detect(fs, tfDir)
+          .exists(_.isInstanceOf[graft.sources.LakeLayout.DayWide])) {
+        val days = graft.sources.DayDirs.inRange(fs, tfDir, from, farEnd)
+        if (days.isEmpty) None
+        else Some(spark.read.option("basePath", tfDir).parquet(days: _*)
+          .where(col("symbol") === symbol.toUpperCase)
+          .drop("year", "month", "day"))
+      } else None
+    }
+  }
+
   /** Complete buckets available in the source minus complete buckets
     * already written (reference `validator.py:17-52`). */
   def detectMissingBuckets(minuteTimestamps: DataFrame, existingIndex: DataFrame,
@@ -385,13 +431,30 @@ object AggregatorRunner {
         val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
         val nKept = if (allowIncomplete) total else nComplete
         var rep = 0L
+        var nWritten = 0L
         if (nKept > 0) {
-          rep = kept.join(
-            existing.where(col("bucket_complete")).select("bucket_start"),
-            Seq("bucket_start"), "left_semi").count()
-          writer.writeBucketsBulk(spark, spec.name, symbol, kept)
+          // write-skip parity with the fleet path (r15): the repair
+          // window re-AGGREGATES every tick (the late-correction
+          // contract) but only buckets whose CONTENT differs from the
+          // stored row re-WRITE — a steady per-symbol tick otherwise
+          // rewrites lookback/bucket partitions per poll forever
+          val changed = readExistingWindowRows(spark, htfRoot, spec.name,
+              symbol, start) match {
+            case None => kept
+            case Some(ef) => changedAgainst(kept, ef, Seq("bucket_start"))
+          }
+          val changedP = changed.persist()
+          try {
+            nWritten = changedP.count()
+            if (nWritten > 0) {
+              rep = changedP.join(
+                existing.where(col("bucket_complete")).select("bucket_start"),
+                Seq("bucket_start"), "left_semi").count()
+              writer.writeBucketsBulk(spark, spec.name, symbol, changedP)
+            }
+          } finally { changedP.unpersist(); () }
         }
-        (total, nKept, if (allowIncomplete) 0L else total - nComplete, rep)
+        (total, nWritten, if (allowIncomplete) 0L else total - nComplete, rep)
       } finally aggregated.unpersist()
 
     // watermark advance from the WINDOW's complete buckets, monotone
