@@ -459,6 +459,11 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     * day-batch containing the symbol bounds the global min (resp. max). */
   def inspectRange(spark: SparkSession, symbol: String): (Option[Instant], Option[Instant]) = {
     if (isWide(spark)) {
+      // registry short-circuit: an ABSENT symbol's expanding probe
+      // otherwise walks the whole lake backward (~10 s at 2,000 days,
+      // measured r15). The registry is a writer-maintained SUPERSET;
+      // when it is missing/torn the probe just walks as before.
+      if (absentPerRegistry(spark, symbol)) return (None, None)
       val days = dayDirsAscending(spark)
       val deltaByYmd = deltaYmdMap(spark)
       val mn = probeDays(spark, days, symbol, min(col("timestamp")), deltaByYmd)
@@ -473,10 +478,19 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
   }
 
   def latestMinute(spark: SparkSession, symbol: String): Option[Instant] =
-    if (isWide(spark))
-      probeDays(spark, dayDirsAscending(spark).reverse, symbol,
+    if (isWide(spark)) {
+      if (absentPerRegistry(spark, symbol)) None
+      else probeDays(spark, dayDirsAscending(spark).reverse, symbol,
         max(col("timestamp")), deltaYmdMap(spark)).map(_.toInstant)
-    else inspectRange(spark, symbol)._2
+    } else inspectRange(spark, symbol)._2
+
+  /** True only when the wide lake HAS a symbol registry and `symbol`
+    * is not in it (see [[MinuteLakeWriter.SymbolsRegistry]]). */
+  private def absentPerRegistry(spark: SparkSession, symbol: String): Boolean =
+    MinuteLakeWriter.readSymbolRegistry(
+        FileSystem.get(new java.net.URI(root),
+          spark.sparkContext.hadoopConfiguration), lakeDir)
+      .exists(!_.contains(symbol.toUpperCase))
 
   /** Every `year=/month=/day=` directory of a day-wide lake in ascending
     * (year, month, day) numeric order — an O(depth) metadata walk. */

@@ -167,6 +167,28 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
   def compactLedgerIfLarge(maxBytes: Long): Boolean =
     ledger.compactIfLarge(maxBytes)
 
+  /** Union `frame`'s symbols into the wide lake's `_symbols.json`
+    * registry ([[MinuteLakeWriter.SymbolsRegistry]]): O(width) driver
+    * strings, rewritten only when a NEW symbol appears. The write is a
+    * single small-object create (the atomic PUT on object stores; a
+    * torn local read merely degrades the reader to the walk). */
+  private def registerSymbols(fs: FileSystem, frame: DataFrame): Unit = {
+    val lakeDir = s"$root/futures/um/minute"
+    val fresh = frame.select(upper(col("symbol"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val existing = MinuteLakeWriter.readSymbolRegistry(fs, lakeDir)
+      .getOrElse(Set.empty)
+    val merged = existing ++ fresh
+    if (merged != existing || existing.isEmpty) {
+      val out = fs.create(
+        new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}"), true)
+      try out.write(merged.toSeq.sorted
+        .map(sym => "\"" + sym + "\"").mkString("[", ",", "]")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Recompute every COMMITTED ledger partition's content hash and
     * compare against what was recorded at commit time (reference
     * records `content_hash` per partition, `state/store.py:76-136`;
@@ -353,6 +375,10 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         .option("compression", "zstd")
         .parquet(lakeDir)
 
+      // keep the lake's symbol registry a superset of what was ever
+      // committed — readers short-circuit absent-symbol probes with it
+      registerSymbols(fs, staged)
+
       // S13 at day grain: commit one ledger row per touched day
       // (symbol = "__ALL__", hour = -1) with row bounds and a content
       // hash over the day's files — the same tamper/delete audit surface
@@ -472,6 +498,10 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       .partitionBy("year", "month", "day")
       .option("compression", "zstd")
       .parquet(deltaRoot)
+
+    // a patch can introduce a symbol new to the lake (only the DAY must
+    // pre-exist) — keep the registry a superset
+    registerSymbols(fs, frame)
 
     // ledger rows re-read the written dirs so the recorded bounds/hash
     // cover the day's WHOLE delta population (prior patches included) —
@@ -605,6 +635,33 @@ object MinuteLakeWriter {
     * base). Underscore-prefixed so Spark's file listing never picks it
     * up on a base read; readers overlay it explicitly. */
   val DeltaSubdir = "_delta"
+
+  /** Symbol registry of a day-wide lake (`_symbols.json`, one small
+    * JSON array): the SUPERSET of symbols the wide writers have ever
+    * committed. Readers short-circuit the absent-symbol probe with it
+    * (a miss used to pay a full backward lake walk — ~10 s at 2,000
+    * days, measured r15); a missing or torn registry degrades to the
+    * walk, so it is advisory, never load-bearing for presence. */
+  val SymbolsRegistry = "_symbols.json"
+
+  /** Parse the registry; None = absent/unreadable/empty (callers walk). */
+  def readSymbolRegistry(fs: FileSystem, lakeDir: String): Option[Set[String]] = {
+    val p = new HPath(s"$lakeDir/$SymbolsRegistry")
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
+          buf.toString(StandardCharsets.UTF_8)
+        } finally in.close()
+      val syms = """"([^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+      if (syms.isEmpty) None else Some(syms)
+    } catch { case _: Exception => None }
+  }
 
   /** Last-wins + LIVE_ONLY-preserve merge of `fresh` over `existing`,
     * keyed by `keys` — the ONE merge policy every write path and the

@@ -118,6 +118,18 @@ object HtfDepthProbe {
     }
     println(f"[htf-depth] width=$width days=$days repairTick wall=$repSecs%.2f s " +
       f"written=${rep.bucketsWritten} repaired=${rep.repaired}")
+
+    // absent-symbol probe: registry short-circuit vs the registry-less
+    // backward walk (delete the registry for the before-number — the
+    // advisory-fallback contract makes both legs return None)
+    val fsP = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val (a1, s1) = timed(reader.latestMinute(spark, "NOSUCHSYM"))
+    fsP.delete(new org.apache.hadoop.fs.Path(
+      s"$root/futures/um/minute/${MinuteLakeWriter.SymbolsRegistry}"), false)
+    val (a2, s2) = timed(reader.latestMinute(spark, "NOSUCHSYM"))
+    println(f"[htf-depth] width=$width days=$days absentProbe " +
+      f"registry=$s1%.3f s walk=$s2%.2f s bothNone=${a1.isEmpty && a2.isEmpty}")
     spark.stop()
   }
 }

@@ -544,6 +544,40 @@ class WideLakeSpec extends SparkSpec {
       instant("2026-01-16T05:59:00Z"))
   }
 
+  test("symbol registry short-circuits absent-symbol probes; fallback walk without it; patches register new symbols") {
+    val wRoot = Files.createTempDirectory("graft-wide-reg").toString
+    val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
+      LakeLayout.DayWide(filesPerDay = 2))
+    w.writeDaysWide(minutes(Seq("AAAUSDT", "BBBUSDT"), hours = 3))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(wRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val lakeDir = s"$wRoot/futures/um/minute"
+    val regPath = new org.apache.hadoop.fs.Path(
+      s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}")
+    assert(MinuteLakeWriter.readSymbolRegistry(fs, lakeDir)
+      .contains(Set("AAAUSDT", "BBBUSDT")))
+
+    val r = new MinuteLakeReader(wRoot)
+    // absent symbol: the registry answers without the backward walk
+    assert(r.latestMinute(spark, "ZZZUSDT").isEmpty)
+    assert(r.inspectRange(spark, "ZZZUSDT") == (None, None))
+    // present symbols are unaffected
+    assert(r.latestMinute(spark, "AAAUSDT").contains(instant("2026-01-15T02:59:00Z")))
+
+    // a delta patch may introduce a NEW symbol into an existing day —
+    // the registry must learn it or the reader would deny real data
+    w.writeDeltaPatch(minutes(Seq("CCCUSDT"), hours = 1, openBase = 700.0))
+    assert(MinuteLakeWriter.readSymbolRegistry(fs, lakeDir)
+      .exists(_.contains("CCCUSDT")))
+    assert(r.latestMinute(spark, "CCCUSDT").contains(instant("2026-01-15T00:59:00Z")))
+
+    // registry is ADVISORY: without it (legacy/foreign lake) the probe
+    // walks and answers identically
+    fs.delete(regPath, false)
+    assert(r.latestMinute(spark, "ZZZUSDT").isEmpty)
+    assert(r.latestMinute(spark, "AAAUSDT").contains(instant("2026-01-15T02:59:00Z")))
+  }
+
   test("compactWideDeltasIfDue: threshold OR age (whichever trips), reader-invariant, retention-safe") {
     val wRoot = Files.createTempDirectory("graft-wide-policy").toString
     val w = new MinuteLakeWriter(wRoot, new PartitionLedger(s"$wRoot/_state"),
