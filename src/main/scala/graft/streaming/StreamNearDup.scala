@@ -49,6 +49,11 @@ import graft.functions.TextFns
   * bounded-state cost, no rescue round to add. What the stream DOES trade is the horizon (members older
   * than `horizonMs` are pruned) and the hot-bucket cap; both losses
   * are bounded+counted, and the nightly batch closure catches them.
+  * The horizon trade is measured from both sides (SURVEY §8.18): the
+  * ALIGNED-arrival chain leg (dups arrive near each other — the
+  * realistic ingest shape) loses NOTHING at a 10% horizon; only the
+  * adversarial id-permutation (every neighbor a fixed large arrival
+  * gap apart) defeats a too-short horizon.
   *
   * One doc explodes into `bands` bucket rows, so per-bucket verdicts
   * are combined per doc by [[decisions]] — ANY bucket match flags the

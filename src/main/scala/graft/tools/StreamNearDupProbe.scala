@@ -40,6 +40,11 @@ import graft.streaming.StreamNearDup
   * bucket-min, so star's chain-loss mode cannot occur — missed = 0
   * expected, hence no rescue round to adopt (policy note in
   * [[graft.streaming.StreamNearDup]]'s scaladoc).
+  * `chain:<nDocs>:<chainLen>:aligned` keeps ids in chain order — the
+  * realistic ingest shape where near-dups arrive NEAR each other — so
+  * the bounded-horizon leg prices the horizon trade from the other
+  * side (measured: loses nothing at a 10% horizon, vs everything
+  * under the adversarial permutation).
   */
 object StreamNearDupProbe {
 
@@ -47,17 +52,23 @@ object StreamNearDupProbe {
     * permuted ids), reduced to the (doc_id, text) shape this probe
     * consumes. */
   private def writeChainCorpus(spark: SparkSession, nDocs: Int,
-                               chainLen: Int): String = {
+                               chainLen: Int, aligned: Boolean = false): String = {
     import org.apache.spark.sql.functions._
-    val mult = Seq(48271L, 1000003L, 7919L)
-      .find(m => BigInt(m).gcd(BigInt(nDocs)) == 1)
-      .getOrElse(sys.error(s"no coprime multiplier for $nDocs"))
+    // aligned = ids in chain order (dups arrive NEAR each other — the
+    // realistic ingest shape, where the bounded horizon should catch
+    // ~everything); default = permuted ids (the adversarial shape,
+    // where every chain neighbor arrives a fixed large rank apart)
+    val mult =
+      if (aligned) 1L
+      else Seq(48271L, 1000003L, 7919L)
+        .find(m => BigInt(m).gcd(BigInt(nDocs)) == 1)
+        .getOrElse(sys.error(s"no coprime multiplier for $nDocs"))
     val tokensPerDoc = 60; val step = 12
     val tokenExprs = (0 until tokensPerDoc).map { k =>
       md5(concat(col("chain").cast("string"), lit("#"),
         (col("pos") * step + k).cast("string")))
     }
-    val dir = s"/tmp/snd_chain_${nDocs}_$chainLen"
+    val dir = s"/tmp/snd_chain_${nDocs}_${chainLen}${if (aligned) "_aligned" else ""}"
     spark.range(nDocs.toLong)
       .select(((col("id") * mult) % nDocs).as("doc_id"),
         expr(s"id div $chainLen").as("chain"),
@@ -90,7 +101,8 @@ object StreamNearDupProbe {
       case s if s.startsWith("chain:") =>
         val parts = s.stripPrefix("chain:").split(":")
         writeChainCorpus(spark, parts(0).toInt,
-          parts.lift(1).map(_.toInt).getOrElse(8))
+          parts.lift(1).map(_.toInt).getOrElse(8),
+          aligned = parts.lift(2).contains("aligned"))
       case dir => dir
     }
 
