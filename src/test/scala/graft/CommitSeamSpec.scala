@@ -123,9 +123,22 @@ class CommitSeamSpec extends SparkSpec {
     assert(readVia(ManifestCommit, localFs(), dest).contains(Seq(7, 8)))
     ManifestCommit.publish(crashyFs(), stage(root, Seq(9)), dest)
     assert(readVia(ManifestCommit, localFs(), dest).contains(Seq(9)))
-    val versions = localFs().listStatus(new HPath(dest))
+    def versions = localFs().listStatus(new HPath(dest))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
     assert(versions.length <= 2, s"GC keeps live + grace only, saw ${versions.length}")
+
+    // crash AFTER the manifest PUT (commit done, GC lost): readers are
+    // already on the new version — stale version dirs are garbage the
+    // NEXT publish sweeps, still keeping live + grace
+    localFs().mkdirs(new HPath(dest, ".v_deadbeefcrashleftover1"))
+    localFs().mkdirs(new HPath(dest, ".v_deadbeefcrashleftover2"))
+    assert(readVia(ManifestCommit, localFs(), dest).contains(Seq(9)),
+      "stale versions are invisible to readers")
+    ManifestCommit.publish(crashyFs(), stage(root, Seq(4, 5)), dest)
+    assert(readVia(ManifestCommit, localFs(), dest).contains(Seq(4, 5)))
+    assert(versions.length <= 2 &&
+      !versions.exists(_.getPath.getName.contains("deadbeef")),
+      "post-PUT crash leftovers swept by the next publish")
   }
 
   private def canonical(tsIso: String, open: Double): DataFrame =
