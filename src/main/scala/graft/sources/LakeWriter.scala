@@ -182,9 +182,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     if (merged != existing || existing.isEmpty) {
       val out = fs.create(
         new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}"), true)
-      try out.write(merged.toSeq.sorted
-        .map(sym => "\"" + sym + "\"").mkString("[", ",", "]")
-        .getBytes(StandardCharsets.UTF_8))
+      try out.write(MinuteLakeWriter.registryBody(merged))
       finally out.close()
     }
   }
@@ -644,7 +642,17 @@ object MinuteLakeWriter {
     * walk, so it is advisory, never load-bearing for presence. */
   val SymbolsRegistry = "_symbols.json"
 
-  /** Parse the registry; None = absent/unreadable/empty (callers walk). */
+  /** Trailing completeness sentinel: a registry read that does not end
+    * with it is TORN (a reader racing a non-atomic local create saw a
+    * prefix) and must be treated as absent — a partial symbol set would
+    * otherwise deny real symbols. Object-store PUTs are atomic, so the
+    * sentinel only matters on filesystems without atomic single-object
+    * visibility. */
+  private val RegistrySentinel = "__COMPLETE__"
+
+  /** Parse the registry; None = absent/unreadable/empty/TORN (callers
+    * fall back to the walk — the registry is advisory, never
+    * load-bearing for presence). */
   def readSymbolRegistry(fs: FileSystem, lakeDir: String): Option[Set[String]] = {
     val p = new HPath(s"$lakeDir/$SymbolsRegistry")
     try {
@@ -659,9 +667,16 @@ object MinuteLakeWriter {
           buf.toString(StandardCharsets.UTF_8)
         } finally in.close()
       val syms = """"([^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSet
-      if (syms.isEmpty) None else Some(syms)
+      if (!syms.contains(RegistrySentinel)) return None // torn prefix
+      val live = syms - RegistrySentinel
+      if (live.isEmpty) None else Some(live)
     } catch { case _: Exception => None }
   }
+
+  private[sources] def registryBody(symbols: Set[String]): Array[Byte] =
+    (symbols.toSeq.sorted :+ RegistrySentinel)
+      .map(sym => "\"" + sym + "\"").mkString("[", ",", "]")
+      .getBytes(StandardCharsets.UTF_8)
 
   /** Last-wins + LIVE_ONLY-preserve merge of `fresh` over `existing`,
     * keyed by `keys` — the ONE merge policy every write path and the

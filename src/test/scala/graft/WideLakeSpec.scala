@@ -571,6 +571,15 @@ class WideLakeSpec extends SparkSpec {
       .exists(_.contains("CCCUSDT")))
     assert(r.latestMinute(spark, "CCCUSDT").contains(instant("2026-01-15T00:59:00Z")))
 
+    // a TORN registry (reader raced a non-atomic create and saw a
+    // prefix — no trailing completeness sentinel) must read as absent,
+    // or a partial symbol set would DENY real symbols: present symbols
+    // still answer via the fallback walk
+    val out = fs.create(regPath, true)
+    try out.write("""["AAAUSDT","BBB""".getBytes("UTF-8")) finally out.close()
+    assert(MinuteLakeWriter.readSymbolRegistry(fs, lakeDir).isEmpty)
+    assert(r.latestMinute(spark, "BBBUSDT").contains(instant("2026-01-15T02:59:00Z")))
+
     // registry is ADVISORY: without it (legacy/foreign lake) the probe
     // walks and answers identically
     fs.delete(regPath, false)
