@@ -76,12 +76,30 @@ object AggregatorRunner {
   /** HTF lake index scan: (bucket_start, bucket_complete) only —
     * columnar parquet makes this a 2-column metadata-light scan. */
   def scanExistingIndex(spark: SparkSession, htfRoot: String,
-                        timeframe: String, symbol: String): DataFrame = {
+                        timeframe: String, symbol: String,
+                        committer: graft.sources.CommitProtocol =
+                          graft.sources.RenameCommit): DataFrame = {
     val dir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
     val fs = FileSystem.get(new java.net.URI(htfRoot),
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new HPath(dir)))
+    if (fs.exists(new HPath(dir))) {
+      // manifest deployment (r15 #1): the live day versions sit behind
+      // each leaf's pointer — resolve before scanning
+      if (committer.readThroughResolve) {
+        val leaves = graft.sources.ResolvedScan.resolvedLeaves(fs, dir, committer)
+        if (leaves.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("bucket_complete",
+                org.apache.spark.sql.types.BooleanType))))
+        return spark.read.option("basePath", dir).parquet(leaves: _*)
+          .select("bucket_start", "bucket_complete")
+      }
       return spark.read.parquet(dir).select("bucket_start", "bucket_complete")
+    }
     // day-wide HTF tree: no per-symbol directory — symbol is a sorted
     // data column under timeframe=T/year=/month=/day= (file-stat pruned)
     val tfDir = s"$htfRoot/timeframe=$timeframe"
@@ -111,7 +129,9 @@ object AggregatorRunner {
     * to extras below the window (semi-joins and monotone maxima). */
   def scanExistingIndexFrom(spark: SparkSession, htfRoot: String,
                             timeframe: String, symbol: String,
-                            from: Instant): DataFrame = {
+                            from: Instant,
+                            committer: graft.sources.CommitProtocol =
+                              graft.sources.RenameCommit): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(htfRoot),
       spark.sparkContext.hadoopConfiguration)
     val farEnd = Instant.parse("9999-01-01T00:00:00Z")
@@ -124,7 +144,10 @@ object AggregatorRunner {
           org.apache.spark.sql.types.BooleanType))))
     val symDir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
     if (fs.exists(new HPath(symDir))) {
-      val days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      var days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      if (committer.readThroughResolve)
+        days = days.flatMap(d =>
+          graft.sources.ResolvedScan.resolveLeaf(fs, d, committer))
       if (days.isEmpty) empty()
       else spark.read.option("basePath", symDir).parquet(days: _*)
         .select("bucket_start", "bucket_complete")
@@ -149,6 +172,14 @@ object AggregatorRunner {
     * explicit so ("x", null) != (null, "x"). */
   private def changedAgainst(kept: DataFrame, existingFull: DataFrame,
                              keys: Seq[String]): DataFrame = {
+    // schema evolution guard (r15 advice): a column present in kept but
+    // absent from the stored rows can't be fingerprint-compared — rows
+    // differing ONLY in the new column would hash equal and the write
+    // would be skipped, so the new column never materializes for the
+    // repair window. Treat every kept row as changed until the stored
+    // side carries the full schema.
+    if (kept.columns.exists(c => !existingFull.columns.contains(c)))
+      return kept
     val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
     def fp(df: DataFrame) = df.withColumn("__fp",
       md5(to_json(struct(cmpCols.map(col): _*),
@@ -164,13 +195,18 @@ object AggregatorRunner {
     * [[scanExistingIndexFrom]]. */
   private def readExistingWindowRows(spark: SparkSession, htfRoot: String,
                                      timeframe: String, symbol: String,
-                                     from: Instant): Option[DataFrame] = {
+                                     from: Instant,
+                                     committer: graft.sources.CommitProtocol =
+                                       graft.sources.RenameCommit): Option[DataFrame] = {
     val fs = FileSystem.get(new java.net.URI(htfRoot),
       spark.sparkContext.hadoopConfiguration)
     val farEnd = Instant.parse("9999-01-01T00:00:00Z")
     val symDir = s"$htfRoot/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
     if (fs.exists(new HPath(symDir))) {
-      val days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      var days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
+      if (committer.readThroughResolve)
+        days = days.flatMap(d =>
+          graft.sources.ResolvedScan.resolveLeaf(fs, d, committer))
       if (days.isEmpty) None
       else Some(spark.read.option("basePath", symDir).parquet(days: _*)
         .drop("year", "month", "day"))
@@ -236,7 +272,8 @@ object AggregatorRunner {
                   writer: HtfLakeWriter, state: AggregatorStateStore,
                   htfRoot: String, symbol: String, spec: TimeframeSpec,
                   allowIncomplete: Boolean = false): BackfillResult = {
-    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol)
+    val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol,
+      writer.committer)
     val missing = detectMissingBuckets(
       reader.scanAvailableMinutes(spark, symbol), existing, spec).persist()
     try {
@@ -299,7 +336,23 @@ object AggregatorRunner {
       spark.sparkContext.hadoopConfiguration)
     val tfDir = s"$htfRoot/timeframe=${spec.name}"
     val existing =
-      if (fs.exists(new HPath(tfDir)))
+      if (fs.exists(new HPath(tfDir)) && writer.committer.readThroughResolve) {
+        // manifest deployment: per-day versions hide behind pointers
+        val leaves = graft.sources.ResolvedScan.resolvedLeaves(
+          fs, tfDir, writer.committer)
+        if (leaves.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("symbol",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("bucket_start",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("bucket_complete",
+                org.apache.spark.sql.types.BooleanType))))
+        else spark.read.option("basePath", tfDir).parquet(leaves: _*)
+          .select("symbol", "bucket_start", "bucket_complete")
+      }
+      else if (fs.exists(new HPath(tfDir)))
         spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -416,7 +469,8 @@ object AggregatorRunner {
     // can only touch in-window buckets, so the full-history scan the
     // tick used to pay — O(depth) LISTs + O(history) rows, twice per
     // tick, forever-growing — is bounded to the window's days
-    val existing = scanExistingIndexFrom(spark, htfRoot, spec.name, symbol, start)
+    val existing = scanExistingIndexFrom(spark, htfRoot, spec.name, symbol, start,
+      writer.committer)
     val source = reader.readWindow(spark, symbol, start, latestMinute)
     val aggregated = HtfAggregator.aggregateMinutes(source, spec, symbol).persist()
     val (scanned, written, skipped, repaired) =
@@ -439,7 +493,7 @@ object AggregatorRunner {
           // stored row re-WRITE — a steady per-symbol tick otherwise
           // rewrites lookback/bucket partitions per poll forever
           val changed = readExistingWindowRows(spark, htfRoot, spec.name,
-              symbol, start) match {
+              symbol, start, writer.committer) match {
             case None => kept
             case Some(ef) => changedAgainst(kept, ef, Seq("bucket_start"))
           }
@@ -462,7 +516,7 @@ object AggregatorRunner {
     // completes, and the watermark must never regress (re-scanning the
     // lake from an old gap to now would otherwise follow)
     val windowCompleted = scanExistingIndexFrom(spark, htfRoot, spec.name,
-        symbol, start)
+        symbol, start, writer.committer)
       .where(col("bucket_complete"))
       .agg(max(col("bucket_start"))).collect().headOption
       .flatMap(r => Option(r.getTimestamp(0))).map(_.toInstant)
@@ -560,11 +614,26 @@ object AggregatorRunner {
       col("__start").as("bucket_start"), lit(true).as("bucket_complete"))
     lazy val windowDays =
       graft.sources.DayDirs.inRange(fs, tfDir, loBound, farEnd)
+    // hourly tree under a manifest deployment: window-bound each
+    // symbol's day walk, then resolve each leaf through the pointer
+    lazy val hourlyResolvedWindowLeaves: Seq[String] =
+      fs.listStatus(new HPath(tfDir)).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("symbol="))
+        .flatMap(st => graft.sources.DayDirs.inRange(fs, st.getPath.toString,
+          loBound, farEnd))
+        .flatMap(d => graft.sources.ResolvedScan.resolveLeaf(fs, d, writer.committer))
+        .toSeq
+    val mustResolve = writer.committer.readThroughResolve
     val existing =
       if (!fs.exists(new HPath(tfDir))) emptyIndex
       else if (wideTf) {
         if (windowDays.isEmpty) emptyIndex
         else spark.read.option("basePath", tfDir).parquet(windowDays: _*)
+          .select("symbol", "bucket_start", "bucket_complete")
+      } else if (mustResolve) {
+        if (hourlyResolvedWindowLeaves.isEmpty) emptyIndex
+        else spark.read.option("basePath", tfDir)
+          .parquet(hourlyResolvedWindowLeaves: _*)
           .select("symbol", "bucket_start", "bucket_complete")
       } else
         spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
@@ -597,7 +666,8 @@ object AggregatorRunner {
         // explicit so ("x", null) != (null, "x").
         val tfDirPath = new HPath(tfDir)
         val changed =
-          if (!fs.exists(tfDirPath) || (wideTf && windowDays.isEmpty)) kept
+          if (!fs.exists(tfDirPath) || (wideTf && windowDays.isEmpty) ||
+              (mustResolve && !wideTf && hourlyResolvedWindowLeaves.isEmpty)) kept
           else {
             // bound the comparison read to the lookback window. Wide
             // tree: explicit window day dirs (see `existing` above — a
@@ -613,6 +683,11 @@ object AggregatorRunner {
                 spark.read.option("basePath", tfDir).parquet(windowDays: _*)
                   .drop("year", "month", "day")
                   .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
+              else if (mustResolve)
+                spark.read.option("basePath", tfDir)
+                  .parquet(hourlyResolvedWindowLeaves: _*)
+                  .drop("year", "month", "day")
+                  .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
               else {
                 val dayKey = concat(
                   lpad(col("year").cast("string"), 4, "0"),
@@ -625,13 +700,19 @@ object AggregatorRunner {
                   .drop("year", "month", "day")
                   .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
               }
-            val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
-            def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
-              md5(to_json(struct(cmpCols.map(col): _*),
-                Map("ignoreNullFields" -> "false"))))
-            fp(kept).join(fp(existingFull).select("symbol", "bucket_start", "__fp"),
-                Seq("symbol", "bucket_start", "__fp"), "left_anti")
-              .drop("__fp")
+            // same schema-evolution guard as changedAgainst: a
+            // kept-only column means fingerprints can't see the
+            // difference — rewrite the window rather than skip it
+            if (kept.columns.exists(c => !existingFull.columns.contains(c))) kept
+            else {
+              val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
+              def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
+                md5(to_json(struct(cmpCols.map(col): _*),
+                  Map("ignoreNullFields" -> "false"))))
+              fp(kept).join(fp(existingFull).select("symbol", "bucket_start", "__fp"),
+                  Seq("symbol", "bucket_start", "__fp"), "left_anti")
+                .drop("__fp")
+            }
           }
         val changedPersisted = changed.persist()
         try {

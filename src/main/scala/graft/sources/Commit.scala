@@ -28,9 +28,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    manifest PUT leaves the previous manifest (and therefore the
   *    previous complete version) in force, and a crash after it leaves
   *    the new complete version in force — there is no torn window by
-  *    construction. Superseded versions are garbage, GC'd on the next
-  *    publish (the immediately previous version is kept one publish as
-  *    grace for in-flight readers).
+  *    construction. Superseded versions are garbage, GC'd on a later
+  *    publish once they have been superseded for longer than the
+  *    GRACE WINDOW (r15 verdict #2: keep-exactly-one grace loses a
+  *    reader still scanning version N while N+1 and N+2 publish; the
+  *    window is time-based, sized to the longest expected scan).
   *
   * The remaining two §4.1 seams are configuration, not code: bulk
   * dynamic-partition writes commit through Hadoop's committer (swap to
@@ -43,7 +45,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * a crash hook ([[graft.sources.NonAtomicRenameFs]] in test scope) —
   * the rename commit is shown torn under it (the motivating witness)
   * and the manifest commit is shown to serve a complete old or new
-  * version at every crash point.
+  * version at every crash point, including a crash DURING the manifest
+  * write itself (the PUT stages through a sibling temp file and lands
+  * by single-FILE rename, so the live pointer can never be observed
+  * half-written or zero-length).
   */
 trait CommitProtocol {
 
@@ -58,11 +63,21 @@ trait CommitProtocol {
     * [[ManifestCommit]] resolves through the manifest. */
   def resolve(fs: FileSystem, destDir: String): Option[String]
 
+  /** Whether READERS must route each leaf partition directory through
+    * [[resolve]] before scanning (r15 verdict #1): under a manifest
+    * deployment the live bytes sit in a dot-prefixed version dir that
+    * Spark's hidden-path filter skips, so a plain subtree read sees
+    * EMPTY partitions. Identity committers return false and readers
+    * keep their plain single-listing subtree scans — zero change to
+    * the local/HDFS hot path. */
+  def readThroughResolve: Boolean = false
+
   /** Atomically replace the contents of a small local state object
     * (watermarks, aggregator checkpoints) — the §4.1 state-plane seam.
     * On an object store this is a conditional PUT of one small object;
     * the stores are single-coordinator so lost-update is not in play,
-    * only torn reads, which a whole-object replace precludes. */
+    * only torn reads, which a whole-object replace precludes (pinned
+    * by CommitSeamSpec's concurrent-read matrix for both committers). */
   def putState(path: NPath, bytes: Array[Byte]): Unit
 }
 
@@ -103,63 +118,262 @@ object RenameCommit extends CommitProtocol {
 }
 
 /** Manifest-pointer commit — the object-store shape; see
-  * [[CommitProtocol]] for the protocol and its crash analysis. */
-object ManifestCommit extends CommitProtocol {
+  * [[CommitProtocol]] for the protocol and its crash analysis.
+  *
+  * `graceMs` is the reader-safety window (r15 verdict #2): a
+  * superseded version dir is deleted only once it has been superseded
+  * for longer than `graceMs`, so a reader that resolved the manifest
+  * and is still scanning survives ANY number of later publishes, as
+  * long as its scan finishes inside the window. Supersession times
+  * ride INSIDE the manifest object itself (one line per superseded
+  * version), so the protocol stays one-PUT-per-commit — no extra
+  * tombstone objects, and a version's GC clock starts when it stopped
+  * being live, not when it was created (a version live for hours must
+  * not be swept the instant it is replaced). Size `graceMs` to the
+  * longest expected scan; the default is one hour. */
+class ManifestCommit(val graceMs: Long) extends CommitProtocol {
+  import ManifestCommit._
 
-  private[sources] val ManifestName = "_MANIFEST"
-  private val VersionPrefix = ".v_"
+  override def readThroughResolve: Boolean = true
 
   def publish(fs: FileSystem, tmpDir: String, destDir: String): Unit = {
     val dest = new HPath(destDir)
     fs.mkdirs(dest)
-    val previous = readManifest(fs, destDir)
+    val previous = readState(fs, destDir)
     val versionName = VersionPrefix +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // Materialize the new version under its unique prefix. The rename
     // may be copy+delete (non-atomic) on the deployment FS — harmless:
-    // nothing reads a version the manifest does not name. On a real
-    // object store this step is simply "the writer wrote its files
-    // under the unique prefix in the first place".
+    // nothing reads a version no manifest names. On a real object
+    // store this step is simply "the writer wrote its files under the
+    // unique prefix in the first place".
     if (!fs.rename(new HPath(tmpDir), new HPath(dest, versionName)))
       throw new RuntimeException(s"version materialization failed for $destDir")
-    // THE commit: one small object PUT (atomic on S3-class stores;
-    // single-FILE create+close locally). Everything before this line
-    // is invisible to readers; everything after it is garbage cleanup.
-    val out = fs.create(new HPath(dest, ManifestName), true)
-    try out.write(versionName.getBytes(StandardCharsets.UTF_8))
+    val now = System.currentTimeMillis()
+    // superseded history: previous live joins it now; entries older
+    // than the grace window leave it (their dirs are GC'd below)
+    val superseded = previous match {
+      case ManifestState.Absent     => Seq.empty[(String, Long)]
+      case ManifestState.Corrupt(_) => Seq.empty[(String, Long)]
+      case ManifestState.Live(_, live, hist) =>
+        (hist :+ (live -> now)).filter { case (_, atMs) => atMs + graceMs > now }
+    }
+    // next sequence counts EVERY manifest-named file, valid or torn —
+    // a crash artifact at seq N must never collide with the retry
+    val nextSeq = 1L + (fs.listStatus(dest)
+      .filter(st => st.isFile && (st.getPath.getName == ManifestName ||
+        st.getPath.getName.startsWith(ManifestPrefix)))
+      .map(st => seqOfName(st.getPath.getName)).filter(_ >= 0L) :+ 0L).max
+    // THE commit: one small object PUT of a NEW manifest name,
+    // `_MANIFEST.<seq+1>` — never an overwrite of the live pointer.
+    // Hadoop-class filesystems refuse rename-over-existing and an
+    // in-place create(overwrite) TRUNCATES the live pointer first (a
+    // crash between truncate and close would zero the lake — r15
+    // advice); a fresh name has neither failure mode. Readers resolve
+    // the highest-sequence manifest whose body carries the trailing
+    // completeness sentinel, so a half-written manifest (possible only
+    // on filesystems without atomic single-object visibility — object
+    // stores PUT atomically) reads as invalid and the previous
+    // sequence stays in force.
+    val body = ((versionName +: superseded.map { case (n, a) => s"$n\t$a" })
+      :+ Sentinel).mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(new HPath(dest, manifestName(nextSeq)), false)
+    try out.write(body)
     finally out.close()
-    // GC superseded versions, keeping the immediately previous one as
-    // grace for in-flight readers; older ones (crash leftovers
-    // included) go. Failure here is retried by the next publish.
-    val keep = Set(versionName) ++ previous
-    fs.listStatus(dest).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
-      .filterNot(s => keep.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
+    // GC: delete version dirs named by NOBODY — not live, not inside
+    // the grace window — and manifest files superseded longer than the
+    // grace window. A corrupt newest manifest with NO valid fallback
+    // skips version GC entirely: versions the publisher can no longer
+    // account for must not be swept on guesswork (recovery is a manual
+    // repoint, not data loss). Failure here is retried by next publish.
+    val canAccount = previous match {
+      case ManifestState.Corrupt(_) => false
+      case _                        => true
+    }
+    if (canAccount) {
+      val keep = Set(versionName) ++ superseded.map(_._1)
+      fs.listStatus(dest).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
+        .filterNot(s => keep.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    // superseded manifest files: tiny, kept one grace window past the
+    // moment they stopped being newest (their successor's mtime), so a
+    // reader between list and read never loses its pick; always keep
+    // the newest (just written)
+    val manifests = fs.listStatus(dest)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .sortBy(s => seqOf(s.getPath.getName))
+    manifests.dropRight(1).zip(manifests.drop(1)).foreach {
+      case (older, successor) =>
+        if (successor.getModificationTime + graceMs < now)
+          fs.delete(older.getPath, false)
+    }
   }
 
   def resolve(fs: FileSystem, destDir: String): Option[String] =
-    readManifest(fs, destDir).map(v => s"$destDir/$v")
-      .filter(p => fs.exists(new HPath(p)))
-
-  private def readManifest(fs: FileSystem, destDir: String): Option[String] = {
-    val mf = new HPath(destDir, ManifestName)
-    if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val b = new Array[Byte](256)
-        var n = in.read(b)
-        while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
-        Some(buf.toString(StandardCharsets.UTF_8)).map(_.trim).filter(_.nonEmpty)
-      } finally in.close()
+    readState(fs, destDir) match {
+      case ManifestState.Live(_, live, _) =>
+        Some(s"$destDir/$live").filter(p => fs.exists(new HPath(p)))
+      case _ => None
     }
-  }
 
   def putState(path: NPath, bytes: Array[Byte]): Unit =
     // modeled single-object PUT: whole-object replace through a
     // sibling temp (REPLACE_EXISTING move — the local stand-in for a
     // conditional PUT; the coordinator is the only writer by design)
     RenameCommit.putState(path, bytes)
+}
+
+/** Default-grace instance (one hour — covers any sane scan): the value
+  * callers name when they don't size the window themselves. */
+object ManifestCommit extends ManifestCommit(3600000L) {
+
+  private[sources] val ManifestName = "_MANIFEST"
+  private[sources] val ManifestPrefix = "_MANIFEST."
+  private[sources] val VersionPrefix = ".v_"
+  private[sources] val Sentinel = "__COMPLETE__"
+
+  private[sources] def manifestName(seq: Long) = s"$ManifestPrefix$seq"
+
+  private[sources] def seqOfName(name: String): Long = seqOf(name)
+
+  /** Sequence of a manifest file name; the bare r15-era `_MANIFEST`
+    * reads as sequence 0 (format compatibility). */
+  private def seqOf(name: String): Long =
+    if (name == ManifestName) 0L
+    else name.stripPrefix(ManifestPrefix).toLongOption.getOrElse(-1L)
+
+  /** Parsed manifest state: the highest-sequence manifest file whose
+    * body is COMPLETE wins; half-written or zeroed newer files fall
+    * back to the previous sequence. `Corrupt(seq)` = manifest files
+    * exist but none is valid — readers treat it as nothing-published;
+    * publishers must NOT treat it as license to GC. */
+  private[sources] sealed trait ManifestState
+  private[sources] object ManifestState {
+    case object Absent extends ManifestState
+    final case class Corrupt(maxSeq: Long) extends ManifestState
+    final case class Live(seq: Long, live: String,
+                          superseded: Seq[(String, Long)]) extends ManifestState
+  }
+
+  private def readFully(fs: FileSystem, p: HPath): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](256)
+        var n = in.read(b)
+        while (n >= 0) { if (n > 0) buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString(StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Parse one manifest body; None when torn/invalid. The r15-era bare
+    * `_MANIFEST` format (single version-name line, no sentinel) is
+    * accepted when `requireSentinel` is false. */
+  private def parseBody(txt: String, requireSentinel: Boolean,
+                        seq: Long): Option[ManifestState.Live] = {
+    val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
+    if (requireSentinel && !lines.lastOption.contains(Sentinel)) return None
+    lines.headOption.filter(_.startsWith(VersionPrefix)).map { live =>
+      val hist = lines.drop(1).takeWhile(_ != Sentinel).toSeq.flatMap { l =>
+        l.split('\t') match {
+          case Array(n, at) if n.startsWith(VersionPrefix) =>
+            at.toLongOption.map(n -> _)
+          case _ => None
+        }
+      }
+      ManifestState.Live(seq, live, hist)
+    }
+  }
+
+  private[sources] def readState(fs: FileSystem, destDir: String): ManifestState = {
+    val dest = new HPath(destDir)
+    if (!fs.exists(dest)) return ManifestState.Absent
+    val names =
+      try fs.listStatus(dest)
+        .filter(s => s.isFile && (s.getPath.getName == ManifestName ||
+          s.getPath.getName.startsWith(ManifestPrefix)))
+        .map(_.getPath.getName).filter(seqOf(_) >= 0)
+        .sortBy(seqOf).reverse.toSeq
+      catch { case _: java.io.FileNotFoundException => return ManifestState.Absent }
+    if (names.isEmpty) return ManifestState.Absent
+    // highest valid sequence wins; a deleted-between-list-and-read file
+    // (GC racing this reader) just falls through to the next candidate
+    names.iterator
+      .flatMap { n =>
+        readFully(fs, new HPath(dest, n)).flatMap(
+          parseBody(_, requireSentinel = n != ManifestName, seqOf(n)))
+      }
+      .nextOption()
+      .getOrElse(ManifestState.Corrupt(seqOf(names.head)))
+  }
+}
+
+/** Reader-side manifest resolution (r15 verdict #1): the walk that
+  * turns a Hive-layout subtree into the list of COMMITTED content
+  * directories a reader should hand to `spark.read.parquet`.
+  *
+  * Under [[ManifestCommit]] the live bytes of each leaf partition sit
+  * in a dot-prefixed `.v_*` version dir that Spark's hidden-path
+  * filter skips, so a plain subtree read sees empty partitions; the
+  * writers already resolve (`LakeWriter.scala` read-merge legs) — this
+  * gives the READ paths the same resolution. Identity committers never
+  * come through here ([[CommitProtocol.readThroughResolve]] is false),
+  * so the local/HDFS hot path keeps its plain single-listing scans.
+  *
+  * Cost: O(subtree) directory LISTs — the same listing volume Spark's
+  * own file index pays for the plain subtree read it replaces, just
+  * driver-side; bounded callers (windowed reads) resolve only their
+  * already-pruned leaf lists via [[resolveLeaf]].
+  *
+  * Partition-column inference survives the extra `.v_*` path level:
+  * Spark parses `key=value` chunks upward from each file and skips
+  * non-matching chunks until the first parsed column, so
+  * `.../hour=10/.v_abc/part-0.parquet` still yields
+  * (symbol, year, month, day, hour) under the subtree basePath —
+  * pinned by CommitSeamSpec's round-trip rows. */
+private[graft] object ResolvedScan {
+
+  /** The committed content dir of ONE leaf partition dir: the
+    * manifest-resolved version when the committer names one, else the
+    * leaf itself when it holds visible data files (bulk-written plain
+    * partitions inside a manifest deployment), else None (nothing
+    * committed — e.g. only a crash-orphaned version dir). */
+  def resolveLeaf(fs: FileSystem, leaf: String,
+                  committer: CommitProtocol): Option[String] =
+    committer.resolve(fs, leaf).orElse {
+      val p = new HPath(leaf)
+      if (fs.exists(p) && fs.listStatus(p).exists(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })) Some(leaf)
+      else None
+    }
+
+  /** Every committed content dir under `base`: descend `key=value`
+    * partition dirs; a dir with no such children is a leaf, resolved
+    * through [[resolveLeaf]]. */
+  def resolvedLeaves(fs: FileSystem, base: String,
+                     committer: CommitProtocol): Seq[String] = {
+    if (!fs.exists(new HPath(base))) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: HPath): Unit = {
+      val children = fs.listStatus(p)
+      val partDirs = children.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (partDirs.nonEmpty) partDirs.foreach(s => walk(s.getPath))
+      else committer.resolve(fs, p.toString) match {
+        case Some(d) => out += d
+        case None =>
+          if (children.exists(s => s.isFile && {
+                val n = s.getPath.getName
+                !n.startsWith("_") && !n.startsWith(".")
+              })) out += p.toString
+      }
+    }
+    walk(new HPath(base))
+    out.toSeq
+  }
 }

@@ -143,7 +143,7 @@ private[graft] object DayDirs {
   }
 }
 
-class HtfLakeReader(root: String) {
+class HtfLakeReader(root: String, committer: CommitProtocol = RenameCommit) {
 
   private def dir(timeframe: String, symbol: String) =
     s"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}"
@@ -154,7 +154,22 @@ class HtfLakeReader(root: String) {
     val d = dir(timeframe, symbol)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val base =
-      if (fs.exists(new HPath(d))) spark.read.parquet(d)
+      if (fs.exists(new HPath(d)) && committer.readThroughResolve) {
+        // manifest deployment: the live day versions sit behind each
+        // leaf's pointer (dot-prefixed — a plain subtree read sees
+        // nothing); window-bound the leaf walk first, then resolve
+        val inWin = DayDirs.inRange(fs, d, start, end)
+          .flatMap(leaf => ResolvedScan.resolveLeaf(fs, leaf, committer))
+        // in-range-empty window still reads ONE committed day so the
+        // result keeps the real schema (mirrors the wide branch)
+        val days =
+          if (inWin.nonEmpty) inWin
+          else DayDirs.deepest(fs, d, 1)
+            .flatMap(leaf => ResolvedScan.resolveLeaf(fs, leaf, committer))
+        if (days.isEmpty) return None
+        spark.read.option("basePath", d).parquet(days: _*)
+      }
+      else if (fs.exists(new HPath(d))) spark.read.parquet(d)
       else {
         // day-wide layout: no per-symbol directory level — symbol is a
         // sorted data column under timeframe=T/year=/month=/day=, and
@@ -190,9 +205,19 @@ class HtfLakeReader(root: String) {
   }
 }
 
-class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
+class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None,
+                       committer: CommitProtocol = RenameCommit) {
 
   private def lakeDir = s"$root/futures/um/minute"
+
+  /** Manifest deployments publish each hourly leaf behind a pointer
+    * ([[CommitProtocol.readThroughResolve]]): every hourly subtree scan
+    * below must then enumerate+resolve leaves instead of handing Spark
+    * the subtree root (whose dot-prefixed live versions the hidden-path
+    * filter would skip — the reader would see EMPTY partitions). The
+    * wide layout never needs this: its bulk writes commit through
+    * Hadoop's committer and its deltas are append-only (§4.1). */
+  private def mustResolve: Boolean = committer.readThroughResolve
 
   private def hasData(spark: SparkSession): Boolean = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -305,10 +330,16 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     val symbolDir = s"$lakeDir/symbol=${symbol.toUpperCase}"
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new HPath(symbolDir)))
+    def empty() =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         CanonicalSchema.structType)
-    else
+    if (!fs.exists(new HPath(symbolDir))) empty()
+    else if (mustResolve) {
+      val leaves = ResolvedScan.resolvedLeaves(fs, symbolDir, committer)
+      if (leaves.isEmpty) empty()
+      else spark.read.option("basePath", symbolDir).parquet(leaves: _*)
+        .drop("year", "month", "day", "hour")
+    } else
       spark.read.parquet(symbolDir).drop("year", "month", "day", "hour")
   }
 
@@ -321,7 +352,12 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       Some(overlayDeltas(spark,
         spark.read.parquet(lakeDir).drop("year", "month", "day"),
         deltaDaysFor(spark, None, None), None))
-    else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
+    else if (mustResolve) {
+      val leaves = ResolvedScan.resolvedLeaves(fsOf(spark), lakeDir, committer)
+      if (leaves.isEmpty) None
+      else Some(spark.read.option("basePath", lakeDir).parquet(leaves: _*)
+        .drop("year", "month", "day", "hour"))
+    } else Some(spark.read.parquet(lakeDir).drop("year", "month", "day", "hour"))
 
   /** Whole-lake windowed read with per-(symbol, minute) latest-wins
     * dedup — the multi-symbol form of [[readWindow]]. The window is
@@ -362,7 +398,26 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
           lpad(col("month").cast("string"), 2, "0"),
           lpad(col("day").cast("string"), 2, "0"),
           lpad(col("hour").cast("string"), 2, "0"))
-        spark.read.parquet(lakeDir)
+        if (mustResolve) {
+          // manifest deployment: resolve leaves, prune to the window
+          // DRIVER-side by the hour key parsed from each leaf's path
+          // (the resolved version dir keeps its key=value ancestry),
+          // then read the survivors explicitly
+          val lo = fmt.format(start)
+          val hi = fmt.format(end)
+          val leaves = ResolvedScan.resolvedLeaves(fsOf(spark), lakeDir, committer)
+            .filter(p => MinuteLakeReader.hourKeyOf(p).forall(k => k >= lo && k <= hi))
+          if (leaves.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(
+                org.apache.spark.sql.types.StructField("symbol",
+                  org.apache.spark.sql.types.StringType) +:
+                CanonicalSchema.structType.fields))
+          else spark.read.option("basePath", lakeDir).parquet(leaves: _*)
+            .where(hourKey.between(lo, hi))
+            .drop("year", "month", "day", "hour")
+        } else spark.read.parquet(lakeDir)
           .where(hourKey.between(fmt.format(start), fmt.format(end)))
           .drop("year", "month", "day", "hour")
       }
@@ -437,10 +492,12 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
         }
       })
     }
-    val hourDirs = fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory)
+    var hourDirs = fs.listStatus(new HPath(lakeDir)).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("symbol="))
       .flatMap(sd => maxChild(sd).flatMap(maxChild).flatMap(maxChild).flatMap(maxChild))
       .map(_.toString)
+    if (mustResolve)
+      hourDirs = hourDirs.flatMap(d => ResolvedScan.resolveLeaf(fs, d, committer))
     if (hourDirs.isEmpty) return Map.empty
     spark.read.option("basePath", lakeDir).parquet(hourDirs.toIndexedSeq: _*)
       .groupBy("symbol").agg(max("timestamp").as("latest"))
@@ -595,6 +652,12 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
     }
     val symbolRoot = new HPath(s"$lakeDir/symbol=${symbol.toUpperCase}")
     if (!fs.exists(symbolRoot)) Set.empty
+    else if (mustResolve)
+      // manifest deployment: the committed-content dirs ARE the change
+      // snapshot — a publish swaps the version name, so any repair is
+      // detected; superseded/orphan versions never enter the set
+      ResolvedScan.resolvedLeaves(fs, symbolRoot.toString, committer)
+        .map(_.stripPrefix(symbolRoot.toString).stripPrefix("/")).toSet
     else {
       val it = fs.listFiles(symbolRoot, true)
       val dirs = scala.collection.mutable.Set[String]()
@@ -605,5 +668,21 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None) {
       }
       dirs.toSet
     }
+  }
+}
+
+object MinuteLakeReader {
+
+  private val HourKeyRe =
+    """.*/year=(\d+)/month=(\d+)/day=(\d+)/hour=(\d+)(?:/[^/]+)?$""".r
+
+  /** `yyyyMMddHH` key parsed from a leaf partition path (resolved
+    * version dirs keep their `key=value` ancestry, so one optional
+    * trailing non-kv segment is allowed); None when the path carries
+    * no hour ancestry — callers must treat that as in-window. */
+  private[sources] def hourKeyOf(path: String): Option[String] = path match {
+    case HourKeyRe(y, m, d, h) =>
+      Some(f"${y.toInt}%04d${m.toInt}%02d${d.toInt}%02d${h.toInt}%02d")
+    case _ => None
   }
 }

@@ -46,7 +46,7 @@ final case class CompactionPolicy(minFilesPerDay: Int = 8,
 
 class MinuteLakeWriter(root: String, ledger: PartitionLedger,
                        val layout: LakeLayout = LakeLayout.HourlySymbol,
-                       committer: CommitProtocol = RenameCommit) {
+                       val committer: CommitProtocol = RenameCommit) {
 
   private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH").withZone(ZoneOffset.UTC)
 
@@ -169,22 +169,67 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
 
   /** Union `frame`'s symbols into the wide lake's `_symbols.json`
     * registry ([[MinuteLakeWriter.SymbolsRegistry]]): O(width) driver
-    * strings, rewritten only when a NEW symbol appears. The write is a
-    * single small-object create (the atomic PUT on object stores; a
-    * torn local read merely degrades the reader to the walk). */
+    * strings, rewritten only when a NEW symbol appears.
+    *
+    * Invariant (r15 advice — the registry IS load-bearing for
+    * ABSENCE): the registry, when present and parseable, must be a
+    * SUPERSET of every symbol ever committed. Three rules keep it:
+    *
+    *  1. the write is atomic (temp file + single-FILE rename — one
+    *     object PUT on a store), so a crash can never leave a torn
+    *     body on disk;
+    *  2. a registry that EXISTS but reads as torn/unreadable is never
+    *     rewritten from empty — that would durably deny every
+    *     previously committed symbol; the rewrite is SKIPPED (readers
+    *     already degrade to the walk on a torn registry) and
+    *     [[rebuildSymbolRegistry]] is the healing verb;
+    *  3. an ABSENT registry over a lake that already has data (a
+    *     pre-registry lake) is also left absent — fresh-only symbols
+    *     would deny the old ones; only a genuinely EMPTY lake may
+    *     bootstrap the registry from the incoming frame.
+    *
+    * Called BEFORE the data commit (r15 advice #2): premature
+    * registration is harmless in a superset; late registration races a
+    * reader into falsely denying a just-committed new symbol. */
   private def registerSymbols(fs: FileSystem, frame: DataFrame): Unit = {
     val lakeDir = s"$root/futures/um/minute"
     val fresh = frame.select(upper(col("symbol"))).distinct()
       .collect().map(_.getString(0)).toSet
-    val existing = MinuteLakeWriter.readSymbolRegistry(fs, lakeDir)
-      .getOrElse(Set.empty)
-    val merged = existing ++ fresh
-    if (merged != existing || existing.isEmpty) {
-      val out = fs.create(
-        new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}"), true)
-      try out.write(MinuteLakeWriter.registryBody(merged))
-      finally out.close()
+    val regPath = new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}")
+    MinuteLakeWriter.readSymbolRegistry(fs, lakeDir) match {
+      case Some(existing) =>
+        val merged = existing ++ fresh
+        if (merged != existing)
+          MinuteLakeWriter.writeSymbolRegistry(fs, lakeDir, merged)
+      case None if fs.exists(regPath) =>
+        // torn/unreadable but present: rewriting from fresh-only would
+        // durably break the superset — skip; readers walk until healed
+        ()
+      case None =>
+        if (DayDirs.ascending(fs, lakeDir).isEmpty)
+          MinuteLakeWriter.writeSymbolRegistry(fs, lakeDir, fresh)
+        // else: pre-registry lake — leave absent (safe); heal with
+        // rebuildSymbolRegistry
     }
+  }
+
+  /** Rebuild the symbol registry from the lake itself — the healing
+    * verb for a torn/corrupt or pre-registry lake (see
+    * [[registerSymbols]] rules 2–3). ONE distinct-symbols job over the
+    * base ∪ delta trees (columnar: only the symbol column is read);
+    * run it from an operator tick, not the hot path. */
+  def rebuildSymbolRegistry(spark: SparkSession): Set[String] = {
+    val lakeDir = s"$root/futures/um/minute"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val days = DayDirs.ascending(fs, lakeDir) ++
+      DayDirs.ascending(fs, s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}")
+    val symbols =
+      if (days.isEmpty) Set.empty[String]
+      else spark.read.parquet(days: _*).select(upper(col("symbol")))
+        .distinct().collect().map(_.getString(0)).toSet
+    if (symbols.nonEmpty)
+      MinuteLakeWriter.writeSymbolRegistry(fs, lakeDir, symbols)
+    symbols
   }
 
   /** Recompute every COMMITTED ledger partition's content hash and
@@ -235,6 +280,15 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * of hours either way. */
   def writePartitionedBulk(frame: DataFrame, symbol: String,
                            merge: Boolean = false): Unit = {
+    if (committer.readThroughResolve) {
+      // manifest deployment: every hour leaf must be committed through
+      // the pointer — a dynamic-partition overwrite would land plain
+      // dirs that resolving readers shadow behind any stale pointer.
+      // Stage once, then publish per touched hour (cheap filtered
+      // re-reads of the staged parquet, not upstream plan re-runs).
+      writePartitionedBulkCommitted(frame, symbol, merge)
+      return
+    }
     val spark = frame.sparkSession
     val lakeDir = s"$root/futures/um/minute"
     val symbolDir = s"$lakeDir/symbol=${symbol.toUpperCase}"
@@ -277,6 +331,34 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         .option("compression", "zstd")
         .parquet(lakeDir)
     } finally tmp.foreach(t => fs.delete(new HPath(t), true))
+  }
+
+  /** Manifest-deployment form of [[writePartitionedBulk]] — see the
+    * fallback note there. `merge = true` routes each hour through
+    * [[writeHourPartition]] (manifest-resolved read-merge + publish);
+    * `merge = false` keeps replace semantics: the slice is published
+    * as the partition's whole new version. */
+  private def writePartitionedBulkCommitted(frame: DataFrame, symbol: String,
+                                            merge: Boolean): Unit = {
+    val spark = frame.sparkSession
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    frame.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    try {
+      val staged = spark.read.parquet(stageDir)
+      val hours = staged.select(date_trunc("hour", col("timestamp")).as("h"))
+        .distinct().collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+      hours.foreach { h =>
+        val slice = staged.where(date_trunc("hour", col("timestamp")) === h)
+        if (merge) writeHourPartition(symbol, h.toInstant, slice)
+        else {
+          val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          slice.coalesce(1).write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd").parquet(tmp)
+          committer.publish(fs, tmp, partitionDir(symbol, h.toInstant))
+        }
+      }
+    } finally fs.delete(new HPath(stageDir), true)
   }
 
   /** Day-wide bulk write ([[LakeLayout.DayWide]]): a multi-symbol,
@@ -356,6 +438,12 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           }
       }
 
+      // register BEFORE publishing data (r15 advice #2): a reader
+      // racing the gap between data commit and a late registration
+      // would falsely deny a just-committed NEW symbol; early
+      // registration is safe (superset)
+      registerSymbols(fs, staged)
+
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // sort by the PARTITION columns first: FileFormatWriter's required
       // ordering for a dynamic-partition write is (year, month, day), and
@@ -372,10 +460,6 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         .partitionBy("year", "month", "day")
         .option("compression", "zstd")
         .parquet(lakeDir)
-
-      // keep the lake's symbol registry a superset of what was ever
-      // committed — readers short-circuit absent-symbol probes with it
-      registerSymbols(fs, staged)
 
       // S13 at day grain: commit one ledger row per touched day
       // (symbol = "__ALL__", hour = -1) with row bounds and a content
@@ -488,6 +572,13 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       }
 
     DQValidator.validateKeyed(frame, Seq("symbol", "timestamp"))
+
+    // a patch can introduce a symbol new to the lake (only the DAY must
+    // pre-exist) — register BEFORE the append (r15 advice #2: premature
+    // registration is safe, late registration races readers into
+    // denying the new symbol)
+    registerSymbols(fs, frame)
+
     withPartCols(frame)
       .coalesce(1)
       .sortWithinPartitions("year", "month", "day", "symbol", "timestamp")
@@ -496,10 +587,6 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       .partitionBy("year", "month", "day")
       .option("compression", "zstd")
       .parquet(deltaRoot)
-
-    // a patch can introduce a symbol new to the lake (only the DAY must
-    // pre-exist) — keep the registry a superset
-    registerSymbols(fs, frame)
 
     // ledger rows re-read the written dirs so the recorded bounds/hash
     // cover the day's WHOLE delta population (prior patches included) —
@@ -673,6 +760,27 @@ object MinuteLakeWriter {
     } catch { case _: Exception => None }
   }
 
+  /** Never-torn registry replace: stage to a temp file, DELETE the old
+    * registry, single-FILE rename the temp into place (Hadoop rename
+    * refuses to overwrite, so the delete is required; on an object
+    * store the whole step is one atomic PUT). A crash inside the
+    * delete→rename window leaves the registry ABSENT — which readers
+    * treat as walk-the-lake, the safe degraded mode — never a torn or
+    * fresh-only body that would deny committed symbols (r15 advice;
+    * [[MinuteLakeWriter.rebuildSymbolRegistry]] heals an absent one). */
+  private[sources] def writeSymbolRegistry(fs: FileSystem, lakeDir: String,
+                                           symbols: Set[String]): Unit = {
+    val tmp = new HPath(s"$lakeDir/.$SymbolsRegistry." +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(registryBody(symbols))
+    finally out.close()
+    val live = new HPath(s"$lakeDir/$SymbolsRegistry")
+    if (fs.exists(live)) fs.delete(live, false)
+    if (!fs.rename(tmp, live))
+      throw new RuntimeException(s"symbol registry swap failed under $lakeDir")
+  }
+
   private[sources] def registryBody(symbols: Set[String]): Array[Byte] =
     (symbols.toSeq.sorted :+ RegistrySentinel)
       .map(sym => "\"" + sym + "\"").mkString("[", ",", "]")
@@ -797,7 +905,7 @@ object MinuteLakeWriter {
   * the same file-count wall the minute lake hit (SURVEY §8.15). */
 class HtfLakeWriter(root: String,
                     val layout: LakeLayout = LakeLayout.HourlySymbol,
-                    committer: CommitProtocol = RenameCommit) {
+                    val committer: CommitProtocol = RenameCommit) {
 
   def partitionDir(timeframe: String, symbol: String, day: java.time.LocalDate): String =
     f"$root/timeframe=$timeframe/symbol=${symbol.toUpperCase}/year=${day.getYear}%04d/" +
@@ -827,6 +935,14 @@ class HtfLakeWriter(root: String,
         // per-symbol call is just a width-1 slice of the wide path
         writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f); return
       case LakeLayout.HourlySymbol => ()
+    }
+    if (committer.readThroughResolve) {
+      // manifest deployment: dynamic-partition overwrite lands PLAIN
+      // day dirs, which a resolving reader would shadow behind any
+      // pointer already committed for that day — bulk writes must go
+      // through the committer too (see writeBucketsBulkCommitted)
+      writeBucketsBulkCommitted(spark, timeframe, buckets, Some(symbol))
+      return
     }
     val dir = symbolDir(timeframe, symbol)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -890,6 +1006,10 @@ class HtfLakeWriter(root: String,
       case LakeLayout.DayWide(f) =>
         writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f); return
       case LakeLayout.HourlySymbol => ()
+    }
+    if (committer.readThroughResolve) {
+      writeBucketsBulkCommitted(spark, timeframe, buckets, None)
+      return
     }
     val dir = s"$root/timeframe=$timeframe"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -1002,6 +1122,43 @@ class HtfLakeWriter(root: String,
       fs.delete(new HPath(stageDir), true)
       mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
     }
+  }
+
+  /** Manifest-deployment bulk write (r15 #1): every leaf must be
+    * committed through the POINTER, never dynamic-partition overwrite
+    * (a plain rewrite of a day that already has a manifest leaves the
+    * stale pointer in force — resolving readers would keep serving the
+    * old version). The incoming frame is staged ONCE; each touched
+    * (symbol, day) slice is a cheap filtered re-read of the staged
+    * parquet routed through [[writeBuckets]] (merge + committer
+    * publish). O(touched symbol-days) small jobs — incremental ticks
+    * touch few; a backfill on a manifest deployment pays this price
+    * knowingly (the wide layout, which bulk-commits through Hadoop's
+    * committer, is the 10k-width shape anyway). */
+  private def writeBucketsBulkCommitted(spark: SparkSession, timeframe: String,
+                                        buckets: DataFrame,
+                                        symbolOverride: Option[String]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    try {
+      val staged = spark.read.parquet(stageDir)
+      val symCol = symbolOverride match {
+        case Some(sym) => lit(sym.toUpperCase)
+        case None      => upper(col("symbol"))
+      }
+      val touched = staged
+        .select(symCol.as("__sym"), to_date(col("bucket_start")).as("__day"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+        .sortBy(t => (t._1, t._2.toString))
+      touched.foreach { case (sym, day) =>
+        val slice = staged
+          .where(symCol === sym &&
+            to_date(col("bucket_start")) === java.sql.Date.valueOf(day))
+        writeBuckets(spark, timeframe, sym, day, slice)
+      }
+    } finally fs.delete(new HPath(stageDir), true)
   }
 
   def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
