@@ -256,7 +256,8 @@ object SparkEntry {
     * tempdir lifecycle), kept in the bench for drift detection but
     * priced in their own `total_engine` ledger line — summing them
     * into a query wall-time total misleads round-over-round reads. */
-  val engineRoundtrip: Set[String] = Set("s16_wide_lake_roundtrip")
+  val engineRoundtrip: Set[String] =
+    Set("s16_wide_lake_roundtrip", "s17_delta_overlay_precedence")
 
   /** Bench rows added AFTER the r13 ledger froze the `comparable`
     * subtotal's membership. [[Bench]] reports
@@ -268,7 +269,8 @@ object SparkEntry {
     "s16_wide_lake_roundtrip",       // r14 (also engine-roundtrip)
     "dedup_cc_verified_star_rescue", // r14
     "htf_aggregate_1w",              // r15
-    "htf_aggregate_1mo")             // r15
+    "htf_aggregate_1mo",             // r15
+    "s17_delta_overlay_precedence")  // r16 (also engine-roundtrip)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2555,32 +2557,65 @@ object SparkEntry {
         .withColumn("symbol",
           concat(lit("SYM"), lpad((col("user_id") % 7).cast("string"), 2, "0"),
             lit("USDT")))
-      def canon(df: DataFrame, bump: Double): DataFrame = {
-        val g = df.groupBy(col("symbol"), col("minute").as("timestamp"))
-          .agg((round(sum(col("value")), 4) + bump).as("open"))
-          // HARD_REQUIRED columns derived from open (the DQ gate inside
-          // writeDeltaPatch rejects nulls there — correctly)
-          .withColumn("high", col("open") + 1.0)
-          .withColumn("low", col("open") - 1.0)
-          .withColumn("close", col("open") + 0.5)
-          .withColumn("volume_btc", lit(1.0))
-          .withColumn("volume_usdt", lit(100.0))
-          .withColumn("trade_count", lit(10L))
-          .withColumn("mark_price_open", col("open"))
-          .withColumn("mark_price_close", col("open"))
-          .withColumn("index_price_open", col("open"))
-          .withColumn("index_price_close", col("open"))
-        graft.schema.CanonicalSchema.columns.foldLeft(g) { (d, c) =>
-          if (d.columns.contains(c.name)) d.withColumn(c.name, col(c.name).cast(c.sparkType))
-          else d.withColumn(c.name, lit(null).cast(c.sparkType))
-        }
-      }
       val root = java.nio.file.Files.createTempDirectory("graft-s16-lake").toString
       try {
         val writer = new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"),
           LakeLayout.DayWide(filesPerDay = 4))
-        writer.writeDaysWide(canon(ev, 0.0))
-        writer.writeDeltaPatch(canon(ev.where(col("event_type") === "error"), 1000.0))
+        writer.writeDaysWide(wideCanon(ev, 0.0))
+        writer.writeDeltaPatch(wideCanon(ev.where(col("event_type") === "error"), 1000.0))
+        val b = ev.agg(min(col("minute")), max(col("minute"))).collect()(0)
+        val win = new MinuteLakeReader(root)
+          .readWindowAllSymbols(s, b.getTimestamp(0).toInstant, b.getTimestamp(1).toInstant)
+          .get
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_minutes"),
+               round(sum(col("open")), 2).as("sum_open"),
+               round(max(col("open")), 4).as("max_open"))
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(win.collect(): _*)),
+          win.schema)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+    }),
+
+    // S17: delta-overlay PRECEDENCE through the real machinery (VERDICT
+    // r15 #4). s16 pins base∪one-patch; this row makes the ORDERING
+    // semantics load-bearing — exactly the rules engines silently
+    // diverge on: (a) the same (symbol, minute) patched TWICE — the
+    // later __delta_seq must win (patch 2 keys ⊂ patch 1 keys, both
+    // differ from base); (b) a symbol that exists ONLY in delta patches
+    // (NEWxxUSDT) — it must surface in the all-symbols windowed read
+    // even though no base file carries it; (c) plain patch-over-base
+    // last-wins everywhere else. The oracle is the declarative
+    // max-priority merge over the same four frames; reference last-wins
+    // contract: atomic.py:65-97.
+    "s17_delta_overlay_precedence" -> ((s, dir) => {
+      import graft.sources.{LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+      val ev = eventsK(s, dir)
+        .withColumn("symbol",
+          concat(lit("SYM"), lpad((col("user_id") % 7).cast("string"), 2, "0"),
+            lit("USDT")))
+      // delta-only symbols, derived from click events so their days are
+      // a subset of the base days (writeDeltaPatch's writer invariant)
+      val newSym = eventsK(s, dir)
+        .where(col("event_type") === "click")
+        .withColumn("symbol",
+          concat(lit("NEW"), lpad((col("user_id") % 3).cast("string"), 2, "0"),
+            lit("USDT")))
+      val root = java.nio.file.Files.createTempDirectory("graft-s17-lake").toString
+      try {
+        val writer = new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"),
+          LakeLayout.DayWide(filesPerDay = 4))
+        writer.writeDaysWide(wideCanon(ev, 0.0))
+        writer.writeDeltaPatch(wideCanon(                             // seq 1
+          ev.where(col("event_type") === "error"), 1000.0))
+        writer.writeDeltaPatch(wideCanon(                             // seq 2
+          ev.where((col("event_type") === "error") &&
+                   (col("user_id") % 2 === 0)), 2000.0))
+        writer.writeDeltaPatch(wideCanon(newSym, 3000.0))             // seq 3
         val b = ev.agg(min(col("minute")), max(col("minute"))).collect()(0)
         val win = new MinuteLakeReader(root)
           .readWindowAllSymbols(s, b.getTimestamp(0).toInstant, b.getTimestamp(1).toInstant)
@@ -2599,6 +2634,31 @@ object SparkEntry {
       }
     })
   )
+
+  /** Canonical minute frame from an events-derived frame carrying
+    * (symbol, minute, value) — the shared scaffolding of the wide-lake
+    * roundtrip rows (s16/s17): per-(symbol, minute)
+    * open = round(sum(value), 4) + bump, the HARD_REQUIRED columns
+    * derived from open (the DQ gate inside writeDeltaPatch rejects
+    * nulls there — correctly), then cast/filled to CanonicalSchema. */
+  private def wideCanon(df: DataFrame, bump: Double): DataFrame = {
+    val g = df.groupBy(col("symbol"), col("minute").as("timestamp"))
+      .agg((round(sum(col("value")), 4) + bump).as("open"))
+      .withColumn("high", col("open") + 1.0)
+      .withColumn("low", col("open") - 1.0)
+      .withColumn("close", col("open") + 0.5)
+      .withColumn("volume_btc", lit(1.0))
+      .withColumn("volume_usdt", lit(100.0))
+      .withColumn("trade_count", lit(10L))
+      .withColumn("mark_price_open", col("open"))
+      .withColumn("mark_price_close", col("open"))
+      .withColumn("index_price_open", col("open"))
+      .withColumn("index_price_close", col("open"))
+    graft.schema.CanonicalSchema.columns.foldLeft(g) { (d, c) =>
+      if (d.columns.contains(c.name)) d.withColumn(c.name, col(c.name).cast(c.sparkType))
+      else d.withColumn(c.name, lit(null).cast(c.sparkType))
+    }
+  }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -3117,6 +3177,45 @@ object SparkEntry {
         |merged AS (
         |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
         |  FROM base b LEFT JOIN patch p ON b.symbol = p.symbol AND b.m = p.m)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_minutes,
+        |       round(sum(open), 2) AS sum_open,
+        |       round(max(open), 4) AS max_open
+        |FROM merged GROUP BY symbol""".stripMargin,
+
+    // the overlay-precedence roundtrip's declarative equivalent: four
+    // frames at ascending priority (base < patch1 < patch2 < new-symbol
+    // patch), merged max-priority-wins per (symbol, minute) — what the
+    // physical base∪delta read must resolve via __delta_seq ordering
+    "s17_delta_overlay_precedence" ->
+      """WITH sym AS (
+        |  SELECT 'SYM' || lpad(CAST(user_id % 7 AS VARCHAR), 2, '0') || 'USDT'
+        |           AS symbol,
+        |         date_trunc('minute', ts) AS m, value, event_type, user_id
+        |  FROM events),
+        |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
+        |         FROM sym GROUP BY 1, 2),
+        |p1 AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
+        |       FROM sym WHERE event_type = 'error' GROUP BY 1, 2),
+        |p2 AS (SELECT symbol, m, round(sum(value), 4) + 2000.0 AS open
+        |       FROM sym WHERE event_type = 'error' AND user_id % 2 = 0
+        |       GROUP BY 1, 2),
+        |p3 AS (SELECT 'NEW' || lpad(CAST(user_id % 3 AS VARCHAR), 2, '0') || 'USDT'
+        |                AS symbol,
+        |              date_trunc('minute', ts) AS m,
+        |              round(sum(value), 4) + 3000.0 AS open
+        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT symbol, m, open, 0 AS pri FROM base
+        |  UNION ALL SELECT symbol, m, open, 1 FROM p1
+        |  UNION ALL SELECT symbol, m, open, 2 FROM p2
+        |  UNION ALL SELECT symbol, m, open, 3 FROM p3),
+        |merged AS (
+        |  SELECT symbol, m, open FROM (
+        |    SELECT symbol, m, open,
+        |           row_number() OVER (PARTITION BY symbol, m ORDER BY pri DESC)
+        |             AS rn
+        |    FROM u)
+        |  WHERE rn = 1)
         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_minutes,
         |       round(sum(open), 2) AS sum_open,
         |       round(max(open), 4) AS max_open
