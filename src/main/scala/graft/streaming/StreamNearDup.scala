@@ -74,9 +74,14 @@ object StreamNearDup {
   /** Per-bucket verdict for one doc. `matchedId` = the member that
     * est-agreed (lowest id wins for determinism); `saturated` = the
     * bucket was at `maxMembers` when this doc arrived (detection
-    * inside this bucket is best-effort from then on). */
+    * inside this bucket is best-effort from then on);
+    * `prunedByHorizon` = bucket members this arrival aged out (their
+    * eventMs fell past the horizon) — the horizon trade, counted at
+    * the moment it forfeits a comparison, so [[recallLedger]] can
+    * aggregate it instead of it vanishing silently. */
   final case class BandVerdict(docId: Long, bucket: String, eventMs: Long,
-                               matchedId: Option[Long], saturated: Boolean)
+                               matchedId: Option[Long], saturated: Boolean,
+                               prunedByHorizon: Int)
 
   /** State-store row types (public: the state encoder's generated
     * serializer must reach the accessors). */
@@ -150,12 +155,15 @@ object StreamNearDup {
         members.headOption.map(_.eventMs).getOrElse(0L))(math.max)
       val out = batch.iterator.map { r =>
         val ms = r.eventTime.getTime
-        members = members.filter(m => m.eventMs >= ms - horizonMs && m.docId != r.docId)
+        // horizon prune (a counted recall forfeit) is separate from the
+        // self-row replacement (bookkeeping, not a loss)
+        val (live, aged) = members.partition(m => m.eventMs >= ms - horizonMs)
+        members = live.filter(_.docId != r.docId)
         val hit = members.filter(m => agree(m.sig, r.sig) >= minAgree)
           .map(_.docId).sorted.headOption
         val full = members.size >= maxMembers
         if (!full) members = Member(r.docId, r.sig, ms) :: members
-        BandVerdict(r.docId, bucket, ms, hit, full)
+        BandVerdict(r.docId, bucket, ms, hit, full, aged.size)
       }.toVector
       state.update(BucketState(members))
       // evict the whole bucket once the watermark passes the last
@@ -183,6 +191,42 @@ object StreamNearDup {
       .agg(min(col("matchedId")).as("matched_id"),
         max(col("saturated")).as("any_bucket_saturated"))
       .withColumn("is_near_dup", col("matched_id").isNotNull)
+
+  /** Per-window recall-forfeit ledger (VERDICT r15 #5): aggregates how
+    * much detection capacity a stream configuration gave up, per
+    * tumbling event-time window — the metrics-level twin of the
+    * per-row `saturated` flag, so "no silent caps" holds for the
+    * OPERATOR, not just each row:
+    *
+    *  - `buckets_saturated`  — distinct band buckets that refused at
+    *    least one admission in the window (at `maxMembers` when a doc
+    *    arrived); detection in those buckets was best-effort;
+    *  - `arrivals_at_cap`    — band-row arrivals not admitted as
+    *    members (each is a doc a LATER near-dup can no longer match
+    *    against in that bucket);
+    *  - `members_pruned_by_horizon` — bucket members aged out by the
+    *    horizon at match time (bucket-member granularity: one doc
+    *    spans `nBands` buckets, so a fully-aged doc counts once per
+    *    bucket it lived in);
+    *  - `band_rows` / `docs_seen` — denominators for rate alarms.
+    *
+    * Plain aggregation over [[bandMatches]] output — run it inside
+    * `foreachBatch` next to [[decisions]] (the production sink shape)
+    * or as a downstream windowed streaming aggregation. A healthy
+    * steady state is all-zero loss columns; a sustained nonzero rate
+    * is the signal to widen `maxMembers`/horizon or re-band. */
+  def recallLedger(verdicts: Dataset[BandVerdict], windowDur: String): DataFrame =
+    verdicts
+      .groupBy(window(timestamp_millis(col("eventMs")), windowDur).as("win"))
+      .agg(
+        count_distinct(when(col("saturated"), col("bucket"))).as("buckets_saturated"),
+        sum(when(col("saturated"), 1L).otherwise(0L)).as("arrivals_at_cap"),
+        sum(col("prunedByHorizon")).cast("long").as("members_pruned_by_horizon"),
+        count(lit(1)).as("band_rows"),
+        count_distinct(col("docId")).as("docs_seen"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col("buckets_saturated"), col("arrivals_at_cap"),
+        col("members_pruned_by_horizon"), col("band_rows"), col("docs_seen"))
 
   /** End-to-end convenience: docs → band rows → stateful est-gate.
     * Callers aggregate with [[decisions]] at the sink. */

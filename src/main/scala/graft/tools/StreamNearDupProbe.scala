@@ -154,6 +154,13 @@ object StreamNearDupProbe {
         delay = s"${horizonMs / 1000} seconds", horizonMs = horizonMs)
       val flagged = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
       val saturatedDocs = new java.util.concurrent.atomic.AtomicLong(0)
+      // recall-forfeit ledger totals (VERDICT r15 #5): the per-window
+      // side output summed over the run — arrivals refused at the cap
+      // and members aged out by the horizon are the two quantified
+      // recall losses this configuration accepted
+      val arrivalsAtCap = new java.util.concurrent.atomic.AtomicLong(0)
+      val prunedByHorizon = new java.util.concurrent.atomic.AtomicLong(0)
+      val lossWindows = new java.util.concurrent.atomic.AtomicLong(0)
       val ckpt = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft-snd").toString
       val query = verdicts.writeStream
@@ -167,6 +174,13 @@ object StreamNearDupProbe {
           d.foreach { r =>
             if (r.getBoolean(1)) flagged.put(r.getLong(0), true)
             if (r.getBoolean(2)) saturatedDocs.incrementAndGet()
+          }
+          StreamNearDup.recallLedger(batch, "1 minute").collect().foreach { w =>
+            val cap = w.getLong(w.fieldIndex("arrivals_at_cap"))
+            val pruned = w.getLong(w.fieldIndex("members_pruned_by_horizon"))
+            arrivalsAtCap.addAndGet(cap)
+            prunedByHorizon.addAndGet(pruned)
+            if (cap + pruned > 0) lossWindows.incrementAndGet()
           }
         }
         .start()
@@ -217,7 +231,10 @@ object StreamNearDupProbe {
         f"bucketBound=$nBuckets")
       println(s"[snd-probe] leg=$name flags=${streamFlags.size} " +
         s"expected=${expectedFlags.size} missed=${missed.size} extra=${extra.size} " +
-        s"saturatedDocRows=${saturatedDocs.get()}")
+        s"saturatedDocRows=${saturatedDocs.get()} " +
+        s"ledger(arrivalsAtCap=${arrivalsAtCap.get()}," +
+        s"prunedByHorizon=${prunedByHorizon.get()}," +
+        s"lossWindows=${lossWindows.get()})")
     }
 
     // Leg A: horizon covers the whole span — stream flags must match

@@ -30,6 +30,15 @@ class StreamNearDupSpec extends SparkSpec {
   private def runStream(batches: Seq[Seq[NearDoc]], horizonMs: Long,
                         maxMembers: Int = 128):
       (Seq[org.apache.spark.sql.Row], Long) = {
+    val (rows, stateRows, _) = runStreamWithLedger(batches, horizonMs, maxMembers)
+    (rows, stateRows)
+  }
+
+  /** Like [[runStream]] but also returns the per-window recall-forfeit
+    * ledger (one 10-minute tumbling window per row). */
+  private def runStreamWithLedger(batches: Seq[Seq[NearDoc]], horizonMs: Long,
+                                  maxMembers: Int = 128):
+      (Seq[org.apache.spark.sql.Row], Long, Seq[org.apache.spark.sql.Row]) = {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft-neardup").toString
@@ -45,9 +54,11 @@ class StreamNearDupSpec extends SparkSpec {
       val verdicts = spark.sql(s"SELECT * FROM $name")
       val rows = StreamNearDup.decisions(
         verdicts.as[StreamNearDup.BandVerdict]).collect().toSeq
+      val ledger = StreamNearDup.recallLedger(
+        verdicts.as[StreamNearDup.BandVerdict], "10 minutes").collect().toSeq
       val stateRows = query.lastProgress.stateOperators.headOption
         .map(_.numRowsTotal).getOrElse(-1L)
-      (rows, stateRows)
+      (rows, stateRows, ledger)
     } finally {
       query.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -124,6 +135,42 @@ class StreamNearDupSpec extends SparkSpec {
     assert(byId(13L) == (true, true))
     assert(stateRows <= 2L * NB,
       s"state rows $stateRows exceed maxMembers x buckets = ${2 * NB}")
+  }
+
+  test("recall ledger: saturation and horizon losses aggregate per window; healthy runs read zero") {
+    // saturate: maxMembers=2, four identical docs → docs 12/13 arrive at
+    // the cap in every band bucket; then a fifth identical doc 5 minutes
+    // later (horizon 1 min) ages out both members per bucket at match time
+    val lossy = Seq(
+      (0 until 4).map(i => doc(10L + i, baseText, f"2026-01-15T10:00:0$i%dZ")),
+      Seq(doc(20L, baseText, "2026-01-15T10:05:00Z")))
+    val (_, _, ledger) = runStreamWithLedger(lossy, horizonMs = 60000L, maxMembers = 2)
+    assert(ledger.size == 1, s"one 10-minute window expected, got ${ledger.size}")
+    val r = ledger.head
+    val idx = (c: String) => r.schema.fieldIndex(c)
+    // identical text → identical signature → the same NB distinct buckets
+    // for every doc (precondition asserted via band_rows/docs_seen)
+    assert(r.getLong(idx("docs_seen")) == 5L)
+    assert(r.getLong(idx("band_rows")) == 5L * NB)
+    assert(r.getLong(idx("buckets_saturated")) == NB.toLong,
+      "docs 12/13 hit the cap in every band bucket")
+    assert(r.getLong(idx("arrivals_at_cap")) == 2L * NB,
+      "two docs refused admission across all their buckets")
+    assert(r.getLong(idx("members_pruned_by_horizon")) == 2L * NB,
+      "doc 20 aged out both members in each bucket")
+
+    // healthy config (ample cap, wide horizon): every loss column is zero
+    val healthy = Seq(Seq(
+      doc(1L, baseText, "2026-01-15T10:00:00Z"),
+      doc(2L, nearText, "2026-01-15T10:00:05Z"),
+      doc(3L, novelText, "2026-01-15T10:00:06Z")))
+    val (_, _, clean) = runStreamWithLedger(healthy, horizonMs = 3600000L)
+    assert(clean.size == 1)
+    val c = clean.head
+    val cidx = (s: String) => c.schema.fieldIndex(s)
+    assert(c.getLong(cidx("buckets_saturated")) == 0L)
+    assert(c.getLong(cidx("arrivals_at_cap")) == 0L)
+    assert(c.getLong(cidx("members_pruned_by_horizon")) == 0L)
   }
 
   test("a doc too short to shingle produces no band rows and no state") {
