@@ -1,0 +1,145 @@
+package graft.tools
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.AggregatorRunner
+import graft.operators.AggregatorRunner.AggregatorStateStore
+import graft.schema.Timeframes
+import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+
+/** Prices the PRODUCTION deployment shape (VERDICT r15 #3): the full
+  * 12-timeframe aggregator fleet (reference `aggregator/config.py:17-21`
+  * — 3m 5m 10m 15m 30m 45m 1h 4h 8h 1d 1w 1M) polling one minute lake
+  * every 30 s at production width. Prior probes measured one spec at
+  * depth (HtfDepthProbe) and one spec at width (HtfWidthProbe /
+  * PointRepairProbe); this one measures what a poll actually costs when
+  * ALL 12 specs tick against the same lake, per spec and summed.
+  *
+  * Claims under test:
+  *  - STEADY ticks (no new source data) are near-no-ops for every
+  *    spec: bounded index reads + monotone watermarks + the
+  *    completable-bucket gate keep the per-poll cost independent of
+  *    lake depth AND width;
+  *  - CALENDAR specs mid-bucket (1w between Mondays, 1M all month) are
+  *    driver arithmetic — no Spark job at all between boundaries;
+  *  - a BUSY tick (one fresh hour of minutes across the whole width)
+  *    costs O(new buckets), dominated by the intraday specs that
+  *    actually have completable buckets, while 4h/8h/1d/1w/1M stay
+  *    gated at driver-arithmetic cost;
+  *  - the fleet poll total fits the 30 s poll interval at width 10k.
+  *
+  * Lake shape: `width` symbols × `days` full days of minutes starting
+  * Monday 2024-12-30T00:00Z (so days ≥ 7 closes at least one 1w
+  * bucket; January is never complete, keeping 1M mid-bucket for the
+  * whole run — by design: its steady tick IS the claim).
+  *
+  * Run: `sbt "runMain graft.tools.FleetTickProbe [width] [days] [steadyRounds]"`
+  * (defaults 10000, 8, 2).
+  */
+object FleetTickProbe {
+
+  // Monday — a 1w bucket boundary (ISO week, UTC)
+  private val Day1 = Instant.parse("2024-12-30T00:00:00Z")
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val width = args.headOption.flatMap(_.toIntOption).getOrElse(10000)
+    val days = args.lift(1).flatMap(_.toIntOption).getOrElse(8)
+    val steadyRounds = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
+    require(days >= 7, "days >= 7 so the 1w spec has a complete bucket")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val specs = Timeframes.supportedNames.map(Timeframes.parse)
+    val root = java.nio.file.Files.createTempDirectory("graft-fleet").toString
+    val writer = new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"),
+      LakeLayout.DayWide(filesPerDay = 4))
+    val reader = new MinuteLakeReader(root)
+    val htf = new HtfLakeWriter(s"$root/htf", LakeLayout.DayWide(4))
+    val state = new AggregatorStateStore(s"$root/_aggstate")
+
+    val (_, buildSecs) = timed {
+      writer.writeDaysWide(HtfDepthProbe.minutesFrame(
+        spark, width, Day1, days.toLong * 1440L))
+    }
+    println(f"[fleet] width=$width days=$days build=$buildSecs%.1f s")
+
+    // one-time backfill per spec (not the per-poll cost; printed for
+    // context — the deployment pays it once at daemon start)
+    specs.foreach { spec =>
+      val (bf, secs) = timed {
+        AggregatorRunner.runBackfillAll(spark, reader, htf, state, s"$root/htf", spec)
+      }
+      println(f"[fleet] backfill tf=${spec.name}%-3s wall=$secs%7.1f s " +
+        f"buckets=${bf.bucketsWritten}")
+    }
+
+    // STEADY fleet polls: no new source data — every spec's tick must be
+    // flat and cheap; calendar specs mid-bucket must be driver arithmetic
+    (1 to steadyRounds).foreach { round =>
+      var pollTotal = 0.0
+      specs.foreach { spec =>
+        val (res, secs) = timed {
+          AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
+            s"$root/htf", spec)
+        }
+        pollTotal += secs
+        println(f"[fleet] steady#$round tf=${spec.name}%-3s wall=$secs%6.2f s " +
+          f"scanned=${res.bucketsScanned} written=${res.bucketsWritten}")
+      }
+      println(f"[fleet] steady#$round POLL TOTAL (12 specs)=$pollTotal%.2f s " +
+        f"(budget 30 s)")
+    }
+
+    // BUSY fleet poll: one fresh hour of minutes lands across the whole
+    // width (the heaviest realistic 30 s poll — normally ~1 new minute),
+    // then every spec ticks once. 3m..1h have completable buckets;
+    // 4h/8h/1d/1w/1M must stay gated.
+    val freshStart = Day1.plus(days.toLong, ChronoUnit.DAYS)
+    val (_, freshSecs) = timed {
+      writer.writeDaysWide(HtfDepthProbe.minutesFrame(spark, width, freshStart, 60L))
+    }
+    println(f"[fleet] fresh hour landed (width=$width x 60 min) in $freshSecs%.1f s")
+    var busyTotal = 0.0
+    specs.foreach { spec =>
+      val (res, secs) = timed {
+        AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
+          s"$root/htf", spec)
+      }
+      busyTotal += secs
+      println(f"[fleet] busy    tf=${spec.name}%-3s wall=$secs%6.2f s " +
+        f"scanned=${res.bucketsScanned} written=${res.bucketsWritten} " +
+        f"repaired=${res.repaired}")
+    }
+    println(f"[fleet] busy POLL TOTAL (12 specs)=$busyTotal%.2f s (budget 30 s)")
+
+    // post-busy steady poll: watermarks advanced, back to near-no-op
+    var afterTotal = 0.0
+    specs.foreach { spec =>
+      val (res, secs) = timed {
+        AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
+          s"$root/htf", spec)
+      }
+      afterTotal += secs
+      println(f"[fleet] after   tf=${spec.name}%-3s wall=$secs%6.2f s " +
+        f"scanned=${res.bucketsScanned} written=${res.bucketsWritten}")
+    }
+    println(f"[fleet] after POLL TOTAL (12 specs)=$afterTotal%.2f s (budget 30 s)")
+
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.stop()
+  }
+}

@@ -38,8 +38,8 @@ object HtfDepthProbe {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def minutesFrame(spark: SparkSession, nSymbols: Int,
-                           start: Instant, minutes: Long): DataFrame = {
+  private[tools] def minutesFrame(spark: SparkSession, nSymbols: Int,
+                                  start: Instant, minutes: Long): DataFrame = {
     val base = spark.range(nSymbols.toLong)
       .selectExpr("format_string('SYM%05d', id) AS symbol")
       .crossJoin(spark.range(minutes).select(
