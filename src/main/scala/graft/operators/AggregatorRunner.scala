@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Ops
 import graft.schema.TimeframeSpec
-import graft.sources.{HtfLakeWriter, MinuteLakeReader}
+import graft.sources.{HtfLakeWriter, MinuteLakeReader, PartitionLedger,
+  PartitionLedgerEntry}
 
 /** Aggregator lifecycle — the backfill / incremental daemons' logic
   * (reference `aggregator/backfill.py:41-121`, `incremental.py:43-104`,
@@ -64,7 +65,132 @@ object AggregatorRunner {
       }
       wm.setAll(ahead.map { case (sym, c) => s"$sym|$timeframe" -> c })
     }
+
+    // -------- per-tick source-change state (the ledger gate) --------
+    // One small JSON map keyed by tick identity (timeframe [+symbol]
+    // [+config]); value = the minute-lake ledger token the last FULL
+    // tick accounted for, its committed-at high-water mark, and the
+    // lag that tick reported (returned verbatim on a token skip —
+    // data lag is latest-vs-watermark and neither moved). Kept apart
+    // from watermarks.json: watermark values are parsed as Instants.
+    private val tickFile = java.nio.file.Paths.get(dir, "tick_state.json")
+    private def readTicks(): Map[String, String] =
+      if (!java.nio.file.Files.exists(tickFile)) Map.empty
+      else """"([^"]+)"\s*:\s*"([^"]+)"""".r
+        .findAllMatchIn(java.nio.file.Files.readString(tickFile))
+        .map(m => m.group(1) -> m.group(2)).toMap
+
+    def getTickState(key: String): Option[TickState] =
+      readTicks().get(key).flatMap { v =>
+        v.split("@", -1) match {
+          case Array(tok, hw, lag) => Some(TickState(tok,
+            if (hw == "-") None else scala.util.Try(Instant.parse(hw)).toOption,
+            if (lag == "-") None else lag.toLongOption))
+          case _ => None
+        }
+      }
+
+    def setTickState(key: String, st: TickState): Unit = synchronized {
+      val updated = readTicks() + (key ->
+        s"${st.token}@${st.highWater.map(_.toString).getOrElse("-")}@${
+          st.lagMinutes.map(_.toString).getOrElse("-")}")
+      val body = updated.toSeq.sorted
+        .map { case (k, v) => s"""  "$k": "$v"""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      committer.putState(tickFile, body.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
+
+  /** What a completed incremental tick knew about the minute lake:
+    * the ledger token it accounted for, the newest commit it saw, and
+    * the lag it reported. */
+  final case class TickState(token: String, highWater: Option[Instant],
+                             lagMinutes: Option[Long])
+
+  /** Point-in-time fingerprint of the minute lake's partition ledger —
+    * the driver-cheap change detector behind the steady-tick skip
+    * (FleetTickProbe r16: a no-news 12-spec fleet poll at width 10k
+    * cost 109–121 s of pure re-scan + write-skip; with the gate it is
+    * a few file reads). `token` is an md5 over the DEDUPED last-wins
+    * entry set, so compacting the append-only ledger file does not
+    * change it; `highWater` is the newest parseable `committedAtUtc`.
+    * An EMPTY ledger yields no snapshot (callers fall back to the
+    * ungated path): a lake written without ledger bookkeeping must
+    * never read as "nothing ever changes". */
+  final case class SourceSnapshot(token: String, highWater: Option[Instant],
+                                  entries: Seq[PartitionLedgerEntry])
+
+  def sourceSnapshot(ledger: PartitionLedger): Option[SourceSnapshot] = {
+    val entries = ledger.all()
+    if (entries.isEmpty) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.sortBy(e => (e.symbol, e.day, e.hour))
+        .foreach { e =>
+          md.update((s"${e.symbol}|${e.day}|${e.hour}|${e.rowCount}|" +
+            s"${e.minTs}|${e.maxTs}|${e.status}|${e.contentHash}\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val token = md.digest().map("%02x".format(_)).mkString
+      val hw = entries.flatMap(e => parseLedgerTs(e.committedAtUtc))
+        .maxOption(Ordering.by[Instant, Long](_.toEpochMilli))
+      Some(SourceSnapshot(token, hw, entries))
+    }
+  }
+
+  /** Ledger timestamps appear in two shapes: ISO instants
+    * (`committedAtUtc`) and Spark `cast("string")` timestamps
+    * (`2026-01-05 00:59:00` — min/max bounds). Normalize both;
+    * unparseable (empty, tombstone) → None. */
+  private def parseLedgerTs(s: String): Option[Instant] =
+    if (s == null || s.isEmpty) None
+    else scala.util.Try {
+      val t = if (s.contains("T")) s else s.replace(" ", "T")
+      Instant.parse(if (t.endsWith("Z") || t.contains("+")) t else t + "Z")
+    }.toOption
+
+  /** Where (in event time) the lake changed since `since` — the
+    * data-driven replacement for the blind repair lookback. */
+  sealed trait ChangeScope
+  /** No reliable answer (unparseable rows, or nothing newer than the
+    * high-water despite a token change) → blind lookback, no skip. */
+  case object ChangeUnknown extends ChangeScope
+  /** The token moved but none of the changed entries concern this
+    * tick's symbol (single-symbol scope only) → safe skip. */
+  case object ChangeNone extends ChangeScope
+  /** Everything written since `since` has event time ≥ `lo` — the
+    * tick's repair window need not reach further back (and MUST reach
+    * this far back, even past the blind lookback: a late write to an
+    * old partition is exactly the repair the blind window misses). */
+  final case class ChangeFrom(lo: Instant) extends ChangeScope
+
+  def changedSince(snap: SourceSnapshot, since: Instant,
+                   symbolFilter: Option[String] = None): ChangeScope = {
+    val changed = snap.entries.filter(e =>
+      parseLedgerTs(e.committedAtUtc).forall(_.isAfter(since)))
+    if (changed.isEmpty) ChangeUnknown // token moved yet nothing newer: distrust
+    else {
+      val relevant = symbolFilter match {
+        case Some(sym) => changed.filter(e =>
+          e.symbol == sym.toUpperCase || e.symbol == "__ALL__" ||
+            e.symbol == "__DELTA__")
+        case None => changed
+      }
+      if (relevant.isEmpty) ChangeNone
+      else {
+        val los = relevant.map(e => parseLedgerTs(e.minTs))
+        if (los.exists(_.isEmpty)) ChangeUnknown // tombstones etc.: blind
+        else ChangeFrom(los.flatten.minBy(_.toEpochMilli))
+      }
+    }
+  }
+
+  private def tickKey(spec: TimeframeSpec, allowIncomplete: Boolean,
+                      repairLookbackMinutes: Long,
+                      symbol: Option[String] = None): String =
+    s"${spec.name}${symbol.map("#" + _.toUpperCase).getOrElse("")}" +
+      s"|ai=$allowIncomplete|lb=$repairLookbackMinutes"
 
   /** Monotone watermark advance: repairing an OLD gap must never move a
     * symbol's watermark backward (that would make the next incremental
@@ -432,13 +558,43 @@ object AggregatorRunner {
                      writer: HtfLakeWriter, state: AggregatorStateStore,
                      htfRoot: String, symbol: String, spec: TimeframeSpec,
                      allowIncomplete: Boolean = false,
-                     repairLookbackMinutes: Long = 120): IncrementalResult = {
+                     repairLookbackMinutes: Long = 120,
+                     sourceLedger: Option[PartitionLedger] = None)
+      : IncrementalResult = {
+    // ledger gate + data-driven repair window — see incrementalAllExec
+    // for the reasoning. The single-symbol tick additionally skips on
+    // ChangeNone: an hourly-layout ledger attributes writes to
+    // symbols, so commits that touched only OTHER symbols cannot move
+    // this symbol's buckets (wide-layout day writes are "__ALL__" and
+    // always relevant).
+    val key = tickKey(spec, allowIncomplete, repairLookbackMinutes,
+      Some(symbol))
+    val snap = sourceLedger.flatMap(sourceSnapshot)
+    val stored = if (snap.isDefined) state.getTickState(key) else None
+    if (snap.isDefined && stored.exists(_.token == snap.get.token))
+      return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
+    val scope = for {
+      s <- snap; st <- stored; hw <- st.highWater
+    } yield changedSince(s, hw, symbolFilter = Some(symbol))
+    if (scope.contains(ChangeNone)) {
+      val lag = stored.flatMap(_.lagMinutes)
+      snap.foreach(s => state.setTickState(key,
+        TickState(s.token, s.highWater, lag)))
+      return IncrementalResult(0, 0, 0, 0, lag)
+    }
+    val changedFloor: Option[Instant] = scope.flatMap {
+      case ChangeFrom(lo) => Some(spec.floorInstant(lo))
+      case _ => None
+    }
+    def recordTick(lag: Option[Long]): Unit = snap.foreach(s =>
+      state.setTickState(key, TickState(s.token, s.highWater, lag)))
+
     val latestMinuteOpt = reader.latestMinute(spark, symbol)
     if (latestMinuteOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
     val latestMinute = latestMinuteOpt.get
 
-    val repairStart = spec.floorInstant(
-      latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
+    val repairStart = changedFloor.getOrElse(spec.floorInstant(
+      latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
     val wmBefore = state.get(symbol, spec.name)
     val start = wmBefore match {
       case Some(lastCompleted) =>
@@ -462,6 +618,7 @@ object AggregatorRunner {
         math.max((latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli
           + 60000L) / 60000L, 0L)
       }
+      recordTick(lag)
       return IncrementalResult(0, 0, 0, 0, lag)
     }
 
@@ -529,6 +686,7 @@ object AggregatorRunner {
       val lagMs = latestMinute.toEpochMilli - spec.addBuckets(lc).toEpochMilli + 60000L
       math.max(lagMs / 60000L, 0L)
     }
+    recordTick(lag)
     IncrementalResult(scanned, written, skipped, repaired, lag)
   }
 
@@ -542,8 +700,51 @@ object AggregatorRunner {
                         writer: HtfLakeWriter, state: AggregatorStateStore,
                         htfRoot: String, spec: TimeframeSpec,
                         allowIncomplete: Boolean = false,
-                        repairLookbackMinutes: Long = 120): IncrementalResult = {
+                        repairLookbackMinutes: Long = 120,
+                        sourceLedger: Option[PartitionLedger] = None)
+      : IncrementalResult =
+    incrementalAllExec(spark, reader, writer, state, htfRoot, spec,
+      allowIncomplete, repairLookbackMinutes,
+      sourceLedger.flatMap(sourceSnapshot), latestOverride = None,
+      sourceOverride = None)
+
+  private def incrementalAllExec(
+      spark: SparkSession, reader: MinuteLakeReader,
+      writer: HtfLakeWriter, state: AggregatorStateStore,
+      htfRoot: String, spec: TimeframeSpec,
+      allowIncomplete: Boolean, repairLookbackMinutes: Long,
+      snap: Option[SourceSnapshot],
+      latestOverride: Option[Map[String, Instant]],
+      sourceOverride: Option[DataFrame]): IncrementalResult = {
     import spark.implicits._
+    // ---- ledger gate (r16, forced by FleetTickProbe): if the minute
+    // lake's partition ledger is bit-identical to what this tick's
+    // last FULL run accounted for, re-running would re-aggregate the
+    // lookback window across the whole width only to write-skip every
+    // row (bucket completeness is data-driven, so an unchanged lake
+    // can complete no bucket and move no watermark). Skip at the cost
+    // of one small file read, returning the last run's lag (data lag
+    // is latest-vs-watermark; neither moved).
+    val key = tickKey(spec, allowIncomplete, repairLookbackMinutes)
+    val stored = if (snap.isDefined) state.getTickState(key) else None
+    if (snap.isDefined && stored.exists(_.token == snap.get.token))
+      return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
+    def recordTick(lag: Option[Long]): Unit = snap.foreach(s =>
+      state.setTickState(key, TickState(s.token, s.highWater, lag)))
+    // Data-driven repair window (r16): the blind lookback exists to
+    // catch late minutes landing behind the watermark — but the ledger
+    // KNOWS where writes landed since the last tick. When every commit
+    // since the stored high-water parses, the repair window starts at
+    // the oldest changed event time instead of now−lookback: a fresh-
+    // data-only tick stops re-aggregating untouched history, and a
+    // late write to an old partition extends the window BACK past the
+    // blind lookback (the repair it would have missed).
+    val changedFloor: Option[Instant] = (for {
+      s <- snap; st <- stored; hw <- st.highWater
+    } yield changedSince(s, hw)).flatMap {
+      case ChangeFrom(lo) => Some(spec.floorInstant(lo))
+      case _ => None // ChangeUnknown/ChangeNone: blind lookback
+    }
     // ONE store read for all symbols (per-symbol get() re-parses the
     // whole watermark file per call — O(width²) at width 10k)
     val wmAll = state.getAll(spec.name)
@@ -552,11 +753,12 @@ object AggregatorRunner {
     // tick must not scale with lake depth). Watermarked symbols absent
     // from the wide layout's recent-day scan (idle > 2 days) are
     // end-probed so their trailing buckets still finalize (ADVICE r13).
-    val latest = reader.latestMinuteAllSymbols(spark, wmAll.keySet)
+    val latest = latestOverride.getOrElse(
+      reader.latestMinuteAllSymbols(spark, wmAll.keySet))
     if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
-      val repairStart = spec.floorInstant(
-        latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES))
+      val repairStart = changedFloor.getOrElse(spec.floorInstant(
+        latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
       val start = wmAll.get(sym.toUpperCase) match {
         case Some(lastCompleted) =>
           val next = spec.addBuckets(lastCompleted)
@@ -581,6 +783,11 @@ object AggregatorRunner {
       val lag =
         if (perSymbolLag.exists(_.isEmpty)) None
         else perSymbolLag.flatten.maxOption
+      // the gate-skip is a COMPLETE account of this lake state for
+      // this tick: nothing completable exists, so nothing ever will
+      // until the ledger moves — record the token so the next poll
+      // skips at file-read cost instead of re-deriving the gate
+      recordTick(lag)
       return IncrementalResult(0, 0, 0, 0, lag)
     }
     val bounds = boundsSeq
@@ -591,7 +798,8 @@ object AggregatorRunner {
     // global bounds come from the driver-local seq — no Spark job needed
     val globalLo = boundsSeq.map(_._2).minBy(_.toEpochMilli)
     val globalHi = latest.values.maxBy(_.toEpochMilli)
-    val source = reader.readWindowAllSymbols(spark, globalLo, globalHi).get
+    val source = sourceOverride
+      .getOrElse(reader.readWindowAllSymbols(spark, globalLo, globalHi).get)
       .join(broadcast(bounds), Seq("symbol"))
       .where(col("timestamp").between(col("__start"), col("__latest")))
       .drop("__start", "__latest")
@@ -747,9 +955,103 @@ object AggregatorRunner {
       val lag =
         if (perSymbolLag.exists(_.isEmpty)) None
         else perSymbolLag.flatten.maxOption
+      recordTick(lag)
       IncrementalResult(total, nWritten,
         if (allowIncomplete) 0L else total - nComplete, repaired, lag)
     } finally aggregated.unpersist()
+  }
+
+  /** One fleet poll: EVERY timeframe spec ticks against the same
+    * minute lake, sharing what is shareable (the production deployment
+    * shape — reference `aggregator/config.py:17-21` runs 12 specs on a
+    * 30 s poll). Per spec this is exactly [[runIncrementalAll]]'s
+    * semantics; across specs it shares three costs the per-spec loop
+    * pays `specs.size` times over:
+    *
+    *  1. ONE ledger snapshot decides every spec's token skip — a
+    *     no-news poll is `specs.size` file reads, zero Spark jobs
+    *     (FleetTickProbe r16 measured the ungated loop at 109–121 s
+    *     per steady poll at width 10k × 12 specs vs a 30 s budget);
+    *  2. ONE `latestMinuteAllSymbols` scan serves every non-skipped
+    *     spec (the per-spec loop re-derives the identical map);
+    *  3. ONE minute-lake read over the UNION of the live specs'
+    *     repair windows, persisted and re-filtered per spec (the
+    *     per-spec loop re-reads overlapping windows from parquet).
+    *
+    * Returns results in `specs` order. */
+  def runFleetTick(spark: SparkSession, reader: MinuteLakeReader,
+                   writer: HtfLakeWriter, state: AggregatorStateStore,
+                   htfRoot: String, specs: Seq[TimeframeSpec],
+                   sourceLedger: Option[PartitionLedger] = None,
+                   allowIncomplete: Boolean = false,
+                   repairLookbackMinutes: Long = 120)
+      : Seq[(String, IncrementalResult)] = {
+    val snap = sourceLedger.flatMap(sourceSnapshot)
+    val storedBy = specs.map { sp =>
+      sp.name -> (if (snap.isDefined)
+        state.getTickState(tickKey(sp, allowIncomplete, repairLookbackMinutes))
+      else None)
+    }.toMap
+    val live = specs.filterNot(sp =>
+      snap.isDefined && storedBy(sp.name).exists(_.token == snap.get.token))
+    if (live.isEmpty)
+      return specs.map(sp => sp.name ->
+        IncrementalResult(0, 0, 0, 0, storedBy(sp.name).flatMap(_.lagMinutes)))
+
+    // shared latest: union of the live specs' watermark key sets, so
+    // every spec's end-probe reconciliation set is covered
+    val wmKeys = live.flatMap(sp => state.getAll(sp.name).keySet).toSet
+    val latest = reader.latestMinuteAllSymbols(spark, wmKeys)
+    val latestFor = if (latest.isEmpty) None else Some(latest)
+
+    // shared source: the union of live windows. Window lo per spec =
+    // its changed-floor (or blind lookback), same math the per-spec
+    // core applies — computed here only to BOUND the shared read; the
+    // core re-narrows per spec via its bounds join. Calendar specs
+    // floor to bucket starts, so only include specs whose gate could
+    // pass (a mid-bucket 1M spec would otherwise drag the union back
+    // to the month start for a scan it will never run).
+    val shared: Option[DataFrame] = latestFor.flatMap { lm =>
+      val globalHi = lm.values.maxBy(_.toEpochMilli)
+      val los = live.flatMap { sp =>
+        val wmAll = state.getAll(sp.name)
+        val cf = (for {
+          s <- snap; st <- storedBy(sp.name); hw <- st.highWater
+        } yield changedSince(s, hw)).flatMap {
+          case ChangeFrom(lo) => Some(sp.floorInstant(lo))
+          case _ => None
+        }
+        val starts = lm.toSeq.map { case (sym, latestMinute) =>
+          val repairStart = cf.getOrElse(sp.floorInstant(
+            latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
+          wmAll.get(sym.toUpperCase) match {
+            case Some(lastCompleted) =>
+              val next = sp.addBuckets(lastCompleted)
+              if (next.isBefore(repairStart)) next else repairStart
+            case None => repairStart
+          }
+        }
+        val gated = !allowIncomplete && lm.toSeq.zip(starts).forall {
+          case ((_, lmn), start) =>
+            sp.latestCompleteBucketStart(lmn).forall(_.isBefore(start))
+        }
+        if (gated) None else starts.minByOption(_.toEpochMilli)
+      }
+      los.minByOption(_.toEpochMilli).map { unionLo =>
+        reader.readWindowAllSymbols(spark, unionLo, globalHi).get.persist()
+      }
+    }
+    try {
+      specs.map { sp =>
+        sp.name -> (
+          if (live.exists(_.name == sp.name))
+            incrementalAllExec(spark, reader, writer, state, htfRoot, sp,
+              allowIncomplete, repairLookbackMinutes, snap,
+              latestOverride = latestFor, sourceOverride = shared)
+          else IncrementalResult(0, 0, 0, 0,
+            storedBy(sp.name).flatMap(_.lagMinutes)))
+      }
+    } finally shared.foreach { df => df.unpersist(); () }
   }
 
   /** Partition-change detection (reference `aggregator/main.py:102-137`):

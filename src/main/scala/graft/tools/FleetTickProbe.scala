@@ -85,57 +85,63 @@ object FleetTickProbe {
         f"buckets=${bf.bucketsWritten}")
     }
 
-    // STEADY fleet polls: no new source data — every spec's tick must be
-    // flat and cheap; calendar specs mid-bucket must be driver arithmetic
-    (1 to steadyRounds).foreach { round =>
-      var pollTotal = 0.0
-      specs.foreach { spec =>
-        val (res, secs) = timed {
-          AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
-            s"$root/htf", spec)
-        }
-        pollTotal += secs
-        println(f"[fleet] steady#$round tf=${spec.name}%-3s wall=$secs%6.2f s " +
-          f"scanned=${res.bucketsScanned} written=${res.bucketsWritten}")
+    val ledger = Some(new PartitionLedger(s"$root/_state"))
+
+    def fleetPoll(leg: String): Double = {
+      val (results, total) = timed {
+        AggregatorRunner.runFleetTick(spark, reader, htf, state,
+          s"$root/htf", specs, sourceLedger = ledger)
       }
-      println(f"[fleet] steady#$round POLL TOTAL (12 specs)=$pollTotal%.2f s " +
+      results.foreach { case (name, res) =>
+        println(f"[fleet] $leg%-12s tf=$name%-3s " +
+          f"scanned=${res.bucketsScanned} written=${res.bucketsWritten} " +
+          f"repaired=${res.repaired}")
+      }
+      println(f"[fleet] $leg%-12s POLL TOTAL (12 specs)=$total%.2f s " +
         f"(budget 30 s)")
+      total
     }
+
+    // Leg A (the r16 baseline): per-spec loop, NO ledger gate — what a
+    // naive deployment pays for a no-news poll. Measured 109–121 s at
+    // width 10k (the number that forced the gate).
+    var legacyTotal = 0.0
+    specs.foreach { spec =>
+      val (res, secs) = timed {
+        AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
+          s"$root/htf", spec)
+      }
+      legacyTotal += secs
+      println(f"[fleet] legacy-steady tf=${spec.name}%-3s wall=$secs%6.2f s " +
+        f"scanned=${res.bucketsScanned} written=${res.bucketsWritten}")
+    }
+    println(f"[fleet] legacy-steady POLL TOTAL (12 specs)=$legacyTotal%.2f s " +
+      f"(budget 30 s)")
+
+    // Leg B: first GATED fleet poll — no stored tokens yet, so every
+    // spec runs full, but latest-scan and source read are shared; this
+    // prices the worst-case (gate-miss) fleet poll.
+    fleetPoll("fleet-first")
+
+    // Leg C: steady gated polls — the ledger is unchanged, every spec
+    // token-skips; the poll must be file reads only (no Spark jobs).
+    (1 to steadyRounds).foreach(r => fleetPoll(s"fleet-steady#$r"))
 
     // BUSY fleet poll: one fresh hour of minutes lands across the whole
     // width (the heaviest realistic 30 s poll — normally ~1 new minute),
-    // then every spec ticks once. 3m..1h have completable buckets;
-    // 4h/8h/1d/1w/1M must stay gated.
+    // then the fleet ticks once. The data-driven window means 3m..1h
+    // aggregate exactly the fresh hour; 4h/8h/1d/1w/1M gate out at
+    // driver cost (no bucket they own is completable from one hour).
     val freshStart = Day1.plus(days.toLong, ChronoUnit.DAYS)
     val (_, freshSecs) = timed {
       writer.writeDaysWide(HtfDepthProbe.minutesFrame(spark, width, freshStart, 60L))
     }
     println(f"[fleet] fresh hour landed (width=$width x 60 min) in $freshSecs%.1f s")
-    var busyTotal = 0.0
-    specs.foreach { spec =>
-      val (res, secs) = timed {
-        AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
-          s"$root/htf", spec)
-      }
-      busyTotal += secs
-      println(f"[fleet] busy    tf=${spec.name}%-3s wall=$secs%6.2f s " +
-        f"scanned=${res.bucketsScanned} written=${res.bucketsWritten} " +
-        f"repaired=${res.repaired}")
-    }
-    println(f"[fleet] busy POLL TOTAL (12 specs)=$busyTotal%.2f s (budget 30 s)")
+    fleetPoll("fleet-busy")
 
-    // post-busy steady poll: watermarks advanced, back to near-no-op
-    var afterTotal = 0.0
-    specs.foreach { spec =>
-      val (res, secs) = timed {
-        AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
-          s"$root/htf", spec)
-      }
-      afterTotal += secs
-      println(f"[fleet] after   tf=${spec.name}%-3s wall=$secs%6.2f s " +
-        f"scanned=${res.bucketsScanned} written=${res.bucketsWritten}")
-    }
-    println(f"[fleet] after POLL TOTAL (12 specs)=$afterTotal%.2f s (budget 30 s)")
+    // post-busy steady poll: tokens re-recorded by the busy tick — back
+    // to the skip path
+    fleetPoll("fleet-after")
 
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)

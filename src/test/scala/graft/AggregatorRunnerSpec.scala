@@ -257,4 +257,152 @@ class AggregatorRunnerSpec extends SparkSpec {
     assert(AggregatorRunner.partitionChange(Set("a"), Set("a", "b")))
     assert(!AggregatorRunner.partitionChange(Set("a"), Set("a")))
   }
+
+  // ---- ledger-gated ticks (r16, forced by FleetTickProbe: an ungated
+  // no-news 12-spec fleet poll at width 10k cost 109–121 s of pure
+  // re-scan + write-skip against a 30 s poll budget) ----
+
+  test("ledger gate: an unchanged lake token-skips the tick; new data re-arms it") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    val ledger = Some(new PartitionLedger(s"$dir/_state"))
+    val spec = Timeframes.parse("5m")
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 14))
+    val full = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = ledger)
+    assert(full.bucketsWritten >= 2)
+    // steady: same lake bytes, token matches → zeros, lag verbatim
+    val skip = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = ledger)
+    assert(skip == AggregatorRunner.IncrementalResult(0, 0, 0, 0, full.lagMinutes))
+    // parity: the ungated tick on the same lake also finds nothing to
+    // write — the skip elides work, never results
+    val ungated = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec)
+    assert(ungated.bucketsWritten == 0)
+    // new minutes land → the ledger moves → the gated tick runs
+    Thread.sleep(10) // committedAt high-water must strictly advance
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 20))
+    val rearmed = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = ledger)
+    assert(rearmed.bucketsWritten >= 1)
+    // a different poll configuration never reuses this token
+    val otherCfg = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, repairLookbackMinutes = 60, sourceLedger = ledger)
+    assert(otherCfg.bucketsScanned > 0)
+  }
+
+  test("data-driven repair window: a late write older than the blind lookback is caught (ledger) where blind misses it") {
+    val (dir, mw, reader, hw, state) = newEnv()     // gated env
+    val (dir2, mw2, reader2, hw2, state2) = newEnv() // blind env
+    val ledger = Some(new PartitionLedger(s"$dir/_state"))
+    val spec = Timeframes.parse("5m")
+    def seed(w: graft.sources.MinuteLakeWriter): Unit = {
+      w.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+        canonicalMinutes("2026-01-01T00:00:00Z", 10))
+      w.writeHourPartition("BTCUSDT", instant("2026-01-04T00:00:00Z"),
+        canonicalMinutes("2026-01-04T00:00:00Z", 10))
+    }
+    seed(mw); seed(mw2)
+    // backfill owns history; the incremental tick then accounts for the
+    // current lake state (and records the ledger token)
+    AggregatorRunner.runBackfill(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec)
+    AggregatorRunner.runBackfill(spark, reader2, hw2, state2,
+      s"$dir2/htf", "BTCUSDT", spec)
+    AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = ledger)
+    AggregatorRunner.runIncrementalAll(spark, reader2, hw2, state2,
+      s"$dir2/htf", spec)
+    Thread.sleep(10)
+    // a correction lands 3 DAYS back — far outside the 120-min lookback
+    def late(w: graft.sources.MinuteLakeWriter): Unit =
+      w.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+        canonicalMinutes("2026-01-01T00:04:00Z", 1, baseOpen = 500.0))
+    late(mw); late(mw2)
+    val gated = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = ledger)
+    assert(gated.bucketsWritten >= 1, "ledger window reaches the late write")
+    def closeOf(d: String): Double =
+      spark.read.parquet(s"$d/htf/timeframe=5m/symbol=BTCUSDT")
+        .where(col("bucket_start") === ts("2026-01-01T00:00:00Z"))
+        .select("close").head.getDouble(0)
+    assert(closeOf(dir) == 500.5)
+    AggregatorRunner.runIncrementalAll(spark, reader2, hw2, state2,
+      s"$dir2/htf", spec)
+    // documents the gap the ledger closes: the blind window cannot see
+    // a repair older than its lookback (backfill's job until now)
+    assert(closeOf(dir2) == 104.5)
+  }
+
+  test("single-symbol gate: commits touching only OTHER symbols skip this symbol's tick") {
+    val (dir, mw, reader, hw, state) = newEnv()
+    val ledger = Some(new PartitionLedger(s"$dir/_state"))
+    val spec = Timeframes.parse("5m")
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10))
+    val first = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec, sourceLedger = ledger)
+    assert(first.bucketsWritten >= 1)
+    Thread.sleep(10)
+    // another symbol's data lands: token moves, but the hourly ledger
+    // attributes it → ChangeNone for BTC → skip with preserved lag
+    mw.writeHourPartition("ETHUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 10))
+    val skip = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec, sourceLedger = ledger)
+    assert(skip == AggregatorRunner.IncrementalResult(0, 0, 0, 0, first.lagMinutes))
+    // ETH's own tick is NOT skipped
+    val eth = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "ETHUSDT", spec, sourceLedger = ledger)
+    assert(eth.bucketsWritten >= 1)
+    // BTC's own data re-arms BTC
+    Thread.sleep(10)
+    mw.writeHourPartition("BTCUSDT", instant("2026-01-01T00:00:00Z"),
+      canonicalMinutes("2026-01-01T00:00:00Z", 15))
+    val rearmed = AggregatorRunner.runIncremental(spark, reader, hw, state,
+      s"$dir/htf", "BTCUSDT", spec, sourceLedger = ledger)
+    assert(rearmed.bucketsWritten >= 1)
+  }
+
+  test("runFleetTick matches per-spec ticks; an unchanged lake skips the whole poll") {
+    val (dir, mw, reader, hw, state) = newEnv()     // fleet env
+    val (dir2, mw2, reader2, hw2, state2) = newEnv() // per-spec env
+    val specs = Seq("5m", "1h", "1d").map(Timeframes.parse)
+    def seed(w: graft.sources.MinuteLakeWriter): Unit = (0 until 25).foreach { h =>
+      val hs = instant("2026-01-01T00:00:00Z").plusSeconds(3600L * h)
+      w.writeHourPartition("BTCUSDT", hs, canonicalMinutes(hs.toString, 60))
+    }
+    seed(mw); seed(mw2)
+    val ledger = Some(new PartitionLedger(s"$dir/_state"))
+    val fleet = AggregatorRunner.runFleetTick(spark, reader, hw, state,
+      s"$dir/htf", specs, sourceLedger = ledger).toMap
+    val perSpec = specs.map(sp => sp.name ->
+      AggregatorRunner.runIncrementalAll(spark, reader2, hw2, state2,
+        s"$dir2/htf", sp)).toMap
+    specs.foreach { sp =>
+      assert(fleet(sp.name).bucketsWritten == perSpec(sp.name).bucketsWritten,
+        s"${sp.name}: fleet=${fleet(sp.name)} perSpec=${perSpec(sp.name)}")
+      def index(d: String) = AggregatorRunner
+        .scanExistingIndex(spark, s"$d/htf", sp.name, "BTCUSDT").collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getBoolean(1))).toSet
+      assert(index(dir) == index(dir2), sp.name)
+      assert(state.getAll(sp.name) == state2.getAll(sp.name), sp.name)
+    }
+    assert(fleet("1d").bucketsWritten == 1L) // Jan 1 closed by the Jan 2 hour
+    // steady: the whole fleet poll is token skips
+    val steady = AggregatorRunner.runFleetTick(spark, reader, hw, state,
+      s"$dir/htf", specs, sourceLedger = ledger).toMap
+    assert(steady.values.forall(r =>
+      r.bucketsScanned == 0 && r.bucketsWritten == 0))
+    // fresh data re-arms every spec through the shared poll
+    Thread.sleep(10)
+    val hs = instant("2026-01-02T01:00:00Z")
+    mw.writeHourPartition("BTCUSDT", hs, canonicalMinutes(hs.toString, 60))
+    val busy = AggregatorRunner.runFleetTick(spark, reader, hw, state,
+      s"$dir/htf", specs, sourceLedger = ledger).toMap
+    assert(busy("1h").bucketsWritten >= 1) // 01:00 hour completes
+    assert(busy("1d").bucketsWritten == 0) // Jan 2 still open → gated
+  }
 }
