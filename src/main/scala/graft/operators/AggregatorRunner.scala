@@ -83,8 +83,9 @@ object AggregatorRunner {
     def getTickState(key: String): Option[TickState] =
       readTicks().get(key).flatMap { v =>
         v.split("@", -1) match {
-          case Array(tok, hw, lag) => Some(TickState(tok,
+          case Array(tok, hw, ties, lag) => Some(TickState(tok,
             if (hw == "-") None else scala.util.Try(Instant.parse(hw)).toOption,
+            ties.toIntOption.getOrElse(0),
             if (lag == "-") None else lag.toLongOption))
           case _ => None
         }
@@ -93,7 +94,7 @@ object AggregatorRunner {
     def setTickState(key: String, st: TickState): Unit = synchronized {
       val updated = readTicks() + (key ->
         s"${st.token}@${st.highWater.map(_.toString).getOrElse("-")}@${
-          st.lagMinutes.map(_.toString).getOrElse("-")}")
+          st.hwTies}@${st.lagMinutes.map(_.toString).getOrElse("-")}")
       val body = updated.toSeq.sorted
         .map { case (k, v) => s"""  "$k": "$v"""" }
         .mkString("{\n", ",\n", "\n}\n")
@@ -103,10 +104,13 @@ object AggregatorRunner {
   }
 
   /** What a completed incremental tick knew about the minute lake:
-    * the ledger token it accounted for, the newest commit it saw, and
-    * the lag it reported. */
+    * the ledger token it accounted for, the newest commit it saw (plus
+    * how many entries carried exactly that stamp — ledger stamps have
+    * finite clock resolution, so "newer than the high-water" alone
+    * cannot see a later write that tied it to the nanosecond; a grown
+    * tie count can), and the lag it reported. */
   final case class TickState(token: String, highWater: Option[Instant],
-                             lagMinutes: Option[Long])
+                             hwTies: Int, lagMinutes: Option[Long])
 
   /** Point-in-time fingerprint of the minute lake's partition ledger —
     * the driver-cheap change detector behind the steady-tick skip
@@ -119,6 +123,7 @@ object AggregatorRunner {
     * ungated path): a lake written without ledger bookkeeping must
     * never read as "nothing ever changes". */
   final case class SourceSnapshot(token: String, highWater: Option[Instant],
+                                  hwTies: Int,
                                   entries: Seq[PartitionLedgerEntry])
 
   def sourceSnapshot(ledger: PartitionLedger): Option[SourceSnapshot] = {
@@ -133,9 +138,17 @@ object AggregatorRunner {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       val token = md.digest().map("%02x".format(_)).mkString
-      val hw = entries.flatMap(e => parseLedgerTs(e.committedAtUtc))
-        .maxOption(Ordering.by[Instant, Long](_.toEpochMilli))
-      Some(SourceSnapshot(token, hw, entries))
+      // FULL-precision max: a millisecond-truncated ordering picks an
+      // arbitrary entry among same-millisecond commits (bulk writers
+      // stamp a whole batch within one ms), and a high-water below the
+      // true max makes changedSince see the rest of that batch as
+      // "changed" — measured as a whole-lake repair window (116M rows)
+      // on the first busy tick after a backfill
+      val stamps = entries.flatMap(e => parseLedgerTs(e.committedAtUtc))
+      val hw = stamps.maxOption(Ordering.by[Instant, (Long, Int)](i =>
+        (i.getEpochSecond, i.getNano)))
+      Some(SourceSnapshot(token, hw, hw.map(h => stamps.count(_ == h)).getOrElse(0),
+        entries))
     }
   }
 
@@ -165,10 +178,21 @@ object AggregatorRunner {
     * old partition is exactly the repair the blind window misses). */
   final case class ChangeFrom(lo: Instant) extends ChangeScope
 
-  def changedSince(snap: SourceSnapshot, since: Instant,
+  def changedSince(snap: SourceSnapshot, since: Instant, sinceTies: Int,
                    symbolFilter: Option[String] = None): ChangeScope = {
+    // Strictly-newer stamps are changed. Stamps have finite clock
+    // resolution, so a later commit CAN tie `since` to the nanosecond;
+    // a strict filter alone would silently drop it, while >= would
+    // re-include the already-accounted boundary batch every time
+    // (defeating ChangeNone and re-widening windows). The recorded
+    // tie COUNT disambiguates: more entries at exactly `since` than
+    // the last tick saw means unaccounted same-stamp commits — include
+    // the whole tie batch (which of them is new is unknowable).
+    val tiesNow = snap.entries.filter(e =>
+      parseLedgerTs(e.committedAtUtc).contains(since))
     val changed = snap.entries.filter(e =>
-      parseLedgerTs(e.committedAtUtc).forall(_.isAfter(since)))
+      parseLedgerTs(e.committedAtUtc).forall(_.isAfter(since))) ++
+      (if (tiesNow.size > sinceTies) tiesNow else Seq.empty)
     if (changed.isEmpty) ChangeUnknown // token moved yet nothing newer: distrust
     else {
       val relevant = symbolFilter match {
@@ -310,7 +334,12 @@ object AggregatorRunner {
     def fp(df: DataFrame) = df.withColumn("__fp",
       md5(to_json(struct(cmpCols.map(col): _*),
         Map("ignoreNullFields" -> "false"))))
-    fp(kept).join(fp(existingFull).select((keys :+ "__fp").map(col): _*),
+    // shuffle_hash: the existing side's file-size stats undersell its
+    // row count (zstd on repetitive OHLC); a broadcast build of a
+    // width-scaled index collects GiBs to the driver (see the fleet
+    // path's identical guard)
+    fp(kept).join(fp(existingFull).select((keys :+ "__fp").map(col): _*)
+        .hint("shuffle_hash"),
         keys :+ "__fp", "left_anti")
       .drop("__fp")
   }
@@ -575,11 +604,11 @@ object AggregatorRunner {
       return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
     val scope = for {
       s <- snap; st <- stored; hw <- st.highWater
-    } yield changedSince(s, hw, symbolFilter = Some(symbol))
+    } yield changedSince(s, hw, st.hwTies, symbolFilter = Some(symbol))
     if (scope.contains(ChangeNone)) {
       val lag = stored.flatMap(_.lagMinutes)
       snap.foreach(s => state.setTickState(key,
-        TickState(s.token, s.highWater, lag)))
+        TickState(s.token, s.highWater, s.hwTies, lag)))
       return IncrementalResult(0, 0, 0, 0, lag)
     }
     val changedFloor: Option[Instant] = scope.flatMap {
@@ -587,7 +616,7 @@ object AggregatorRunner {
       case _ => None
     }
     def recordTick(lag: Option[Long]): Unit = snap.foreach(s =>
-      state.setTickState(key, TickState(s.token, s.highWater, lag)))
+      state.setTickState(key, TickState(s.token, s.highWater, s.hwTies, lag)))
 
     val latestMinuteOpt = reader.latestMinute(spark, symbol)
     if (latestMinuteOpt.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
@@ -659,7 +688,8 @@ object AggregatorRunner {
             nWritten = changedP.count()
             if (nWritten > 0) {
               rep = changedP.join(
-                existing.where(col("bucket_complete")).select("bucket_start"),
+                existing.where(col("bucket_complete")).select("bucket_start")
+                  .hint("shuffle_hash"),
                 Seq("bucket_start"), "left_semi").count()
               writer.writeBucketsBulk(spark, spec.name, symbol, changedP)
             }
@@ -730,7 +760,7 @@ object AggregatorRunner {
     if (snap.isDefined && stored.exists(_.token == snap.get.token))
       return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
     def recordTick(lag: Option[Long]): Unit = snap.foreach(s =>
-      state.setTickState(key, TickState(s.token, s.highWater, lag)))
+      state.setTickState(key, TickState(s.token, s.highWater, s.hwTies, lag)))
     // Data-driven repair window (r16): the blind lookback exists to
     // catch late minutes landing behind the watermark — but the ledger
     // KNOWS where writes landed since the last tick. When every commit
@@ -741,7 +771,7 @@ object AggregatorRunner {
     // blind lookback (the repair it would have missed).
     val changedFloor: Option[Instant] = (for {
       s <- snap; st <- stored; hw <- st.highWater
-    } yield changedSince(s, hw)).flatMap {
+    } yield changedSince(s, hw, st.hwTies)).flatMap {
       case ChangeFrom(lo) => Some(spec.floorInstant(lo))
       case _ => None // ChangeUnknown/ChangeNone: blind lookback
     }
@@ -917,7 +947,17 @@ object AggregatorRunner {
               def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
                 md5(to_json(struct(cmpCols.map(col): _*),
                   Map("ignoreNullFields" -> "false"))))
-              fp(kept).join(fp(existingFull).select("symbol", "bucket_start", "__fp"),
+              // shuffle_hash, NEVER broadcast: the existing side is
+              // window-buckets × width — at width 10k one HTF day is
+              // 4.8M rows behind a single-digit-MiB zstd footprint, so
+              // file-size stats sell it as broadcastable and the build
+              // collects GiBs to the driver (measured: maxResultSize
+              // abort on the first busy fleet tick). A per-partition
+              // hash build is bounded at any width; when the side is
+              // genuinely small the extra exchange costs milliseconds
+              fp(kept).join(
+                  fp(existingFull).select("symbol", "bucket_start", "__fp")
+                    .hint("shuffle_hash"),
                   Seq("symbol", "bucket_start", "__fp"), "left_anti")
                 .drop("__fp")
             }
@@ -927,7 +967,8 @@ object AggregatorRunner {
           nWritten = changedPersisted.count()
           if (nWritten > 0) {
             repaired = changedPersisted.join(
-              existing.where(col("bucket_complete")).select("symbol", "bucket_start"),
+              existing.where(col("bucket_complete")).select("symbol", "bucket_start")
+                .hint("shuffle_hash"), // same width-unbounded side
               Seq("symbol", "bucket_start"), "left_semi").count()
             writer.writeBucketsBulkAllSymbols(spark, spec.name, changedPersisted)
           }
@@ -1017,7 +1058,7 @@ object AggregatorRunner {
         val wmAll = state.getAll(sp.name)
         val cf = (for {
           s <- snap; st <- storedBy(sp.name); hw <- st.highWater
-        } yield changedSince(s, hw)).flatMap {
+        } yield changedSince(s, hw, st.hwTies)).flatMap {
           case ChangeFrom(lo) => Some(sp.floorInstant(lo))
           case _ => None
         }

@@ -280,9 +280,22 @@ object DailyIngestDemo {
       }
       require(noop.bucketsWritten == 0,
         s"no-op tick wrote ${noop.bucketsWritten} buckets — write-skip regressed")
+      // ---- 4b. the same cadence with the ledger gate (r16): the tick
+      // must token-skip at file-read cost — one gated FULL tick records
+      // the token, then the steady tick is driver-only
+      val lg = Some(new PartitionLedger(s"$root/_state"))
+      AggregatorRunner.runIncrementalAll(spark, reader, writer, state,
+        s"$root/htf", spec, sourceLedger = lg)
+      val (gated, gatedSecs) = timed {
+        AggregatorRunner.runIncrementalAll(spark, reader, writer, state,
+          s"$root/htf", spec, sourceLedger = lg)
+      }
+      require(gated.bucketsScanned == 0 && gated.bucketsWritten == 0,
+        s"gated no-news tick did work: $gated — ledger token gate regressed")
       println(f"[daily] width=$w%4d 2.bulkIngest rows=$nNew wall=$ingestSecs%.1f s | " +
         f"3.htfTick buckets=${inc.bucketsWritten} wall=$tickSecs%.1f s | " +
-        f"4.noopTick buckets=0 wall=$noopSecs%.1f s")
+        f"4.noopTick buckets=0 wall=$noopSecs%.1f s | " +
+        f"4b.gatedNoop wall=$gatedSecs%.3f s")
       println(f"[daily] width=$w%4d DAILY-TICK-WALL(lake)=${ingestSecs + tickSecs}%.1f s " +
         f"(+ $noopSecs%.1f s per later no-news cadence)")
     }
