@@ -124,12 +124,20 @@ object AggregatorRunner {
     * never read as "nothing ever changes". */
   final case class SourceSnapshot(token: String, highWater: Option[Instant],
                                   hwTies: Int,
-                                  entries: Seq[PartitionLedgerEntry])
+                                  versions: Seq[PartitionLedgerEntry],
+                                  droppedThrough: Option[Instant])
 
   def sourceSnapshot(ledger: PartitionLedger): Option[SourceSnapshot] = {
-    val entries = ledger.all()
-    if (entries.isEmpty) None
+    // token over the DEDUPED last-wins set (compacting the append-only
+    // file must not re-arm gates); change detection over the full
+    // VERSION log (two commits to the same key between polls must both
+    // contribute their touched ranges — the deduped view keeps only
+    // the second)
+    val versions = ledger.allVersions()
+    if (versions.isEmpty) None
     else {
+      val entries = versions.groupBy(e => (e.symbol, e.day, e.hour))
+        .values.map(_.last).toSeq
       val md = java.security.MessageDigest.getInstance("MD5")
       entries.sortBy(e => (e.symbol, e.day, e.hour))
         .foreach { e =>
@@ -144,11 +152,11 @@ object AggregatorRunner {
       // true max makes changedSince see the rest of that batch as
       // "changed" — measured as a whole-lake repair window (116M rows)
       // on the first busy tick after a backfill
-      val stamps = entries.flatMap(e => parseLedgerTs(e.committedAtUtc))
+      val stamps = versions.flatMap(e => parseLedgerTs(e.committedAtUtc))
       val hw = stamps.maxOption(Ordering.by[Instant, (Long, Int)](i =>
         (i.getEpochSecond, i.getNano)))
       Some(SourceSnapshot(token, hw, hw.map(h => stamps.count(_ == h)).getOrElse(0),
-        entries))
+        versions, ledger.droppedThrough()))
     }
   }
 
@@ -180,6 +188,10 @@ object AggregatorRunner {
 
   def changedSince(snap: SourceSnapshot, since: Instant, sinceTies: Int,
                    symbolFilter: Option[String] = None): ChangeScope = {
+    // A compaction that dropped superseded lines NEWER than `since`
+    // left holes in the change history this tick never saw — the
+    // version-derived window would be too narrow. Blind lookback.
+    if (snap.droppedThrough.exists(_.isAfter(since))) return ChangeUnknown
     // Strictly-newer stamps are changed. Stamps have finite clock
     // resolution, so a later commit CAN tie `since` to the nanosecond;
     // a strict filter alone would silently drop it, while >= would
@@ -188,9 +200,9 @@ object AggregatorRunner {
     // tie COUNT disambiguates: more entries at exactly `since` than
     // the last tick saw means unaccounted same-stamp commits — include
     // the whole tie batch (which of them is new is unknowable).
-    val tiesNow = snap.entries.filter(e =>
+    val tiesNow = snap.versions.filter(e =>
       parseLedgerTs(e.committedAtUtc).contains(since))
-    val changed = snap.entries.filter(e =>
+    val changed = snap.versions.filter(e =>
       parseLedgerTs(e.committedAtUtc).forall(_.isAfter(since))) ++
       (if (tiesNow.size > sinceTies) tiesNow else Seq.empty)
     if (changed.isEmpty) ChangeUnknown // token moved yet nothing newer: distrust
@@ -203,7 +215,11 @@ object AggregatorRunner {
       }
       if (relevant.isEmpty) ChangeNone
       else {
-        val los = relevant.map(e => parseLedgerTs(e.minTs))
+        // per-write touched range when the writer recorded it (patch
+        // bounds); the partition's content bounds otherwise — wider,
+        // never wrong (pre-r16 rows, hourly hour-grain entries)
+        val los = relevant.map(e =>
+          parseLedgerTs(e.patchMinTs).orElse(parseLedgerTs(e.minTs)))
         if (los.exists(_.isEmpty)) ChangeUnknown // tombstones etc.: blind
         else ChangeFrom(los.flatten.minBy(_.toEpochMilli))
       }

@@ -479,9 +479,24 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
              min(col("timestamp")).cast("string").as("mn"),
              max(col("timestamp")).cast("string").as("mx"))
         .collect()
+      // patch bounds: what THIS write touched, per day — the staged
+      // increment's bounds, not the merged day's. The incremental
+      // tick's data-driven repair window reads these; without them a
+      // one-minute merge into today attributes the change to the whole
+      // day and the tick re-aggregates day-to-date × width per poll
+      val patchBounds = withPartCols(staged)
+        .groupBy(col("year").cast("int").as("y"),
+                 col("month").cast("int").as("m"),
+                 col("day").cast("int").as("d"))
+        .agg(min(col("timestamp")).cast("string").as("mn"),
+             max(col("timestamp")).cast("string").as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+          (r.getString(3), r.getString(4))).toMap
       bounds.foreach { r =>
         val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
         committedDirs.get(ymd).foreach { dayDir =>
+          val patch = patchBounds.get(ymd)
           ledger.upsert(PartitionLedgerEntry(
             symbol = "__ALL__",
             day = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d",
@@ -493,7 +508,9 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
             schemaHash = CanonicalSchema.schemaHash,
             status = "COMMITTED",
             committedAtUtc = Instant.now.toString,
-            contentHash = hashes.getOrElse(ymd, "")))
+            contentHash = hashes.getOrElse(ymd, ""),
+            patchMinTs = patch.map(_._1).getOrElse(""),
+            patchMaxTs = patch.map(_._2).getOrElse("")))
         }
       }
     } finally {
@@ -616,7 +633,10 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           schemaHash = CanonicalSchema.schemaHash,
           status = "COMMITTED",
           committedAtUtc = Instant.now.toString,
-          contentHash = hashes.getOrElse(ymd, "")))
+          contentHash = hashes.getOrElse(ymd, ""),
+          // a delta IS its own patch: these bounds are the increment's
+          patchMinTs = r.getString(4),
+          patchMaxTs = r.getString(5)))
       }
     }
     deltaDirs

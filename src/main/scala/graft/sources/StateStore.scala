@@ -11,10 +11,20 @@ import scala.jdk.CollectionConverters._
   * cluster scale these live on the shared FS next to the lake and are
   * only touched by the (single) coordinator, so a file is the right
   * durability primitive; the data plane never reads them per-task. */
+/** One committed partition's bookkeeping row. `minTs`/`maxTs` bound the
+  * partition's CONTENT (audit surface); `patchMinTs`/`patchMaxTs` bound
+  * what the committing WRITE itself touched — for a merge into an
+  * existing day the content bounds span the whole day while the patch
+  * bounds span only the increment, and the incremental tick's
+  * data-driven repair window needs the latter (a day-grain content
+  * bound re-aggregates day-to-date × width per poll as the day fills).
+  * Empty patch bounds (pre-r16 rows, hourly entries) fall back to the
+  * content bounds — wider, never wrong. */
 final case class PartitionLedgerEntry(
     symbol: String, day: String, hour: Int, path: String, rowCount: Long,
     minTs: String, maxTs: String, schemaHash: String, status: String,
-    committedAtUtc: String, contentHash: String = "")
+    committedAtUtc: String, contentHash: String = "",
+    patchMinTs: String = "", patchMaxTs: String = "")
 
 class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
   private val file = Paths.get(dir, "partition_ledger.jsonl")
@@ -27,6 +37,7 @@ class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
       s""""path":"${esc(e.path)}","row_count":${e.rowCount},"min_ts":"${e.minTs}",""" +
       s""""max_ts":"${e.maxTs}","schema_hash":"${e.schemaHash}",""" +
       s""""content_hash":"${e.contentHash}",""" +
+      s""""patch_min_ts":"${e.patchMinTs}","patch_max_ts":"${e.patchMaxTs}",""" +
       s""""status":"${e.status}","committed_at_utc":"${e.committedAtUtc}"}"""
 
   private def field(json: String, key: String): String = {
@@ -41,14 +52,27 @@ class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
       field(json, "row_count").toLong, field(json, "min_ts"),
       field(json, "max_ts"), field(json, "schema_hash"),
       field(json, "status"), field(json, "committed_at_utc"),
-      field(json, "content_hash"))
+      field(json, "content_hash"),
+      field(json, "patch_min_ts"), field(json, "patch_max_ts"))
 
   def all(): Seq[PartitionLedgerEntry] =
+    // last-wins upsert semantics per (symbol, day, hour)
+    allVersions().groupBy(e => (e.symbol, e.day, e.hour)).values.map(_.last).toSeq
+
+  /** EVERY committed line, superseded versions included — the change
+    * LOG view (r16). The incremental tick's data-driven repair window
+    * derives per-write touched ranges from here: the deduped [[all]]
+    * view keeps only each key's last write, so two commits to the same
+    * day between two polls would leave only the second one's
+    * `patchMinTs`, silently dropping the first write's repair range.
+    * Superseded lines live until [[compact]]; a tick whose high-water
+    * predates a compaction learns that from [[droppedThrough]] and
+    * falls back to the blind lookback instead of trusting a log with
+    * holes. */
+  def allVersions(): Seq[PartitionLedgerEntry] =
     if (!Files.exists(file)) Seq.empty
     else Files.readAllLines(file, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty).map(fromJson)
-      // last-wins upsert semantics per (symbol, day, hour)
-      .groupBy(e => (e.symbol, e.day, e.hour)).values.map(_.last).toSeq
 
   def upsert(entry: PartitionLedgerEntry): Unit = synchronized {
     // append-only log; readers dedup last-wins
@@ -72,11 +96,40 @@ class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
     *
     * @return number of live rows in the snapshot */
   def compact(): Int = synchronized {
-    val entries = all().sortBy(e => (e.symbol, e.day, e.hour))
+    val versions = allVersions()
+    val entries = versions.groupBy(e => (e.symbol, e.day, e.hour))
+      .values.map(_.last).toSeq.sortBy(e => (e.symbol, e.day, e.hour))
+    // record the newest stamp among DROPPED superseded lines: change
+    // detection reads the version log, and a reader whose high-water
+    // predates this mark would otherwise see a log with holes and
+    // derive a too-narrow repair window (r16)
+    val kept = entries.toSet
+    val droppedMax = versions.filterNot(kept.contains)
+      .flatMap(e => scala.util.Try(java.time.Instant.parse(e.committedAtUtc)).toOption)
+      .maxOption(Ordering.by[java.time.Instant, (Long, Int)](i =>
+        (i.getEpochSecond, i.getNano)))
+    droppedMax.foreach { d =>
+      val prior = droppedThrough()
+      if (prior.forall(_.isBefore(d)))
+        committer.putState(metaFile,
+          s"""{"dropped_through": "$d"}""".getBytes(StandardCharsets.UTF_8))
+    }
     val body = entries.map(toJson).map(_ + "\n").mkString
     committer.putState(file, body.getBytes(StandardCharsets.UTF_8))
     entries.size
   }
+
+  private val metaFile = Paths.get(dir, "partition_ledger_meta.json")
+
+  /** Newest committed-at stamp among superseded lines a [[compact]]
+    * has ever dropped from the version log; None if nothing was ever
+    * dropped. Change detection treats a high-water older than this as
+    * "history has holes" and falls back to the blind lookback. */
+  def droppedThrough(): Option[java.time.Instant] =
+    if (!Files.exists(metaFile)) None
+    else """"dropped_through"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(Files.readString(metaFile, StandardCharsets.UTF_8))
+      .flatMap(m => scala.util.Try(java.time.Instant.parse(m.group(1))).toOption)
 
   /** [[compact]] when the log has outgrown `maxBytes` — the tick-owned
     * trigger (cheap size stat per call; the rewrite only when the

@@ -143,6 +143,20 @@ object FleetTickProbe {
     // to the skip path
     fleetPoll("fleet-after")
 
+    // REALISTIC cadence: one fresh MINUTE lands across the width (what
+    // a 30 s poll actually sees — the fresh-hour leg above is the
+    // catch-up shape). The data-driven window bounds every live spec
+    // to the new minute; most specs complete no bucket and write 0 —
+    // the poll cost is the shared day read + near-empty aggregations.
+    val minuteStart = freshStart.plus(1, ChronoUnit.HOURS)
+    val (_, minuteSecs) = timed {
+      writer.writeDaysWide(
+        HtfDepthProbe.minutesFrame(spark, width, minuteStart, 1L), merge = true)
+    }
+    println(f"[fleet] fresh minute landed (width=$width x 1 min) in $minuteSecs%.1f s")
+    fleetPoll("fleet-minute")
+    fleetPoll("fleet-minute2") // and back to the skip path
+
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)

@@ -405,4 +405,77 @@ class AggregatorRunnerSpec extends SparkSpec {
     assert(busy("1h").bucketsWritten >= 1) // 01:00 hour completes
     assert(busy("1d").bucketsWritten == 0) // Jan 2 still open → gated
   }
+
+  // ---- patch-bound windows on the wide layout (r16: a one-minute
+  // merge into today must not re-aggregate day-to-date × width) ----
+
+  private def wideEnv() = {
+    val dir = Files.createTempDirectory("graft-agg-wide").toString
+    val ledger = new PartitionLedger(s"$dir/_state")
+    val mw = new graft.sources.MinuteLakeWriter(dir, ledger,
+      graft.sources.LakeLayout.DayWide(filesPerDay = 2))
+    (dir, mw, ledger, new MinuteLakeReader(dir),
+      new graft.sources.HtfLakeWriter(s"$dir/htf"),
+      new AggregatorStateStore(s"$dir/_aggstate"))
+  }
+
+  private def wideMinutes(startIso: String, n: Int, baseOpen: Double = 100.0) =
+    canonicalMinutes(startIso, n, baseOpen).withColumn("symbol", lit("BTCUSDT"))
+
+  test("wide-layout day merges: the repair window follows the WRITE's patch bounds, not the day's") {
+    val (dir, mw, ledger, reader, hw, state) = wideEnv()
+    val lg = Some(ledger)
+    val spec = Timeframes.parse("5m")
+    // day 1: 1000 minutes (00:00–16:39), then the accounting tick
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:00:00Z", 1000))
+    AggregatorRunner.runBackfillAll(spark, reader, hw, state, s"$dir/htf", spec)
+    AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = lg)
+    // one poll later, five fresh minutes merge INTO the same day: the
+    // day's content bounds now span 00:00–16:44, but the write touched
+    // only 16:40+ — the tick must scan just the new bucket, not the
+    // 200 day-to-date buckets
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T16:40:00Z", 5), merge = true)
+    val tick = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = lg)
+    assert(tick.bucketsWritten == 1, s"the 16:40 bucket completes: $tick")
+    assert(tick.bucketsScanned <= 2,
+      s"window must start at the patch floor (16:40), not day start: $tick")
+
+    // TWO same-key writes between polls: a mid-day value repair AND a
+    // fresh append — the version log carries both patch ranges, so ONE
+    // tick repairs both (the deduped entry alone would know only the
+    // second write's range and silently skip the 00:00 repair)
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 1, baseOpen = 500.0),
+      merge = true)
+    mw.writeDaysWide(wideMinutes("2026-01-01T16:45:00Z", 5), merge = true)
+    val both = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = lg)
+    assert(both.bucketsWritten == 2 && both.repaired >= 1,
+      s"both the 00:00 repair and the 16:45 append must land: $both")
+    val repaired = spark.read.parquet(s"$dir/htf/timeframe=5m")
+      .where(col("bucket_start") === ts("2026-01-01T00:00:00Z"))
+      .select("close").head.getDouble(0)
+    assert(repaired == 500.5)
+
+    // compaction that drops an UNACCOUNTED superseded line (two writes
+    // since the last tick, then compact: the first write's line is
+    // gone) — the tick must fall back to the blind lookback (run,
+    // never skip, never trust the holed version log for a too-narrow
+    // window). Compacting away only already-accounted lines does NOT
+    // trigger the fallback (droppedThrough ≤ the tick's high-water).
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T16:50:00Z", 5), merge = true)
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T16:55:00Z", 5), merge = true)
+    ledger.compact() // drops the 16:50 write's line — a real hole
+    val afterCompact = AggregatorRunner.runIncrementalAll(spark, reader, hw,
+      state, s"$dir/htf", spec, sourceLedger = lg)
+    assert(afterCompact.bucketsWritten == 2,
+      s"16:45 and 16:50 buckets complete: $afterCompact")
+    assert(afterCompact.bucketsScanned >= 20,
+      s"holed history ⇒ blind 120-min lookback, not a patch-tight window: $afterCompact")
+  }
 }

@@ -225,6 +225,35 @@ class LakeWriterSpec extends SparkSpec {
     assert(!ledger.compactIfLarge(maxBytes = 1L << 30))
   }
 
+  test("ledger version log: superseded lines visible until compaction; droppedThrough marks the hole (r16)") {
+    val dir = Files.createTempDirectory("graft-ledger-versions").toString
+    val ledger = new PartitionLedger(dir)
+    def entry(n: Long, at: String, pmin: String) =
+      graft.sources.PartitionLedgerEntry("__ALL__", "2026-01-10", -1, s"$dir/p",
+        n, "2026-01-10 00:00:00", "2026-01-10 23:59:00", "h", "COMMITTED",
+        at, "c" + n, patchMinTs = pmin, patchMaxTs = pmin)
+    // two writes to the SAME key: the change log must show both patch
+    // ranges (the deduped view keeps only the second)
+    ledger.upsert(entry(1, "2026-01-10T10:00:00Z", "2026-01-10 00:04:00"))
+    ledger.upsert(entry(2, "2026-01-10T11:00:00Z", "2026-01-10 16:40:00"))
+    assert(ledger.allVersions().size == 2 && ledger.all().size == 1)
+    assert(ledger.all().head.patchMinTs == "2026-01-10 16:40:00")
+    assert(ledger.allVersions().map(_.patchMinTs).toSet ==
+      Set("2026-01-10 00:04:00", "2026-01-10 16:40:00"))
+    assert(ledger.droppedThrough().isEmpty)
+    // compaction drops the superseded line and records its stamp
+    assert(ledger.compact() == 1)
+    assert(ledger.allVersions().size == 1)
+    assert(ledger.droppedThrough().contains(
+      java.time.Instant.parse("2026-01-10T10:00:00Z")))
+    // the mark is monotone: a later compaction dropping an older line
+    // never moves it backward
+    ledger.upsert(entry(3, "2026-01-10T12:00:00Z", "2026-01-10 17:00:00"))
+    ledger.compact()
+    assert(ledger.droppedThrough().contains(
+      java.time.Instant.parse("2026-01-10T11:00:00Z")))
+  }
+
   test("events compaction through ManifestCommit: resolved reads identical, crash leftovers swept, repeat no-op (§4.1 seam 4)") {
     import graft.sources.{ManifestCommit, Retention}
     val dir = Files.createTempDirectory("graft-compact-mf").toString
