@@ -160,16 +160,13 @@ object AggregatorRunner {
     }
   }
 
-  /** Ledger timestamps appear in two shapes: ISO instants
-    * (`committedAtUtc`) and Spark `cast("string")` timestamps
-    * (`2026-01-05 00:59:00` — min/max bounds). Normalize both;
-    * unparseable (empty, tombstone) → None. */
+  /** Ledger timestamps appear in two shapes: ISO instants (r17+ bounds,
+    * `committedAtUtc`) and legacy Spark `cast("string")` timestamps
+    * (`2026-01-05 00:59:00` — pre-r17 min/max bounds). Both parse
+    * through the shared session-TZ-independent helper the writers now
+    * render with (ADVICE r16 #1). */
   private def parseLedgerTs(s: String): Option[Instant] =
-    if (s == null || s.isEmpty) None
-    else scala.util.Try {
-      val t = if (s.contains("T")) s else s.replace(" ", "T")
-      Instant.parse(if (t.endsWith("Z") || t.contains("+")) t else t + "Z")
-    }.toOption
+    graft.sources.LedgerBounds.parse(s)
 
   /** Where (in event time) the lake changed since `since` — the
     * data-driven replacement for the blind repair lookback. */
@@ -188,10 +185,13 @@ object AggregatorRunner {
 
   def changedSince(snap: SourceSnapshot, since: Instant, sinceTies: Int,
                    symbolFilter: Option[String] = None): ChangeScope = {
-    // A compaction that dropped superseded lines NEWER than `since`
-    // left holes in the change history this tick never saw — the
-    // version-derived window would be too narrow. Blind lookback.
-    if (snap.droppedThrough.exists(_.isAfter(since))) return ChangeUnknown
+    // A compaction that dropped superseded lines stamped AT or after
+    // `since` left holes in the change history this tick can't account
+    // for — the version-derived window would be too narrow. AT matters
+    // (ADVICE r16 #2): a drop stamped exactly at the high-water shrinks
+    // the tie set without tripping a strict isAfter guard, silently
+    // defeating the same-nanosecond tie-count disambiguation below.
+    if (snap.droppedThrough.exists(!_.isBefore(since))) return ChangeUnknown
     // Strictly-newer stamps are changed. Stamps have finite clock
     // resolution, so a later commit CAN tie `since` to the nanosecond;
     // a strict filter alone would silently drop it, while >= would

@@ -171,12 +171,17 @@ object QueryService {
   /** Load [start, end] canonical minutes with latest-wins dedup and
     * coverage check (reference `service.py:1036-1117`). */
   def loadCanonicalWindow(spark: SparkSession, reader: MinuteLakeReader,
-                          symbol: String, start: Instant, end: Instant): (DataFrame, WindowCoverage) = {
-    val df = reader.readWindow(spark, symbol, start, end)
-    val observed = df.select(countDistinct(col("timestamp"))).collect().head.getLong(0)
-    val expected = ChronoUnit.MINUTES.between(start, end) + 1
-    (df, WindowCoverage(expected, observed))
-  }
+                          symbol: String, start: Instant, end: Instant): (DataFrame, WindowCoverage) =
+    // re-resolve-on-miss (VERDICT r16 #6): a serving read that outlives
+    // the manifest grace window can lose its `.v_*` dir to GC mid-scan;
+    // readWindow resolves fresh on each attempt, so the retry restarts
+    // the read against the current live version
+    graft.sources.ResolvedScan.retryOnVanishedVersion() {
+      val df = reader.readWindow(spark, symbol, start, end)
+      val observed = df.select(countDistinct(col("timestamp"))).collect().head.getLong(0)
+      val expected = ChronoUnit.MINUTES.between(start, end) + 1
+      (df, WindowCoverage(expected, observed))
+    }
 
   /** End-time resolution (reference `service.py:944-966`): an explicit
     * end is floored to the minute; an omitted end resolves to the last

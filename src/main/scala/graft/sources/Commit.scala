@@ -130,11 +130,24 @@ object RenameCommit extends CommitProtocol {
   * tombstone objects, and a version's GC clock starts when it stopped
   * being live, not when it was created (a version live for hours must
   * not be swept the instant it is replaced). Size `graceMs` to the
-  * longest expected scan; the default is one hour. */
+  * longest expected scan; the default is one hour.
+  *
+  * CONSTRAINT (VERDICT r16 #5): exactly ONE publisher per lake.
+  * Supersession stamps are the publisher's wall clock; concurrent
+  * publishers with skewed clocks could expire each other's grace
+  * entries early. `publish` checks for evidence of a second,
+  * ahead-of-us publisher (history stamps / manifest mtimes in our
+  * future) and warns loudly; new stamps are clamped monotone vs the
+  * recorded history so grace clocks never run backward. Readers that
+  * outlive the window re-resolve on miss ([[ResolvedScan
+  * .retryOnVanishedVersion]]). */
 class ManifestCommit(val graceMs: Long) extends CommitProtocol {
   import ManifestCommit._
 
   override def readThroughResolve: Boolean = true
+
+  /** Loud-warning hook (overridable in tests). */
+  protected def warn(msg: String): Unit = System.err.println(msg)
 
   def publish(fs: FileSystem, tmpDir: String, destDir: String): Unit = {
     val dest = new HPath(destDir)
@@ -149,21 +162,45 @@ class ManifestCommit(val graceMs: Long) extends CommitProtocol {
     // unique prefix in the first place".
     if (!fs.rename(new HPath(tmpDir), new HPath(dest, versionName)))
       throw new RuntimeException(s"version materialization failed for $destDir")
+    // next sequence counts EVERY manifest-named file, valid or torn —
+    // a crash artifact at seq N must never collide with the retry
+    val manifestFiles = fs.listStatus(dest)
+      .filter(st => st.isFile && (st.getPath.getName == ManifestName ||
+        st.getPath.getName.startsWith(ManifestPrefix)))
+    val nextSeq = 1L +
+      (manifestFiles.map(st => seqOfName(st.getPath.getName)).filter(_ >= 0L) :+ 0L).max
+    // Single-coordinator clock CHECK (VERDICT r16 #5): supersession
+    // stamps are THIS publisher's wall clock, and the protocol assumes
+    // exactly one publisher per lake — two publishers with skewed
+    // clocks could prematurely expire each other's grace entries.
+    // Evidence of a publisher ahead of us (a history stamp or a
+    // manifest file mtime in our future) is that deployment error in
+    // progress: warn loudly. The new supersession stamp is clamped to
+    // stay monotone vs the recorded history so grace clocks never run
+    // backward; sweep decisions keep using OUR clock (future-stamped
+    // entries trivially survive the sweep — conservative).
     val now = System.currentTimeMillis()
+    val histStamps = previous match {
+      case ManifestState.Live(_, _, hist) => hist.map(_._2)
+      case _                              => Seq.empty[Long]
+    }
+    val newestSeenMs =
+      (histStamps ++ manifestFiles.map(_.getModificationTime) :+ 0L).max
+    if (newestSeenMs > now + ClockSkewToleranceMs)
+      warn(s"[graft][ManifestCommit] CLOCK SKEW at $destDir: existing " +
+        s"manifest state is ${newestSeenMs - now} ms in this publisher's " +
+        "future. The manifest protocol requires a SINGLE coordinator per " +
+        "lake; a second publisher with a skewed clock can prematurely " +
+        "expire grace entries and break readers mid-scan.")
+    val stampNow = math.max(now, histStamps.maxOption.getOrElse(0L))
     // superseded history: previous live joins it now; entries older
     // than the grace window leave it (their dirs are GC'd below)
     val superseded = previous match {
       case ManifestState.Absent     => Seq.empty[(String, Long)]
       case ManifestState.Corrupt(_) => Seq.empty[(String, Long)]
       case ManifestState.Live(_, live, hist) =>
-        (hist :+ (live -> now)).filter { case (_, atMs) => atMs + graceMs > now }
+        (hist :+ (live -> stampNow)).filter { case (_, atMs) => atMs + graceMs > now }
     }
-    // next sequence counts EVERY manifest-named file, valid or torn —
-    // a crash artifact at seq N must never collide with the retry
-    val nextSeq = 1L + (fs.listStatus(dest)
-      .filter(st => st.isFile && (st.getPath.getName == ManifestName ||
-        st.getPath.getName.startsWith(ManifestPrefix)))
-      .map(st => seqOfName(st.getPath.getName)).filter(_ >= 0L) :+ 0L).max
     // THE commit: one small object PUT of a NEW manifest name,
     // `_MANIFEST.<seq+1>` — never an overwrite of the live pointer.
     // Hadoop-class filesystems refuse rename-over-existing and an
@@ -233,6 +270,12 @@ object ManifestCommit extends ManifestCommit(3600000L) {
   private[sources] val ManifestPrefix = "_MANIFEST."
   private[sources] val VersionPrefix = ".v_"
   private[sources] val Sentinel = "__COMPLETE__"
+
+  /** How far ahead of this publisher's clock existing manifest state
+    * may sit before [[ManifestCommit.publish]] warns that the
+    * single-coordinator constraint looks violated (small allowance for
+    * FS mtime rounding on the publisher's own files). */
+  private[sources] val ClockSkewToleranceMs = 5000L
 
   private[sources] def manifestName(seq: Long) = s"$ManifestPrefix$seq"
 
@@ -351,6 +394,41 @@ private[graft] object ResolvedScan {
           })) Some(leaf)
       else None
     }
+
+  /** Re-resolve-on-miss (VERDICT r16 #6): a scan that outlives the
+    * grace window can lose its resolved `.v_*` dir mid-read — GC'd by
+    * a later publish — surfacing as a FileNotFound buried in a Spark
+    * task failure (or a plan-time path-does-not-exist if the loss won
+    * the race to the listing). `body` must perform its OWN resolution
+    * on every attempt (each reader path resolves fresh per call, so
+    * "re-run the read" IS "re-resolve"); this combinator re-runs it so
+    * the restarted read resolves the CURRENT live version and
+    * completes correctly instead of dying on a raw FileNotFound.
+    * Reads are side-effect-free, so the retry is safe by construction;
+    * never wrap writes in it. */
+  def retryOnVanishedVersion[T](attempts: Int = 3)(body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if tries + 1 < attempts && versionVanished(e) =>
+          tries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A vanished-version failure anywhere in the cause chain: the
+    * typed FileNotFoundException when Spark preserves it, else the
+    * stable message shapes task failures and plan-time listing races
+    * surface it as. */
+  private def versionVanished(t: Throwable): Boolean =
+    t != null && (t.isInstanceOf[java.io.FileNotFoundException] || {
+      val m = t.getMessage
+      m != null && (m.contains("FileNotFoundException") ||
+        m.contains("Path does not exist") ||
+        m.contains("does not exist"))
+    } || versionVanished(t.getCause))
 
   /** Every committed content dir under `base`: descend `key=value`
     * partition dirs; a dir with no such children is a leaf, resolved

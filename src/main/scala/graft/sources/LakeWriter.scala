@@ -223,9 +223,19 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val days = DayDirs.ascending(fs, lakeDir) ++
       DayDirs.ascending(fs, s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}")
+    // Under a manifest deployment each day's live bytes sit behind the
+    // leaf's pointer (VERDICT r16 #3): resolve every walked leaf before
+    // scanning, exactly like the read paths — a plain-dir read would
+    // rebuild the registry from stale plain prefixes, or from nothing
+    // at all (committed `.v_*` dirs are hidden-path-filtered by Spark),
+    // and the healing verb would then durably deny live symbols.
+    val dirs =
+      if (committer.readThroughResolve)
+        days.flatMap(d => ResolvedScan.resolveLeaf(fs, d, committer))
+      else days
     val symbols =
-      if (days.isEmpty) Set.empty[String]
-      else spark.read.parquet(days: _*).select(upper(col("symbol")))
+      if (dirs.isEmpty) Set.empty[String]
+      else spark.read.parquet(dirs: _*).select(upper(col("symbol")))
         .distinct().collect().map(_.getString(0)).toSet
     if (symbols.nonEmpty)
       MinuteLakeWriter.writeSymbolRegistry(fs, lakeDir, symbols)
@@ -471,13 +481,16 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       val committedDirs = DayDirs.matching(fs, lakeDir, touchedYmd)
         .map(p => DayDirs.ymdOf(p) -> p).toMap
       val hashes = MinuteLakeWriter.dayContentHashes(spark, committedDirs.values.toSeq)
+      // bounds via unix_micros + driver-side UTC render: the strings are
+      // windowed on by the incremental tick, so they must not depend on
+      // the session time zone (ADVICE r16 #1; see LedgerBounds)
       val bounds = withPartCols(effective)
         .groupBy(col("year").cast("int").as("y"),
                  col("month").cast("int").as("m"),
                  col("day").cast("int").as("d"))
         .agg(count(lit(1)).as("n"),
-             min(col("timestamp")).cast("string").as("mn"),
-             max(col("timestamp")).cast("string").as("mx"))
+             unix_micros(min(col("timestamp"))).as("mn"),
+             unix_micros(max(col("timestamp"))).as("mx"))
         .collect()
       // patch bounds: what THIS write touched, per day — the staged
       // increment's bounds, not the merged day's. The incremental
@@ -488,23 +501,48 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         .groupBy(col("year").cast("int").as("y"),
                  col("month").cast("int").as("m"),
                  col("day").cast("int").as("d"))
-        .agg(min(col("timestamp")).cast("string").as("mn"),
-             max(col("timestamp")).cast("string").as("mx"))
+        .agg(unix_micros(min(col("timestamp"))).as("mn"),
+             unix_micros(max(col("timestamp"))).as("mx"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-          (r.getString(3), r.getString(4))).toMap
+          (LedgerBounds.iso(r.getLong(3)), LedgerBounds.iso(r.getLong(4)))).toMap
+      // A non-merge rewrite of an ALREADY-COMMITTED day can shrink it:
+      // rows earlier than the new content's min vanish, and a patch
+      // range covering only the new content would leave those minutes
+      // outside every change window — the gated tick would skip repairs
+      // the blind lookback used to catch (ADVICE r16 #3). Widen such a
+      // day's patch bounds to the union of the superseded line's CONTENT
+      // bounds and the new increment's.
+      val priorContentBounds: Map[String, (String, String)] =
+        if (merge) Map.empty
+        else ledger.all()
+          .filter(e => e.symbol == "__ALL__" && e.status == "COMMITTED")
+          .map(e => e.day -> (e.minTs, e.maxTs)).toMap
       bounds.foreach { r =>
         val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
         committedDirs.get(ymd).foreach { dayDir =>
-          val patch = patchBounds.get(ymd)
+          val dayKey = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d"
+          val patch = patchBounds.get(ymd).map { case (mn, mx) =>
+            priorContentBounds.get(dayKey) match {
+              case Some((oldMn, oldMx)) =>
+                val lo = Seq(Some(mn), Option(oldMn).filter(_.nonEmpty))
+                  .flatten.flatMap(s => LedgerBounds.parse(s).map(_ -> s))
+                  .minByOption(_._1).map(_._2).getOrElse(mn)
+                val hi = Seq(Some(mx), Option(oldMx).filter(_.nonEmpty))
+                  .flatten.flatMap(s => LedgerBounds.parse(s).map(_ -> s))
+                  .maxByOption(_._1).map(_._2).getOrElse(mx)
+                (lo, hi)
+              case None => (mn, mx)
+            }
+          }
           ledger.upsert(PartitionLedgerEntry(
             symbol = "__ALL__",
-            day = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d",
+            day = dayKey,
             hour = -1,
             path = dayDir,
             rowCount = r.getLong(3),
-            minTs = r.getString(4),
-            maxTs = r.getString(5),
+            minTs = LedgerBounds.iso(r.getLong(4)),
+            maxTs = LedgerBounds.iso(r.getLong(5)),
             schemaHash = CanonicalSchema.schemaHash,
             status = "COMMITTED",
             committedAtUtc = Instant.now.toString,
@@ -615,28 +653,29 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
                col("month").cast("int").as("m"),
                col("day").cast("int").as("d"))
       .agg(count(lit(1)).as("n"),
-           min(col("timestamp")).cast("string").as("mn"),
-           max(col("timestamp")).cast("string").as("mx"))
+           unix_micros(min(col("timestamp"))).as("mn"),
+           unix_micros(max(col("timestamp"))).as("mx"))
       .collect()
     val dirByYmd = deltaDirs.map(p => DayDirs.ymdOf(p) -> p).toMap
     bounds.foreach { r =>
       val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
       dirByYmd.get(ymd).foreach { dayDir =>
+        val (mn, mx) = (LedgerBounds.iso(r.getLong(4)), LedgerBounds.iso(r.getLong(5)))
         ledger.upsert(PartitionLedgerEntry(
           symbol = "__DELTA__",
           day = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d",
           hour = -2,
           path = dayDir,
           rowCount = r.getLong(3),
-          minTs = r.getString(4),
-          maxTs = r.getString(5),
+          minTs = mn,
+          maxTs = mx,
           schemaHash = CanonicalSchema.schemaHash,
           status = "COMMITTED",
           committedAtUtc = Instant.now.toString,
           contentHash = hashes.getOrElse(ymd, ""),
           // a delta IS its own patch: these bounds are the increment's
-          patchMinTs = r.getString(4),
-          patchMaxTs = r.getString(5)))
+          patchMinTs = mn,
+          patchMaxTs = mx))
       }
     }
     deltaDirs

@@ -26,6 +26,39 @@ final case class PartitionLedgerEntry(
     committedAtUtc: String, contentHash: String = "",
     patchMinTs: String = "", patchMaxTs: String = "")
 
+/** Ledger timestamp-bound rendering and parsing, shared by every
+  * writer that records bounds and every consumer that windows on them.
+  *
+  * Bounds are load-bearing for the incremental tick's data-driven
+  * repair window, so they must be session-timezone-INDEPENDENT
+  * (ADVICE r16 #1: `cast("string")` renders in the Spark session TZ —
+  * in a session east of UTC the parsed window floor shifts later and
+  * silently misses late writes). Writers therefore aggregate
+  * `unix_micros(ts)` (an absolute instant, no rendering) and format
+  * driver-side via [[iso]]; [[parse]] accepts both the ISO form and
+  * the legacy space-separated session-TZ-was-UTC form that pre-r17
+  * ledgers carry. */
+object LedgerBounds {
+  /** Epoch-micros → ISO-8601 UTC instant string (`2026-01-10T16:40:00Z`). */
+  def iso(micros: Long): String =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L).toString
+
+  /** Parse either bound shape: ISO instants (r17+ bounds,
+    * `committed_at_utc`) or legacy Spark `cast("string")` timestamps
+    * (`2026-01-05 00:59:00`, written under the enforced-UTC sessions
+    * all in-repo entry points configure). Unparseable (empty,
+    * tombstone) → None. */
+  def parse(s: String): Option[java.time.Instant] =
+    if (s == null || s.isEmpty) None
+    else scala.util.Try {
+      val t = if (s.contains("T")) s else s.replace(" ", "T")
+      java.time.Instant.parse(
+        if (t.endsWith("Z") || t.contains("+")) t else t + "Z")
+    }.toOption
+}
+
 class PartitionLedger(dir: String, committer: CommitProtocol = RenameCommit) {
   private val file = Paths.get(dir, "partition_ledger.jsonl")
   Files.createDirectories(Paths.get(dir))

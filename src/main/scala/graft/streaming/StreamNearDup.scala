@@ -156,9 +156,13 @@ object StreamNearDup {
       val out = batch.iterator.map { r =>
         val ms = r.eventTime.getTime
         // horizon prune (a counted recall forfeit) is separate from the
-        // self-row replacement (bookkeeping, not a loss)
-        val (live, aged) = members.partition(m => m.eventMs >= ms - horizonMs)
-        members = live.filter(_.docId != r.docId)
+        // self-row replacement (bookkeeping, not a loss) — so exclude
+        // the arriving doc's own prior row BEFORE counting: an aged
+        // self-row is replacement bookkeeping too, not a forfeited
+        // match (ADVICE r16 #4)
+        val (live, aged) = members.filter(_.docId != r.docId)
+          .partition(m => m.eventMs >= ms - horizonMs)
+        members = live
         val hit = members.filter(m => agree(m.sig, r.sig) >= minAgree)
           .map(_.docId).sorted.headOption
         val full = members.size >= maxMembers

@@ -27,11 +27,14 @@ object DQValidator {
 
     val nullCounts = CanonicalSchema.hardRequired.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    // bounds as unix_micros (absolute instants), rendered UTC driver-side:
+    // these land in ledger rows the incremental tick windows on, so they
+    // must not depend on spark.sql.session.timeZone (ADVICE r16 #1)
     val aggs = Seq(
       count(lit(1)).as("__rows"),
       countDistinct(struct(keys.map(col): _*)).as("__distinct_ts"),
-      min(col("timestamp")).cast("string").as("__min_ts"),
-      max(col("timestamp")).cast("string").as("__max_ts")) ++ nullCounts
+      unix_micros(min(col("timestamp"))).as("__min_ts"),
+      unix_micros(max(col("timestamp"))).as("__max_ts")) ++ nullCounts
     val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
 
     val rows = r.getLong(0)
@@ -48,7 +51,9 @@ object DQValidator {
       throw new DataQualityException(
         s"HARD_REQUIRED null violations: ${violations.mkString(", ")}")
 
-    DQResult(rows, Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""))
+    def bound(i: Int): String =
+      if (r.isNullAt(i)) "" else graft.sources.LedgerBounds.iso(r.getLong(i))
+    DQResult(rows, bound(2), bound(3))
   }
 }
 

@@ -465,7 +465,10 @@ class AggregatorRunnerSpec extends SparkSpec {
     // gone) — the tick must fall back to the blind lookback (run,
     // never skip, never trust the holed version log for a too-narrow
     // window). Compacting away only already-accounted lines does NOT
-    // trigger the fallback (droppedThrough ≤ the tick's high-water).
+    // trigger the fallback (droppedThrough strictly BEFORE the tick's
+    // high-water; a drop stamped exactly AT it falls back too, since it
+    // can shrink the tie set the tie-count mechanism relies on —
+    // ADVICE r16 #2, boundary pinned in the unit test below).
     Thread.sleep(10)
     mw.writeDaysWide(wideMinutes("2026-01-01T16:50:00Z", 5), merge = true)
     Thread.sleep(10)
@@ -477,5 +480,31 @@ class AggregatorRunnerSpec extends SparkSpec {
       s"16:45 and 16:50 buckets complete: $afterCompact")
     assert(afterCompact.bucketsScanned >= 20,
       s"holed history ⇒ blind 120-min lookback, not a patch-tight window: $afterCompact")
+  }
+
+  test("changedSince compaction-guard boundary: a drop stamped exactly AT the high-water distrusts the version log (ADVICE r16 #2)") {
+    import graft.sources.PartitionLedgerEntry
+    def entry(at: String, pmin: String) = PartitionLedgerEntry(
+      "__ALL__", "2026-01-10", -1, "p", 10,
+      "2026-01-10T00:00:00Z", "2026-01-10T23:59:00Z", "h", "COMMITTED", at,
+      "c", patchMinTs = pmin, patchMaxTs = pmin)
+    val since = Instant.parse("2026-01-10T10:00:00Z")
+    // one accounted commit exactly at the high-water, one newer commit
+    val versions = Seq(
+      entry("2026-01-10T10:00:00Z", "2026-01-10T00:04:00Z"),
+      entry("2026-01-10T11:00:00Z", "2026-01-10T16:40:00Z"))
+    def scope(dropped: Option[Instant]) = AggregatorRunner.changedSince(
+      AggregatorRunner.SourceSnapshot("tok", Some(since), 1, versions, dropped),
+      since, sinceTies = 1)
+    // drop strictly before the high-water: accounted, the patch-tight
+    // window from the newer commit's floor stands
+    assert(scope(Some(since.minusSeconds(60))) ==
+      AggregatorRunner.ChangeFrom(Instant.parse("2026-01-10T16:40:00Z")))
+    // drop stamped exactly AT the high-water: it can have shrunk the
+    // same-stamp tie set the tie-count disambiguation counts, so the
+    // version log is no longer trustworthy — blind lookback
+    assert(scope(Some(since)) == AggregatorRunner.ChangeUnknown)
+    // and strictly-after stays blind (the pre-r17 behavior)
+    assert(scope(Some(since.plusSeconds(60))) == AggregatorRunner.ChangeUnknown)
   }
 }

@@ -450,4 +450,107 @@ class CommitSeamSpec extends SparkSpec {
       assert(store.get("ETHUSDT").contains(instant("2024-03-01T11:30:00Z")))
     }
   }
+
+  test("rebuildSymbolRegistry resolves manifest leaves (r16 #3): heals from live versions, never stale plain prefixes") {
+    val root = Files.createTempDirectory("graft-seam-rebuild").toString
+    val w = new MinuteLakeWriter(root, new PartitionLedger(s"$root/_state"),
+      LakeLayout.DayWide(filesPerDay = 2), ManifestCommit)
+    def sym(s: String, tsIso: String, open: Double) =
+      canonical(tsIso, open).withColumn("symbol", lit(s))
+    // bulk write lands PLAIN (Hadoop committer): symbols AAA + CCC
+    w.writeDaysWide(sym("AAAUSDT", "2026-01-10T00:00:00Z", 100.0)
+      .unionByName(sym("CCCUSDT", "2026-01-10T00:01:00Z", 300.0)))
+    val fs = localFs()
+    val lakeDir = s"$root/futures/um/minute"
+    val dayDir = DayDirs.ascending(fs, lakeDir).head
+    // a committer-routed day rewrite (the Retention/compaction shape)
+    // publishes NEW live content — AAA + BBB; CCC is delisted — behind
+    // the manifest pointer, over the NON-ATOMIC rename FS. The stale
+    // plain files (still naming CCC) remain beside the manifest.
+    val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    sym("AAAUSDT", "2026-01-10T00:00:00Z", 100.0)
+      .unionByName(sym("BBBUSDT", "2026-01-10T00:02:00Z", 200.0))
+      .write.parquet(tmp)
+    ManifestCommit.publish(crashyFs(), tmp, dayDir)
+    // tear the registry (the healing verb's trigger)
+    val reg = new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}")
+    val out = fs.create(reg, true)
+    try out.write("""["AAAUSDT","CC""".getBytes("UTF-8")) finally out.close()
+    assert(MinuteLakeWriter.readSymbolRegistry(fs, lakeDir).isEmpty)
+    // heal: must read THROUGH the manifest — exactly the live symbols,
+    // not the stale plain prefix (which would resurrect CCC)
+    val healed = w.rebuildSymbolRegistry(spark)
+    assert(healed == Set("AAAUSDT", "BBBUSDT"),
+      s"rebuild must see the manifest-live day content: $healed")
+    assert(MinuteLakeWriter.readSymbolRegistry(fs, lakeDir)
+      .contains(Set("AAAUSDT", "BBBUSDT")))
+  }
+
+  test("single-coordinator clock pin (r16 #5): a publisher behind the recorded history warns loudly and keeps grace stamps monotone") {
+    val root = Files.createTempDirectory("graft-seam-clock").toString
+    val dest = s"$root/data/part=a"
+    val fs = localFs()
+    val warnings = scala.collection.mutable.Buffer[String]()
+    val mc = new ManifestCommit(3600000L) {
+      override protected def warn(msg: String): Unit = warnings += msg
+    }
+    mc.publish(fs, stage(root, Seq(1)), dest)
+    val v1 = new HPath(mc.resolve(fs, dest).get).getName
+    mc.publish(fs, stage(root, Seq(2)), dest)
+    val v2 = new HPath(mc.resolve(fs, dest).get).getName
+    assert(warnings.isEmpty, "well-ordered history must not warn")
+    // forge what an AHEAD-clock second publisher would have written:
+    // a newer manifest naming the same live version with v1's
+    // supersession stamped one hour in the future
+    val future = System.currentTimeMillis() + 3600000L
+    val forged = fs.create(new HPath(dest, "_MANIFEST.3"), false)
+    try forged.write(s"$v2\n$v1\t$future\n__COMPLETE__".getBytes("UTF-8"))
+    finally forged.close()
+    mc.publish(fs, stage(root, Seq(3)), dest)
+    assert(warnings.nonEmpty && warnings.head.contains("CLOCK SKEW"),
+      s"future-stamped history must trip the loud warning: $warnings")
+    // the future-stamped version survives (no premature sweep), and the
+    // newly recorded supersession stamp never runs backward vs history
+    val versionDirs = fs.listStatus(new HPath(dest))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
+      .map(_.getPath.getName).toSet
+    assert(versionDirs.contains(v1) && versionDirs.contains(v2),
+      s"skewed grace entries must not be swept early: $versionDirs")
+    val newest = fs.listStatus(new HPath(dest))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_MANIFEST."))
+      .maxBy(s => s.getPath.getName.stripPrefix("_MANIFEST.").toLong)
+    val body = {
+      val in = fs.open(newest.getPath)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val v2Stamp = body.split('\n').map(_.trim)
+      .collectFirst { case l if l.startsWith(v2 + "\t") => l.split('\t')(1).toLong }
+    assert(v2Stamp.exists(_ >= future),
+      s"supersession stamps must stay monotone vs recorded history: $v2Stamp vs $future")
+  }
+
+  test("re-resolve-on-miss (r16 #6): a reader whose version is GC'd mid-scan completes against the new version") {
+    val root = Files.createTempDirectory("graft-seam-miss").toString
+    val dest = s"$root/data/part=a"
+    val fs = localFs()
+    val mc = gc0 // grace 0: the next publish sweeps the held version
+    mc.publish(fs, stage(root, Seq(1, 2)), dest)
+    val stale = mc.resolve(fs, dest).get
+    val held = spark.read.parquet(stale) // reader resolved and planned
+    Thread.sleep(5)
+    mc.publish(fs, stage(root, Seq(7, 8)), dest)
+    assert(!fs.exists(new HPath(stale)), "grace-0 publish sweeps version N")
+    // the raw continuation dies mid-scan — the failure mode r16 named
+    intercept[Exception] { held.select("v").collect() }
+    // the retry contract: each attempt re-resolves, so the restarted
+    // read completes correctly against the CURRENT live version
+    var attempts = 0
+    val rows = ResolvedScan.retryOnVanishedVersion() {
+      attempts += 1
+      val d = if (attempts == 1) stale else mc.resolve(fs, dest).get
+      spark.read.parquet(d).select("v").collect().map(_.getInt(0)).toSeq.sorted
+    }
+    assert(attempts == 2, s"first attempt must fail vanished, second resolve fresh: $attempts")
+    assert(rows == Seq(7, 8))
+  }
 }
