@@ -257,7 +257,8 @@ object SparkEntry {
     * priced in their own `total_engine` ledger line — summing them
     * into a query wall-time total misleads round-over-round reads. */
   val engineRoundtrip: Set[String] =
-    Set("s16_wide_lake_roundtrip", "s17_delta_overlay_precedence")
+    Set("s16_wide_lake_roundtrip", "s17_delta_overlay_precedence",
+      "s18_gated_tick_roundtrip")
 
   /** Bench rows added AFTER the r13 ledger froze the `comparable`
     * subtotal's membership. [[Bench]] reports
@@ -270,7 +271,9 @@ object SparkEntry {
     "dedup_cc_verified_star_rescue", // r14
     "htf_aggregate_1w",              // r15
     "htf_aggregate_1mo",             // r15
-    "s17_delta_overlay_precedence")  // r16 (also engine-roundtrip)
+    "s17_delta_overlay_precedence",  // r16 (also engine-roundtrip)
+    "s18_gated_tick_roundtrip",      // r17 (also engine-roundtrip)
+    "stream_recall_ledger")          // r17
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2632,6 +2635,100 @@ object SparkEntry {
           s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
       }
+    }),
+
+    // S18: the LEDGER-GATED incremental tick through the real machinery
+    // (VERDICT r16 #8) — the r16 tick gate had zero presence in any
+    // committed ledger, so a gate regression (a token that never
+    // matches and re-arms every poll) was invisible outside probe runs.
+    // Timed body: bulk day-wide write → gated 15m tick (backfills the
+    // window) → a STEADY tick that must token-skip (the shape that runs
+    // forever in production: zero scans, zero writes, zero Spark jobs)
+    // → a one-day delta patch → a PATCHED tick whose repair window
+    // derives from the ledger's patch bounds. The result pins the final
+    // HTF content per symbol PLUS the gate counters: steady tick zeros
+    // and the patched tick's written-bucket count (== distinct patched
+    // 15m buckets: the +1000 bump always changes bucket content; the
+    // fingerprint write-skip keeps every other window bucket unwritten).
+    "s18_gated_tick_roundtrip" -> ((s, dir) => {
+      import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+      import graft.operators.AggregatorRunner
+      val ev = eventsK(s, dir)
+        .withColumn("symbol",
+          concat(lit("SYM"), lpad((col("user_id") % 5).cast("string"), 2, "0"),
+            lit("USDT")))
+      // last 7 event-days only: the gate contract (token skip, patch
+      // window, write counts) is shape-independent, and s16/s17 already
+      // price the full-corpus bulk write — no reason to pay it 3× here
+      val maxDay = ev.agg(date_trunc("day", max(col("minute"))))
+        .collect()(0).getTimestamp(0)
+      val winLo = java.sql.Timestamp.from(
+        maxDay.toInstant.minus(6, java.time.temporal.ChronoUnit.DAYS))
+      val evw = ev.where(col("minute") >= winLo)
+      val root = java.nio.file.Files.createTempDirectory("graft-s18-lake").toString
+      try {
+        val ledger = new PartitionLedger(s"$root/_state")
+        val writer = new MinuteLakeWriter(root, ledger, LakeLayout.DayWide(filesPerDay = 4))
+        writer.writeDaysWide(wideCanon(evw, 0.0))
+        val reader = new MinuteLakeReader(root)
+        // wide HTF layout: the backfill writes its buckets as ONE bulk
+        // job — the hourly layout would pay one job per symbol-day leaf
+        val hw = new HtfLakeWriter(s"$root/htf", LakeLayout.DayWide(filesPerDay = 4))
+        val state = new AggregatorRunner.AggregatorStateStore(s"$root/_aggstate")
+        val spec = graft.schema.Timeframes.parse("15m")
+        // lookback spans the whole corpus so the FIRST tick backfills
+        // (no stored high-water yet → blind window); the patched tick
+        // ignores it — its window comes from the ledger's patch bounds
+        def tick() = AggregatorRunner.runIncrementalAll(s, reader, hw, state,
+          s"$root/htf", spec, allowIncomplete = true,
+          repairLookbackMinutes = 200000L, sourceLedger = Some(ledger))
+        tick()              // backfill: aggregates + writes the window
+        val steady = tick() // unchanged ledger: MUST token-skip
+        // late repair: the last event-day's error minutes, bumped +1000
+        writer.writeDeltaPatch(wideCanon(
+          evw.where(col("event_type") === "error" && col("minute") >= maxDay),
+          1000.0))
+        val patched = tick()
+        val summary = s.read.parquet(s"$root/htf/timeframe=15m")
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_buckets"),
+               round(sum(col("close")), 2).as("sum_close"),
+               sum(col("trade_count")).as("sum_trades"))
+          .withColumn("steady_scanned", lit(steady.bucketsScanned))
+          .withColumn("steady_written", lit(steady.bucketsWritten))
+          .withColumn("patched_written", lit(patched.bucketsWritten))
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(summary.collect(): _*)),
+          summary.schema)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+    }),
+
+    // ST-metrics: the streaming near-dup stage's recall-forfeit LEDGER
+    // aggregation (VERDICT r16 #7) — the one aggregation family that
+    // was spec-pinned only. The verdict fixture derives
+    // DETERMINISTICALLY from the documents table (md5-hash-driven
+    // buckets/flags, minute-spaced event times), so this row pins the
+    // LEDGER's windowed count_distinct + conditional sums against the
+    // DuckDB oracle; the stateful stage that produces real verdicts
+    // stays spec-pinned (StreamNearDupSpec), as streaming choreography
+    // must be.
+    "stream_recall_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val h = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      val verdicts = t(s, dir, "documents")
+        .select(col("doc_id").as("docId"),
+          concat(lit("b"), pmod(h, lit(16L)).cast("string")).as("bucket"),
+          (lit(1735689600000L) + pmod(h, lit(180L)) * lit(60000L)).as("eventMs"),
+          when(pmod(h, lit(10L)) === 0L, col("doc_id") + 1000000L).as("matchedId"),
+          (pmod(h, lit(7L)) === 0L).as("saturated"),
+          pmod(h, lit(3L)).cast("int").as("prunedByHorizon"))
+        .as[graft.streaming.StreamNearDup.BandVerdict]
+      graft.streaming.StreamNearDup.recallLedger(verdicts, "15 minutes")
     })
   )
 
@@ -3220,6 +3317,75 @@ object SparkEntry {
         |       round(sum(open), 2) AS sum_open,
         |       round(max(open), 4) AS max_open
         |FROM merged GROUP BY symbol""".stripMargin,
+
+    // the gated-tick roundtrip's declarative equivalent: 15m buckets
+    // over the base∪patch merged minutes (the final HTF content after
+    // backfill + patched repair), constant zeros for the steady tick's
+    // token-skip counters, and distinct-patched-buckets for the patched
+    // tick's written count (fingerprint write-skip leaves every
+    // unpatched window bucket unwritten)
+    "s18_gated_tick_roundtrip" ->
+      """WITH sym0 AS (
+        |  SELECT 'SYM' || lpad(CAST(user_id % 5 AS VARCHAR), 2, '0') || 'USDT'
+        |           AS symbol,
+        |         date_trunc('minute', ts) AS m, value, event_type
+        |  FROM events),
+        |cutoff AS (SELECT date_trunc('day', max(m)) AS c FROM sym0),
+        |sym AS (SELECT * FROM sym0
+        |        WHERE m >= (SELECT c - INTERVAL 6 DAY FROM cutoff)),
+        |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
+        |         FROM sym GROUP BY 1, 2),
+        |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
+        |          FROM sym
+        |          WHERE event_type = 'error' AND m >= (SELECT c FROM cutoff)
+        |          GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
+        |  FROM base b LEFT JOIN patch p ON b.symbol = p.symbol AND b.m = p.m),
+        |buckets AS (
+        |  SELECT symbol, time_bucket(INTERVAL '15 minutes', m) AS b,
+        |         arg_max(open, m) + 0.5 AS close,
+        |         10 * count(*) AS trades
+        |  FROM merged GROUP BY 1, 2),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |         SELECT DISTINCT symbol, time_bucket(INTERVAL '15 minutes', m)
+        |         FROM patch))
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       round(sum(close), 2) AS sum_close,
+        |       CAST(sum(trades) AS BIGINT) AS sum_trades,
+        |       CAST(0 AS BIGINT) AS steady_scanned,
+        |       CAST(0 AS BIGINT) AS steady_written,
+        |       (SELECT n FROM pb) AS patched_written
+        |FROM buckets GROUP BY symbol""".stripMargin,
+
+    // the recall ledger's declarative twin: identical md5-derived
+    // verdict fixture, 15-minute tumbling windows (epoch-aligned, like
+    // Spark's window()), filtered distinct-count + conditional sums
+    "stream_recall_ledger" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           AS h
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         'b' || CAST(h % 16 AS VARCHAR) AS bucket,
+        |         1735689600000 + (h % 180) * 60000 AS event_ms,
+        |         (h % 7) = 0 AS saturated,
+        |         CAST(h % 3 AS INT) AS pruned
+        |  FROM v)
+        |SELECT make_timestamp((event_ms // 900000) * 900000 * 1000)
+        |         AS window_start,
+        |       make_timestamp(((event_ms // 900000) * 900000 + 900000) * 1000)
+        |         AS window_end,
+        |       CAST(count(DISTINCT CASE WHEN saturated THEN bucket END)
+        |         AS BIGINT) AS buckets_saturated,
+        |       CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS arrivals_at_cap,
+        |       CAST(sum(pruned) AS BIGINT) AS members_pruned_by_horizon,
+        |       CAST(count(*) AS BIGINT) AS band_rows,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_seen
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "txt_quality_score" ->
       """WITH d AS (SELECT doc_id, text,

@@ -82,11 +82,15 @@ object AggregatorRunner {
 
     def getTickState(key: String): Option[TickState] =
       readTicks().get(key).flatMap { v =>
+        def inst(s: String): Option[Instant] =
+          if (s == "-") None else scala.util.Try(Instant.parse(s)).toOption
         v.split("@", -1) match {
-          case Array(tok, hw, ties, lag) => Some(TickState(tok,
-            if (hw == "-") None else scala.util.Try(Instant.parse(hw)).toOption,
+          case Array(tok, hw, ties, lag) => Some(TickState(tok, inst(hw),
             ties.toIntOption.getOrElse(0),
             if (lag == "-") None else lag.toLongOption))
+          case Array(tok, hw, ties, lag, pend) => Some(TickState(tok, inst(hw),
+            ties.toIntOption.getOrElse(0),
+            if (lag == "-") None else lag.toLongOption, inst(pend)))
           case _ => None
         }
       }
@@ -94,7 +98,8 @@ object AggregatorRunner {
     def setTickState(key: String, st: TickState): Unit = synchronized {
       val updated = readTicks() + (key ->
         s"${st.token}@${st.highWater.map(_.toString).getOrElse("-")}@${
-          st.hwTies}@${st.lagMinutes.map(_.toString).getOrElse("-")}")
+          st.hwTies}@${st.lagMinutes.map(_.toString).getOrElse("-")}@${
+          st.pendingFrom.map(_.toString).getOrElse("-")}")
       val body = updated.toSeq.sorted
         .map { case (k, v) => s"""  "$k": "$v"""" }
         .mkString("{\n", ",\n", "\n}\n")
@@ -110,7 +115,8 @@ object AggregatorRunner {
     * cannot see a later write that tied it to the nanosecond; a grown
     * tie count can), and the lag it reported. */
   final case class TickState(token: String, highWater: Option[Instant],
-                             hwTies: Int, lagMinutes: Option[Long])
+                             hwTies: Int, lagMinutes: Option[Long],
+                             pendingFrom: Option[Instant] = None)
 
   /** Point-in-time fingerprint of the minute lake's partition ledger —
     * the driver-cheap change detector behind the steady-tick skip
@@ -228,9 +234,13 @@ object AggregatorRunner {
 
   private def tickKey(spec: TimeframeSpec, allowIncomplete: Boolean,
                       repairLookbackMinutes: Long,
-                      symbol: Option[String] = None): String =
+                      symbol: Option[String] = None,
+                      maxBucketsPerTick: Int = 0): String =
     s"${spec.name}${symbol.map("#" + _.toUpperCase).getOrElse("")}" +
-      s"|ai=$allowIncomplete|lb=$repairLookbackMinutes"
+      s"|ai=$allowIncomplete|lb=$repairLookbackMinutes" +
+      // cap joins the key only when set, so existing uncapped
+      // deployments keep their recorded tick state across the upgrade
+      (if (maxBucketsPerTick > 0) s"|cap=$maxBucketsPerTick" else "")
 
   /** Monotone watermark advance: repairing an OLD gap must never move a
     * symbol's watermark backward (that would make the next incremental
@@ -747,12 +757,13 @@ object AggregatorRunner {
                         htfRoot: String, spec: TimeframeSpec,
                         allowIncomplete: Boolean = false,
                         repairLookbackMinutes: Long = 120,
-                        sourceLedger: Option[PartitionLedger] = None)
+                        sourceLedger: Option[PartitionLedger] = None,
+                        maxBucketsPerTick: Int = 0)
       : IncrementalResult =
     incrementalAllExec(spark, reader, writer, state, htfRoot, spec,
       allowIncomplete, repairLookbackMinutes,
       sourceLedger.flatMap(sourceSnapshot), latestOverride = None,
-      sourceOverride = None)
+      sourceOverride = None, maxBucketsPerTick = maxBucketsPerTick)
 
   private def incrementalAllExec(
       spark: SparkSession, reader: MinuteLakeReader,
@@ -761,7 +772,8 @@ object AggregatorRunner {
       allowIncomplete: Boolean, repairLookbackMinutes: Long,
       snap: Option[SourceSnapshot],
       latestOverride: Option[Map[String, Instant]],
-      sourceOverride: Option[DataFrame]): IncrementalResult = {
+      sourceOverride: Option[DataFrame],
+      maxBucketsPerTick: Int = 0): IncrementalResult = {
     import spark.implicits._
     // ---- ledger gate (r16, forced by FleetTickProbe): if the minute
     // lake's partition ledger is bit-identical to what this tick's
@@ -771,12 +783,18 @@ object AggregatorRunner {
     // can complete no bucket and move no watermark). Skip at the cost
     // of one small file read, returning the last run's lag (data lag
     // is latest-vs-watermark; neither moved).
-    val key = tickKey(spec, allowIncomplete, repairLookbackMinutes)
+    val key = tickKey(spec, allowIncomplete, repairLookbackMinutes,
+      maxBucketsPerTick = maxBucketsPerTick)
     val stored = if (snap.isDefined) state.getTickState(key) else None
-    if (snap.isDefined && stored.exists(_.token == snap.get.token))
+    // a recorded pendingFrom means the last capped tick drained only
+    // part of its window — an unchanged token must NOT skip until the
+    // carried remainder is drained (VERDICT r16 #4)
+    if (snap.isDefined && stored.exists(st =>
+          st.token == snap.get.token && st.pendingFrom.isEmpty))
       return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
-    def recordTick(lag: Option[Long]): Unit = snap.foreach(s =>
-      state.setTickState(key, TickState(s.token, s.highWater, s.hwTies, lag)))
+    def recordTick(lag: Option[Long], pending: Option[Instant] = None): Unit =
+      snap.foreach(s => state.setTickState(key,
+        TickState(s.token, s.highWater, s.hwTies, lag, pending)))
     // Data-driven repair window (r16): the blind lookback exists to
     // catch late minutes landing behind the watermark — but the ledger
     // KNOWS where writes landed since the last tick. When every commit
@@ -802,23 +820,58 @@ object AggregatorRunner {
     val latest = latestOverride.getOrElse(
       reader.latestMinuteAllSymbols(spark, wmAll.keySet))
     if (latest.isEmpty) return IncrementalResult(0, 0, 0, 0, None)
+    // carried drain cursor: a previous capped tick stopped here — this
+    // tick's windows must pick up at it. On a PURE resume (unchanged
+    // token) the cursor IS the start: nothing landed since the cursor's
+    // tick accounted the whole backlog, so re-opening the blind
+    // lookback or the watermark rescue would re-scan ground the cursor
+    // already drained, and the cursor would never advance. When the
+    // token moved too, the window floor is the EARLIER of the cursor
+    // and the ledger-derived floor (old backlog ∪ new writes).
+    val resumeFloor = stored.flatMap(_.pendingFrom).map(spec.floorInstant)
+    val pureResume = resumeFloor.isDefined &&
+      snap.exists(s => stored.exists(_.token == s.token))
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
-      val repairStart = changedFloor.getOrElse(spec.floorInstant(
-        latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
-      val start = wmAll.get(sym.toUpperCase) match {
-        case Some(lastCompleted) =>
-          val next = spec.addBuckets(lastCompleted)
-          if (next.isBefore(repairStart)) next else repairStart
-        case None => repairStart
-      }
+      val start =
+        if (pureResume) resumeFloor.get
+        else {
+          val repairStart0 = changedFloor.getOrElse(spec.floorInstant(
+            latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
+          val repairStart =
+            resumeFloor.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
+          wmAll.get(sym.toUpperCase) match {
+            case Some(lastCompleted) =>
+              val next = spec.addBuckets(lastCompleted)
+              if (next.isBefore(repairStart)) next else repairStart
+            case None => repairStart
+          }
+        }
       (sym, start, latestMinute)
     }
+    // Bounded drain (VERDICT r16 #4): cap each symbol's window at
+    // `maxBucketsPerTick` buckets and carry the first un-drained
+    // bucket start forward as the next tick's cursor. A cold daemon
+    // behind a day of backlog then drains in budget-bounded polls
+    // (each ≤ cap buckets × width) instead of one 25-minute poll;
+    // cap = 0 keeps the uncapped single-poll drain.
+    val (drainBounds, pendingNext) =
+      if (maxBucketsPerTick <= 0) (boundsSeq, None)
+      else {
+        val capped = boundsSeq.map { case (sym, start, lm) =>
+          val capEnd = spec.addBuckets(start, maxBucketsPerTick)
+            .minus(1, ChronoUnit.MINUTES) // last minute of bucket cap-1
+          if (capEnd.isBefore(lm)) ((sym, start, capEnd), Some(spec.addBuckets(start, maxBucketsPerTick)))
+          else ((sym, start, lm), None)
+        }
+        (capped.map(_._1),
+          capped.flatMap(_._2).minByOption(_.toEpochMilli))
+      }
     // Completable-bucket gate, fleet-wide (see runIncremental): if NO
     // symbol's window can contain a complete bucket, the whole tick's
     // scan+aggregation would produce zero writable rows — skip it. The
     // check is O(symbols) driver arithmetic on the bounds already in
     // hand.
-    if (!allowIncomplete && boundsSeq.forall { case (_, start, lm) =>
+    if (!allowIncomplete && drainBounds.forall { case (_, start, lm) =>
           spec.latestCompleteBucketStart(lm).forall(_.isBefore(start)) }) {
       val perSymbolLag = boundsSeq.map { case (sym, _, lm) =>
         wmAll.get(sym.toUpperCase).map { lc =>
@@ -833,17 +886,18 @@ object AggregatorRunner {
       // this tick: nothing completable exists, so nothing ever will
       // until the ledger moves — record the token so the next poll
       // skips at file-read cost instead of re-deriving the gate
-      recordTick(lag)
+      // (with the drain cursor preserved if a cap truncated us here)
+      recordTick(lag, pendingNext)
       return IncrementalResult(0, 0, 0, 0, lag)
     }
-    val bounds = boundsSeq
+    val bounds = drainBounds
       .map { case (s, st, lt) =>
         (s, java.sql.Timestamp.from(st), java.sql.Timestamp.from(lt)) }
       .toDF("symbol", "__start", "__latest")
 
     // global bounds come from the driver-local seq — no Spark job needed
-    val globalLo = boundsSeq.map(_._2).minBy(_.toEpochMilli)
-    val globalHi = latest.values.maxBy(_.toEpochMilli)
+    val globalLo = drainBounds.map(_._2).minBy(_.toEpochMilli)
+    val globalHi = drainBounds.map(_._3).maxBy(_.toEpochMilli)
     val source = sourceOverride
       .getOrElse(reader.readWindowAllSymbols(spark, globalLo, globalHi).get)
       .join(broadcast(bounds), Seq("symbol"))
@@ -1012,7 +1066,7 @@ object AggregatorRunner {
       val lag =
         if (perSymbolLag.exists(_.isEmpty)) None
         else perSymbolLag.flatten.maxOption
-      recordTick(lag)
+      recordTick(lag, pendingNext)
       IncrementalResult(total, nWritten,
         if (allowIncomplete) 0L else total - nComplete, repaired, lag)
     } finally aggregated.unpersist()
@@ -1041,16 +1095,21 @@ object AggregatorRunner {
                    htfRoot: String, specs: Seq[TimeframeSpec],
                    sourceLedger: Option[PartitionLedger] = None,
                    allowIncomplete: Boolean = false,
-                   repairLookbackMinutes: Long = 120)
+                   repairLookbackMinutes: Long = 120,
+                   maxBucketsPerTick: Int = 0)
       : Seq[(String, IncrementalResult)] = {
     val snap = sourceLedger.flatMap(sourceSnapshot)
     val storedBy = specs.map { sp =>
       sp.name -> (if (snap.isDefined)
-        state.getTickState(tickKey(sp, allowIncomplete, repairLookbackMinutes))
+        state.getTickState(tickKey(sp, allowIncomplete, repairLookbackMinutes,
+          maxBucketsPerTick = maxBucketsPerTick))
       else None)
     }.toMap
+    // a spec with a carried drain cursor stays live on an unchanged
+    // token — its capped predecessor left backlog behind (r16 #4)
     val live = specs.filterNot(sp =>
-      snap.isDefined && storedBy(sp.name).exists(_.token == snap.get.token))
+      snap.isDefined && storedBy(sp.name).exists(st =>
+        st.token == snap.get.token && st.pendingFrom.isEmpty))
     if (live.isEmpty)
       return specs.map(sp => sp.name ->
         IncrementalResult(0, 0, 0, 0, storedBy(sp.name).flatMap(_.lagMinutes)))
@@ -1062,15 +1121,15 @@ object AggregatorRunner {
     val latestFor = if (latest.isEmpty) None else Some(latest)
 
     // shared source: the union of live windows. Window lo per spec =
-    // its changed-floor (or blind lookback), same math the per-spec
-    // core applies — computed here only to BOUND the shared read; the
+    // its changed-floor (or blind lookback, or its carried drain
+    // cursor), window hi = its capped end — same math the per-spec
+    // core applies, computed here only to BOUND the shared read; the
     // core re-narrows per spec via its bounds join. Calendar specs
     // floor to bucket starts, so only include specs whose gate could
     // pass (a mid-bucket 1M spec would otherwise drag the union back
     // to the month start for a scan it will never run).
     val shared: Option[DataFrame] = latestFor.flatMap { lm =>
-      val globalHi = lm.values.maxBy(_.toEpochMilli)
-      val los = live.flatMap { sp =>
+      val bounds = live.flatMap { sp =>
         val wmAll = state.getAll(sp.name)
         val cf = (for {
           s <- snap; st <- storedBy(sp.name); hw <- st.highWater
@@ -1078,25 +1137,43 @@ object AggregatorRunner {
           case ChangeFrom(lo) => Some(sp.floorInstant(lo))
           case _ => None
         }
-        val starts = lm.toSeq.map { case (sym, latestMinute) =>
-          val repairStart = cf.getOrElse(sp.floorInstant(
-            latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
-          wmAll.get(sym.toUpperCase) match {
-            case Some(lastCompleted) =>
-              val next = sp.addBuckets(lastCompleted)
-              if (next.isBefore(repairStart)) next else repairStart
-            case None => repairStart
+        val resume = storedBy(sp.name).flatMap(_.pendingFrom).map(sp.floorInstant)
+        val pureResume = resume.isDefined &&
+          snap.exists(s => storedBy(sp.name).exists(_.token == s.token))
+        val spans = lm.toSeq.map { case (sym, latestMinute) =>
+          val start = if (pureResume) resume.get else {
+            val repairStart0 = cf.getOrElse(sp.floorInstant(
+              latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
+            val repairStart =
+              resume.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
+            wmAll.get(sym.toUpperCase) match {
+              case Some(lastCompleted) =>
+                val next = sp.addBuckets(lastCompleted)
+                if (next.isBefore(repairStart)) next else repairStart
+              case None => repairStart
+            }
           }
+          val end =
+            if (maxBucketsPerTick <= 0) latestMinute
+            else {
+              val capEnd = sp.addBuckets(start, maxBucketsPerTick)
+                .minus(1, ChronoUnit.MINUTES)
+              if (capEnd.isBefore(latestMinute)) capEnd else latestMinute
+            }
+          (start, end)
         }
-        val gated = !allowIncomplete && lm.toSeq.zip(starts).forall {
-          case ((_, lmn), start) =>
-            sp.latestCompleteBucketStart(lmn).forall(_.isBefore(start))
+        val gated = !allowIncomplete && lm.toSeq.zip(spans).forall {
+          case ((_, _), (start, end)) =>
+            sp.latestCompleteBucketStart(end).forall(_.isBefore(start))
         }
-        if (gated) None else starts.minByOption(_.toEpochMilli)
+        if (gated) None
+        else Some((spans.map(_._1).minBy(_.toEpochMilli),
+          spans.map(_._2).maxBy(_.toEpochMilli)))
       }
-      los.minByOption(_.toEpochMilli).map { unionLo =>
-        reader.readWindowAllSymbols(spark, unionLo, globalHi).get.persist()
-      }
+      for {
+        unionLo <- bounds.map(_._1).minByOption(_.toEpochMilli)
+        unionHi <- bounds.map(_._2).maxByOption(_.toEpochMilli)
+      } yield reader.readWindowAllSymbols(spark, unionLo, unionHi).get.persist()
     }
     try {
       specs.map { sp =>
@@ -1104,7 +1181,8 @@ object AggregatorRunner {
           if (live.exists(_.name == sp.name))
             incrementalAllExec(spark, reader, writer, state, htfRoot, sp,
               allowIncomplete, repairLookbackMinutes, snap,
-              latestOverride = latestFor, sourceOverride = shared)
+              latestOverride = latestFor, sourceOverride = shared,
+              maxBucketsPerTick = maxBucketsPerTick)
           else IncrementalResult(0, 0, 0, 0,
             storedBy(sp.name).flatMap(_.lagMinutes)))
       }

@@ -157,6 +157,39 @@ object FleetTickProbe {
     fleetPoll("fleet-minute")
     fleetPoll("fleet-minute2") // and back to the skip path
 
+    // CAPPED catch-up (VERDICT r16 #4): land a multi-hour backlog, then
+    // drain it with bounded polls (`maxBucketsPerTick`) — every poll
+    // must fit the 30 s budget and the carried cursor must converge to
+    // the steady skip. The capped deployment keys its own tick state,
+    // so its first poll has no stored token — the watermark rescue
+    // (window opens at wm+1) still anchors it to the backlog start.
+    // Uncapped single-poll drain (the legs above) stays the default.
+    val backlogStart = minuteStart.plus(1, ChronoUnit.HOURS)
+    val backlogHours = 4L
+    val (_, backlogSecs) = timed {
+      writer.writeDaysWide(HtfDepthProbe.minutesFrame(
+        spark, width, backlogStart, backlogHours * 60L), merge = true)
+    }
+    println(f"[fleet] backlog landed (width=$width x ${backlogHours * 60} min) " +
+      f"in $backlogSecs%.1f s")
+    val cap = 20 // per symbol per spec — one hour of 3m buckets per poll
+    var polls = 0
+    var drained = false
+    while (!drained && polls < 20) {
+      val (results, total) = timed {
+        AggregatorRunner.runFleetTick(spark, reader, htf, state,
+          s"$root/htf", specs, sourceLedger = ledger, maxBucketsPerTick = cap)
+      }
+      polls += 1
+      val wrote = results.map(_._2.bucketsWritten).sum
+      val scanned = results.map(_._2.bucketsScanned).sum
+      drained = wrote == 0 && scanned == 0
+      println(f"[fleet] capped#$polls%-2d POLL TOTAL (12 specs)=$total%.2f s " +
+        f"scanned=$scanned written=$wrote (cap=$cap/symbol/spec, budget 30 s)")
+    }
+    println(f"[fleet] capped drain converged in $polls polls " +
+      f"(${backlogHours}h backlog)")
+
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)

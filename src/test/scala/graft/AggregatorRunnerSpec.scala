@@ -482,6 +482,50 @@ class AggregatorRunnerSpec extends SparkSpec {
       s"holed history ⇒ blind 120-min lookback, not a patch-tight window: $afterCompact")
   }
 
+  test("bounded drain (r16 #4): capped ticks scan ≤ cap buckets per poll, carry the cursor, and converge to a token skip") {
+    val (dir, mw, ledger, reader, hw, state) = wideEnv()
+    val lg = Some(ledger)
+    val spec = Timeframes.parse("5m")
+    def tick() = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = lg, maxBucketsPerTick = 20)
+    // day 1: 1000 dense minutes (00:00–16:39 → 200 5m buckets), indexed
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:00:00Z", 1000))
+    AggregatorRunner.runBackfillAll(spark, reader, hw, state, s"$dir/htf", spec)
+    // accounting polls under the capped deployment until steady
+    var guard = 0
+    while (tick().bucketsScanned > 0 && guard < 20) guard += 1
+    assert(tick() == AggregatorRunner.IncrementalResult(0, 0, 0, 0,
+      state.getTickState(s"5m|ai=false|lb=120|cap=20").get.lagMinutes),
+      "capped deployment reaches the steady token skip")
+    // a BIG late repair: minutes 00:04–08:03 rewritten (97 buckets of
+    // backlog) — the uncapped tick would drain it in one poll; the
+    // capped deployment must drain ≤20 buckets per poll and converge
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 500.0),
+      merge = true)
+    val polls = scala.collection.mutable.Buffer[AggregatorRunner.IncrementalResult]()
+    var steady = false
+    var i = 0
+    while (!steady && i < 15) {
+      val r = tick()
+      steady = r.bucketsScanned == 0 && r.bucketsWritten == 0
+      if (!steady) polls += r
+      i += 1
+    }
+    assert(steady, s"capped drain must converge: $polls")
+    assert(polls.forall(_.bucketsScanned <= 21),
+      s"every capped poll stays within budget: ${polls.map(_.bucketsScanned)}")
+    assert(polls.size >= 5, s"a 97-bucket backlog needs ≥5 polls at cap 20: ${polls.size}")
+    assert(polls.map(_.bucketsWritten).sum == 97L,
+      s"the drain repairs exactly the 97 patched buckets: ${polls.map(_.bucketsWritten)}")
+    // the repaired content landed (bucket 00:05's open = patched minute
+    // 00:05's open = 500 + 1)
+    val repaired = spark.read.parquet(s"$dir/htf/timeframe=5m")
+      .where(col("bucket_start") === ts("2026-01-01T00:05:00Z"))
+      .select("open").head.getDouble(0)
+    assert(repaired == 501.0, s"repaired bucket content: $repaired")
+  }
+
   test("changedSince compaction-guard boundary: a drop stamped exactly AT the high-water distrusts the version log (ADVICE r16 #2)") {
     import graft.sources.PartitionLedgerEntry
     def entry(at: String, pmin: String) = PartitionLedgerEntry(
