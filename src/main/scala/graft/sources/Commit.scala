@@ -162,9 +162,15 @@ class ManifestCommit(val graceMs: Long) extends CommitProtocol {
     // unique prefix in the first place".
     if (!fs.rename(new HPath(tmpDir), new HPath(dest, versionName)))
       throw new RuntimeException(s"version materialization failed for $destDir")
+    // ONE post-materialization listing serves sequence derivation,
+    // version GC, and the manifest-file sweep below (r17, forced by
+    // ManifestCostProbe: LISTs are billable on object stores and this
+    // method paid four per commit — two were re-listings of state only
+    // our own just-written objects could have changed)
+    val destEntries = fs.listStatus(dest)
     // next sequence counts EVERY manifest-named file, valid or torn —
     // a crash artifact at seq N must never collide with the retry
-    val manifestFiles = fs.listStatus(dest)
+    val manifestFiles = destEntries
       .filter(st => st.isFile && (st.getPath.getName == ManifestName ||
         st.getPath.getName.startsWith(ManifestPrefix)))
     val nextSeq = 1L +
@@ -229,17 +235,21 @@ class ManifestCommit(val graceMs: Long) extends CommitProtocol {
     }
     if (canAccount) {
       val keep = Set(versionName) ++ superseded.map(_._1)
-      fs.listStatus(dest).iterator
+      // destEntries predates only our own manifest PUT — the version
+      // dir population is exactly what a fresh LIST would return
+      destEntries.iterator
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
         .filterNot(s => keep.contains(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, true))
     }
     // superseded manifest files: tiny, kept one grace window past the
     // moment they stopped being newest (their successor's mtime), so a
-    // reader between list and read never loses its pick; always keep
-    // the newest (just written)
-    val manifests = fs.listStatus(dest)
-      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+    // reader between list and read never loses its pick. The
+    // just-written newest is absent from destEntries — equivalently
+    // kept: the previous newest's successor (it) has mtime ≈ now, so
+    // that pair never sweeps either.
+    val manifests = manifestFiles
+      .filter(s => s.getPath.getName.startsWith(ManifestPrefix))
       .sortBy(s => seqOf(s.getPath.getName))
     manifests.dropRight(1).zip(manifests.drop(1)).foreach {
       case (older, successor) =>

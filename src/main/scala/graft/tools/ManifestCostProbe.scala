@@ -73,13 +73,19 @@ object ManifestCostProbe {
         .withColumn("month", date_format(col("timestamp"), "MM"))
         .withColumn("day", date_format(col("timestamp"), "dd"))
         .withColumn("hour", date_format(col("timestamp"), "HH"))
-        .repartition(32)
-        .write.partitionBy("symbol", "year", "month", "day", "hour")
+        // cluster by the leading partition column: a round-robin
+        // repartition makes EVERY task write EVERY leaf (width × hours
+        // × tasks files — measured 674k files for a 24k-leaf lake)
+        .repartition(col("symbol"))
+        .write.mode("overwrite")
+        .partitionBy("symbol", "year", "month", "day", "hour")
         .option("compression", "zstd").parquet(stage)
     }
+    // scheme-free paths: globStatus returns file:-scheme URIs, which
+    // would survive the stage-prefix strip and nest the lake wrongly
     val leaves = fs.globStatus(
       new HPath(s"$stage/symbol=*/year=*/month=*/day=*/hour=*"))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toUri.getPath).sorted
     println(f"[mc] width=$width hours=$hours leaves=${leaves.length} " +
       f"build=$buildSecs%.1f s")
 
