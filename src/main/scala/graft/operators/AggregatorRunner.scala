@@ -95,17 +95,73 @@ object AggregatorRunner {
         }
       }
 
-    def setTickState(key: String, st: TickState): Unit = synchronized {
-      val updated = readTicks() + (key ->
-        s"${st.token}@${st.highWater.map(_.toString).getOrElse("-")}@${
-          st.hwTies}@${st.lagMinutes.map(_.toString).getOrElse("-")}@${
-          st.pendingFrom.map(_.toString).getOrElse("-")}")
+    private def writeTicks(updated: Map[String, String]): Unit = {
       val body = updated.toSeq.sorted
         .map { case (k, v) => s"""  "$k": "$v"""" }
         .mkString("{\n", ",\n", "\n}\n")
       committer.putState(tickFile, body.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     }
+
+    def setTickState(key: String, st: TickState): Unit = synchronized {
+      writeTicks(readTicks() + (key ->
+        s"${st.token}@${st.highWater.map(_.toString).getOrElse("-")}@${
+          st.hwTies}@${st.lagMinutes.map(_.toString).getOrElse("-")}@${
+          st.pendingFrom.map(_.toString).getOrElse("-")}"))
+    }
+
+    // ---- budget-derived cap (VERDICT r17 #4): running per-bucket
+    // cost estimate, EWMA'd from each poll's measured wall/scanned so
+    // the daemon sizes `maxBucketsPerTick` from a poll budget instead
+    // of hand math. One line in the tick file; its value never parses
+    // as a TickState, so pre-r18 readers skip it.
+    private val CostKey = "__cost_ms_per_bucket"
+    def getCostPerBucketMs: Option[Double] =
+      readTicks().get(CostKey).flatMap(_.toDoubleOption)
+    def setCostPerBucketMs(v: Double): Unit = synchronized {
+      writeTicks(readTicks() + (CostKey -> f"$v%.4f"))
+    }
+
+    // ---- per-symbol drain cursors (VERDICT r17 #3) ----
+    // An in-flight capped drain's resume points, one entry per symbol
+    // still pending, keyed "<tickKey>#<SYMBOL>". Same O(width) scale
+    // as the watermark file (worst case: every symbol mid-drain);
+    // replaced wholesale per capped poll and cleared on convergence.
+    // A symbol ABSENT from a tick key's non-empty map is DRAINED —
+    // its capped window reached its then-head.
+    private val drainFile = java.nio.file.Paths.get(dir, "drain_cursors.json")
+    private def readDrain(): Map[String, String] =
+      if (!java.nio.file.Files.exists(drainFile)) Map.empty
+      else """"([^"]+)"\s*:\s*"([^"]+)"""".r
+        .findAllMatchIn(java.nio.file.Files.readString(drainFile))
+        .map(m => m.group(1) -> m.group(2)).toMap
+
+    def getDrainCursors(key: String): Map[String, Instant] = {
+      val prefix = s"$key#"
+      readDrain().collect {
+        case (k, v) if k.startsWith(prefix) =>
+          scala.util.Try(Instant.parse(v)).toOption
+            .map(k.drop(prefix.length) -> _)
+      }.flatten.toMap
+    }
+
+    /** Replace `key`'s whole cursor block with `cursors` (empty map =
+      * drain converged: the block is dropped). One read + one atomic
+      * rewrite, O(width) — never call per symbol. */
+    def setDrainCursors(key: String, cursors: Map[String, Instant]): Unit =
+      synchronized {
+        val prefix = s"$key#"
+        val others = readDrain().filterNot(_._1.startsWith(prefix))
+        if (cursors.isEmpty && others.isEmpty &&
+            !java.nio.file.Files.exists(drainFile)) return // no file churn
+        val updated = others ++ cursors.map { case (sym, at) =>
+          s"$prefix${sym.toUpperCase}" -> at.toString }
+        val body = updated.toSeq.sorted
+          .map { case (k, v) => s"""  "$k": "$v"""" }
+          .mkString("{\n", ",\n", "\n}\n")
+        committer.putState(drainFile, body.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
   }
 
   /** What a completed incremental tick knew about the minute lake:
@@ -235,12 +291,17 @@ object AggregatorRunner {
   private def tickKey(spec: TimeframeSpec, allowIncomplete: Boolean,
                       repairLookbackMinutes: Long,
                       symbol: Option[String] = None,
-                      maxBucketsPerTick: Int = 0): String =
+                      maxBucketsPerTick: Int = 0,
+                      pollBudgetMs: Long = 0): String =
     s"${spec.name}${symbol.map("#" + _.toUpperCase).getOrElse("")}" +
       s"|ai=$allowIncomplete|lb=$repairLookbackMinutes" +
       // cap joins the key only when set, so existing uncapped
-      // deployments keep their recorded tick state across the upgrade
-      (if (maxBucketsPerTick > 0) s"|cap=$maxBucketsPerTick" else "")
+      // deployments keep their recorded tick state across the upgrade.
+      // A budget-derived deployment keys by the BUDGET, not the cap it
+      // realized this poll (the realized cap moves with the measured
+      // per-bucket cost — tokens and cursors must not fragment per poll)
+      (if (pollBudgetMs > 0) s"|budget=$pollBudgetMs"
+       else if (maxBucketsPerTick > 0) s"|cap=$maxBucketsPerTick" else "")
 
   /** Monotone watermark advance: repairing an OLD gap must never move a
     * symbol's watermark backward (that would make the next incremental
@@ -452,7 +513,24 @@ object AggregatorRunner {
   def runBackfill(spark: SparkSession, reader: MinuteLakeReader,
                   writer: HtfLakeWriter, state: AggregatorStateStore,
                   htfRoot: String, symbol: String, spec: TimeframeSpec,
-                  allowIncomplete: Boolean = false): BackfillResult = {
+                  allowIncomplete: Boolean = false): BackfillResult =
+    // Re-resolve-on-miss (VERDICT r17 #2): a backfill window/index read
+    // under ManifestCommit that outlives the grace window dies on a
+    // vanished `.v_*` dir; every read below resolves fresh per call, so
+    // re-running the pass re-resolves. The pass is re-run-SAFE as a
+    // whole: its writes are the engine's own repair contract — atomic
+    // per-partition publishes of recomputed content plus monotone
+    // watermark advance — so a retry converges to the identical state
+    // (the same property every scheduled re-run of this verb relies on).
+    graft.sources.ResolvedScan.retryOnVanishedVersion() {
+      runBackfillOnce(spark, reader, writer, state, htfRoot, symbol, spec,
+        allowIncomplete)
+    }
+
+  private def runBackfillOnce(spark: SparkSession, reader: MinuteLakeReader,
+                  writer: HtfLakeWriter, state: AggregatorStateStore,
+                  htfRoot: String, symbol: String, spec: TimeframeSpec,
+                  allowIncomplete: Boolean): BackfillResult = {
     val existing = scanExistingIndex(spark, htfRoot, spec.name, symbol,
       writer.committer)
     val missing = detectMissingBuckets(
@@ -509,7 +587,17 @@ object AggregatorRunner {
   def runBackfillAll(spark: SparkSession, reader: MinuteLakeReader,
                      writer: HtfLakeWriter, state: AggregatorStateStore,
                      htfRoot: String, spec: TimeframeSpec,
-                     allowIncomplete: Boolean = false): BackfillResult = {
+                     allowIncomplete: Boolean = false): BackfillResult =
+    // re-run-safe as a whole — see runBackfill's wrap rationale
+    graft.sources.ResolvedScan.retryOnVanishedVersion() {
+      runBackfillAllOnce(spark, reader, writer, state, htfRoot, spec,
+        allowIncomplete)
+    }
+
+  private def runBackfillAllOnce(spark: SparkSession, reader: MinuteLakeReader,
+                     writer: HtfLakeWriter, state: AggregatorStateStore,
+                     htfRoot: String, spec: TimeframeSpec,
+                     allowIncomplete: Boolean): BackfillResult = {
     val minutesOpt = reader.scanAllSymbols(spark)
     if (minutesOpt.isEmpty) return BackfillResult(0, 0, 0, 0)
 
@@ -615,6 +703,22 @@ object AggregatorRunner {
                      allowIncomplete: Boolean = false,
                      repairLookbackMinutes: Long = 120,
                      sourceLedger: Option[PartitionLedger] = None)
+      : IncrementalResult =
+    // gated ticks re-resolve on a vanished version (VERDICT r17 #2);
+    // re-run-safe as a whole — see runBackfill's wrap rationale (the
+    // tick IS the scheduled repair re-run: write-skip + atomic
+    // publishes + monotone watermarks make a retry converge)
+    graft.sources.ResolvedScan.retryOnVanishedVersion() {
+      runIncrementalOnce(spark, reader, writer, state, htfRoot, symbol,
+        spec, allowIncomplete, repairLookbackMinutes, sourceLedger)
+    }
+
+  private def runIncrementalOnce(spark: SparkSession, reader: MinuteLakeReader,
+                     writer: HtfLakeWriter, state: AggregatorStateStore,
+                     htfRoot: String, symbol: String, spec: TimeframeSpec,
+                     allowIncomplete: Boolean,
+                     repairLookbackMinutes: Long,
+                     sourceLedger: Option[PartitionLedger])
       : IncrementalResult = {
     // ledger gate + data-driven repair window — see incrementalAllExec
     // for the reasoning. The single-symbol tick additionally skips on
@@ -773,7 +877,29 @@ object AggregatorRunner {
       snap: Option[SourceSnapshot],
       latestOverride: Option[Map[String, Instant]],
       sourceOverride: Option[DataFrame],
-      maxBucketsPerTick: Int = 0): IncrementalResult = {
+      maxBucketsPerTick: Int = 0,
+      pollBudgetMs: Long = 0): IncrementalResult =
+    // gated fleet ticks re-resolve on a vanished version (VERDICT r17
+    // #2); re-run-safe as a whole — see runBackfill's wrap rationale.
+    // A caller-supplied sourceOverride is already eagerly pinned by
+    // runFleetTick (see its union-read materialization), so the retry
+    // never needs to re-resolve through a stale override plan.
+    graft.sources.ResolvedScan.retryOnVanishedVersion() {
+      incrementalAllOnce(spark, reader, writer, state, htfRoot, spec,
+        allowIncomplete, repairLookbackMinutes, snap, latestOverride,
+        sourceOverride, maxBucketsPerTick, pollBudgetMs)
+    }
+
+  private def incrementalAllOnce(
+      spark: SparkSession, reader: MinuteLakeReader,
+      writer: HtfLakeWriter, state: AggregatorStateStore,
+      htfRoot: String, spec: TimeframeSpec,
+      allowIncomplete: Boolean, repairLookbackMinutes: Long,
+      snap: Option[SourceSnapshot],
+      latestOverride: Option[Map[String, Instant]],
+      sourceOverride: Option[DataFrame],
+      maxBucketsPerTick: Int,
+      pollBudgetMs: Long = 0): IncrementalResult = {
     import spark.implicits._
     // ---- ledger gate (r16, forced by FleetTickProbe): if the minute
     // lake's partition ledger is bit-identical to what this tick's
@@ -784,7 +910,7 @@ object AggregatorRunner {
     // of one small file read, returning the last run's lag (data lag
     // is latest-vs-watermark; neither moved).
     val key = tickKey(spec, allowIncomplete, repairLookbackMinutes,
-      maxBucketsPerTick = maxBucketsPerTick)
+      maxBucketsPerTick = maxBucketsPerTick, pollBudgetMs = pollBudgetMs)
     val stored = if (snap.isDefined) state.getTickState(key) else None
     // a recorded pendingFrom means the last capped tick drained only
     // part of its window — an unchanged token must NOT skip until the
@@ -792,9 +918,17 @@ object AggregatorRunner {
     if (snap.isDefined && stored.exists(st =>
           st.token == snap.get.token && st.pendingFrom.isEmpty))
       return IncrementalResult(0, 0, 0, 0, stored.get.lagMinutes)
-    def recordTick(lag: Option[Long], pending: Option[Instant] = None): Unit =
-      snap.foreach(s => state.setTickState(key,
-        TickState(s.token, s.highWater, s.hwTies, lag, pending)))
+    def recordTick(lag: Option[Long], pending: Option[Instant] = None,
+                   cursors: Map[String, Instant] = Map.empty): Unit =
+      snap.foreach { s =>
+        // cursors land BEFORE the tick state: a crash between the two
+        // putStates must never leave a visible pendingFrom without its
+        // cursor map (the reverse — a stale cursor file under a
+        // cleared/absent pendingFrom — is ignored by construction)
+        state.setDrainCursors(key, if (pending.isEmpty) Map.empty else cursors)
+        state.setTickState(key,
+          TickState(s.token, s.highWater, s.hwTies, lag, pending))
+      }
     // Data-driven repair window (r16): the blind lookback exists to
     // catch late minutes landing behind the watermark — but the ledger
     // KNOWS where writes landed since the last tick. When every commit
@@ -831,14 +965,41 @@ object AggregatorRunner {
     val resumeFloor = stored.flatMap(_.pendingFrom).map(spec.floorInstant)
     val pureResume = resumeFloor.isDefined &&
       snap.exists(s => stored.exists(_.token == s.token))
+    // Per-symbol drain cursors (VERDICT r17 #3): the tick state's
+    // pendingFrom is the fleet-wide MIN of un-drained starts, and
+    // resuming EVERY symbol there re-scanned already-drained symbols
+    // on each capped poll (write-skipped, so correct — but the
+    // scan/aggregate cost recurred and skewed backlogs drained in more
+    // polls than needed). The cursor STORE carries each pending
+    // symbol's own first un-drained bucket start; a symbol ABSENT from
+    // a non-empty map is drained — its capped window reached its
+    // then-head, and a pure resume (unchanged token) means nothing
+    // landed since, so it scans nothing. An EMPTY map under a recorded
+    // pendingFrom is a pre-r18 in-flight drain: every symbol falls
+    // back to the global floor (the legacy shape).
+    val drainCursors: Map[String, Instant] =
+      if (resumeFloor.isDefined) state.getDrainCursors(key) else Map.empty
     val boundsSeq = latest.toSeq.map { case (sym, latestMinute) =>
+      val cursor = drainCursors.get(sym.toUpperCase)
       val start =
-        if (pureResume) resumeFloor.get
+        if (pureResume)
+          cursor.getOrElse(
+            if (drainCursors.nonEmpty)
+              // drained symbol: first bucket past its head — an empty
+              // window (its latest cannot reach it)
+              spec.addBuckets(spec.floorInstant(latestMinute))
+            else resumeFloor.get)
         else {
           val repairStart0 = changedFloor.getOrElse(spec.floorInstant(
             latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
+          // token moved mid-drain: the floor is the EARLIER of this
+          // symbol's own backlog cursor and the ledger-derived repair
+          // floor (old backlog ∪ new writes); a drained symbol (absent
+          // from a non-empty map) has only the new writes to cover
+          val drainFloor =
+            cursor.orElse(if (drainCursors.nonEmpty) None else resumeFloor)
           val repairStart =
-            resumeFloor.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
+            drainFloor.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
           wmAll.get(sym.toUpperCase) match {
             case Some(lastCompleted) =>
               val next = spec.addBuckets(lastCompleted)
@@ -854,8 +1015,9 @@ object AggregatorRunner {
     // behind a day of backlog then drains in budget-bounded polls
     // (each ≤ cap buckets × width) instead of one 25-minute poll;
     // cap = 0 keeps the uncapped single-poll drain.
-    val (drainBounds, pendingNext) =
-      if (maxBucketsPerTick <= 0) (boundsSeq, None)
+    val (drainBounds, pendingNext, nextCursors) =
+      if (maxBucketsPerTick <= 0)
+        (boundsSeq, None, Map.empty[String, Instant])
       else {
         val capped = boundsSeq.map { case (sym, start, lm) =>
           val capEnd = spec.addBuckets(start, maxBucketsPerTick)
@@ -864,7 +1026,11 @@ object AggregatorRunner {
           else ((sym, start, lm), None)
         }
         (capped.map(_._1),
-          capped.flatMap(_._2).minByOption(_.toEpochMilli))
+          capped.flatMap(_._2).minByOption(_.toEpochMilli),
+          // per-symbol resume points: pending symbols only — drained
+          // symbols leave the map, which IS their drained signal
+          capped.collect { case ((sym, _, _), Some(next)) =>
+            sym.toUpperCase -> next }.toMap)
       }
     // Completable-bucket gate, fleet-wide (see runIncremental): if NO
     // symbol's window can contain a complete bucket, the whole tick's
@@ -887,7 +1053,7 @@ object AggregatorRunner {
       // until the ledger moves — record the token so the next poll
       // skips at file-read cost instead of re-deriving the gate
       // (with the drain cursor preserved if a cap truncated us here)
-      recordTick(lag, pendingNext)
+      recordTick(lag, pendingNext, nextCursors)
       return IncrementalResult(0, 0, 0, 0, lag)
     }
     val bounds = drainBounds
@@ -1066,7 +1232,7 @@ object AggregatorRunner {
       val lag =
         if (perSymbolLag.exists(_.isEmpty)) None
         else perSymbolLag.flatten.maxOption
-      recordTick(lag, pendingNext)
+      recordTick(lag, pendingNext, nextCursors)
       IncrementalResult(total, nWritten,
         if (allowIncomplete) 0L else total - nComplete, repaired, lag)
     } finally aggregated.unpersist()
@@ -1096,13 +1262,18 @@ object AggregatorRunner {
                    sourceLedger: Option[PartitionLedger] = None,
                    allowIncomplete: Boolean = false,
                    repairLookbackMinutes: Long = 120,
-                   maxBucketsPerTick: Int = 0)
+                   maxBucketsPerTick: Int = 0,
+                   pollBudgetMs: Long = 0)
       : Seq[(String, IncrementalResult)] = {
+    val t0 = System.nanoTime()
+    // an explicit cap wins over a budget (the budget exists to replace
+    // hand-tuned caps, not to second-guess one the deployment chose)
+    val effBudget = if (maxBucketsPerTick > 0) 0L else pollBudgetMs
     val snap = sourceLedger.flatMap(sourceSnapshot)
     val storedBy = specs.map { sp =>
       sp.name -> (if (snap.isDefined)
         state.getTickState(tickKey(sp, allowIncomplete, repairLookbackMinutes,
-          maxBucketsPerTick = maxBucketsPerTick))
+          maxBucketsPerTick = maxBucketsPerTick, pollBudgetMs = effBudget))
       else None)
     }.toMap
     // a spec with a carried drain cursor stays live on an unchanged
@@ -1119,6 +1290,23 @@ object AggregatorRunner {
     val wmKeys = live.flatMap(sp => state.getAll(sp.name).keySet).toSet
     val latest = reader.latestMinuteAllSymbols(spark, wmKeys)
     val latestFor = if (latest.isEmpty) None else Some(latest)
+
+    // Budget-derived cap (VERDICT r17 #4): size maxBucketsPerTick from
+    // the poll budget and the RUNNING per-bucket cost estimate instead
+    // of the r17 annex's hand math (cap ≈ (budget − steady floor) /
+    // (width × live-specs × ms-per-bucket)). The estimate seeds at the
+    // r17-measured 0.15 ms/bucket and EWMAs toward each poll's actual
+    // wall/scanned below, so a deployment converges onto its own
+    // hardware's number within a couple of polls. Floor 1: convergence
+    // is cursor-guaranteed at ANY cap.
+    val effCap =
+      if (effBudget <= 0) maxBucketsPerTick
+      else {
+        val width = math.max(latest.size, 1)
+        val costMs = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
+        math.max(1, ((effBudget - SteadyFloorMs).toDouble /
+          (width.toDouble * math.max(live.size, 1) * costMs)).toInt)
+      }
 
     // shared source: the union of live windows. Window lo per spec =
     // its changed-floor (or blind lookback, or its carried drain
@@ -1140,12 +1328,29 @@ object AggregatorRunner {
         val resume = storedBy(sp.name).flatMap(_.pendingFrom).map(sp.floorInstant)
         val pureResume = resume.isDefined &&
           snap.exists(s => storedBy(sp.name).exists(_.token == s.token))
+        // per-symbol drain cursors (VERDICT r17 #3) — the union bound
+        // must not drag every symbol's window back to the fleet-wide
+        // cursor; same resume semantics as the per-spec core
+        val drainCursors: Map[String, Instant] =
+          if (resume.isDefined)
+            state.getDrainCursors(tickKey(sp, allowIncomplete,
+              repairLookbackMinutes, maxBucketsPerTick = maxBucketsPerTick,
+              pollBudgetMs = effBudget))
+          else Map.empty
         val spans = lm.toSeq.map { case (sym, latestMinute) =>
-          val start = if (pureResume) resume.get else {
+          val cursor = drainCursors.get(sym.toUpperCase)
+          val start = if (pureResume)
+            cursor.getOrElse(
+              if (drainCursors.nonEmpty)
+                sp.addBuckets(sp.floorInstant(latestMinute)) // drained
+              else resume.get)
+          else {
             val repairStart0 = cf.getOrElse(sp.floorInstant(
               latestMinute.minus(repairLookbackMinutes, ChronoUnit.MINUTES)))
+            val drainFloor =
+              cursor.orElse(if (drainCursors.nonEmpty) None else resume)
             val repairStart =
-              resume.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
+              drainFloor.filter(_.isBefore(repairStart0)).getOrElse(repairStart0)
             wmAll.get(sym.toUpperCase) match {
               case Some(lastCompleted) =>
                 val next = sp.addBuckets(lastCompleted)
@@ -1154,9 +1359,9 @@ object AggregatorRunner {
             }
           }
           val end =
-            if (maxBucketsPerTick <= 0) latestMinute
+            if (effCap <= 0) latestMinute
             else {
-              val capEnd = sp.addBuckets(start, maxBucketsPerTick)
+              val capEnd = sp.addBuckets(start, effCap)
                 .minus(1, ChronoUnit.MINUTES)
               if (capEnd.isBefore(latestMinute)) capEnd else latestMinute
             }
@@ -1173,21 +1378,66 @@ object AggregatorRunner {
       for {
         unionLo <- bounds.map(_._1).minByOption(_.toEpochMilli)
         unionHi <- bounds.map(_._2).maxByOption(_.toEpochMilli)
-      } yield reader.readWindowAllSymbols(spark, unionLo, unionHi).get.persist()
+      } yield {
+        if (!writer.committer.readThroughResolve)
+          // identity deployments: paths never vanish; keep the lazy
+          // persist (the first spec's tick materializes the cache)
+          reader.readWindowAllSymbols(spark, unionLo, unionHi).get.persist()
+        else
+          // manifest deployments (VERDICT r17 #2): the shared union
+          // plan has resolved `.v_*` paths baked in and is consumed by
+          // EVERY spec's tick — a version GC'd after the first tick
+          // materialized part of the cache would die inside a later
+          // tick, whose own retry cannot re-resolve a caller-owned
+          // plan. Materialize the cache eagerly INSIDE the retry (the
+          // same single parquet pass the first tick would have paid);
+          // later ticks read only the pinned cache.
+          graft.sources.ResolvedScan.retryOnVanishedVersion() {
+            val df = reader.readWindowAllSymbols(spark, unionLo, unionHi)
+              .get.persist()
+            try { df.count(); df }
+            catch { case e: Throwable => df.unpersist(); throw e }
+          }
+      }
     }
     try {
-      specs.map { sp =>
+      val results = specs.map { sp =>
         sp.name -> (
           if (live.exists(_.name == sp.name))
             incrementalAllExec(spark, reader, writer, state, htfRoot, sp,
               allowIncomplete, repairLookbackMinutes, snap,
               latestOverride = latestFor, sourceOverride = shared,
-              maxBucketsPerTick = maxBucketsPerTick)
+              maxBucketsPerTick = effCap, pollBudgetMs = effBudget)
           else IncrementalResult(0, 0, 0, 0,
             storedBy(sp.name).flatMap(_.lagMinutes)))
       }
+      // close the budget loop: EWMA the estimate toward this poll's
+      // measured wall/scanned so the next derived cap reflects the
+      // deployment's real hardware, not the seed. Clamped — one
+      // pathological poll (GC storm, cold page cache) must not blow
+      // the estimate out by orders of magnitude.
+      if (effBudget > 0) {
+        val scanned = results.map(_._2.bucketsScanned).sum
+        if (scanned > 0) {
+          val elapsedMs = (System.nanoTime() - t0) / 1e6
+          val measured = math.min(100.0, math.max(0.01,
+            math.max(elapsedMs - SteadyFloorMs, 1.0) / scanned))
+          val prev = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
+          state.setCostPerBucketMs(0.5 * prev + 0.5 * measured)
+        }
+      }
+      results
     } finally shared.foreach { df => df.unpersist(); () }
   }
+
+  /** Budget-derived cap constants (VERDICT r17 #4): the cost seed is
+    * the r17 FleetTickProbe measurement (0.11–0.18 ms per scanned
+    * bucket at width 10k × 12 specs on local[32]); the steady floor is
+    * the measured fixed per-poll overhead (ledger snapshot + latest
+    * scan + state writes) the cap math must reserve before spending
+    * the rest on buckets. */
+  private[graft] val DefaultBucketCostMs = 0.15
+  private[graft] val SteadyFloorMs = 6000L
 
   /** Partition-change detection (reference `aggregator/main.py:102-137`):
     * diff of partition-directory snapshots; any change re-triggers

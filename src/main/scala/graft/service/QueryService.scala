@@ -177,10 +177,27 @@ object QueryService {
     // readWindow resolves fresh on each attempt, so the retry restarts
     // the read against the current live version
     graft.sources.ResolvedScan.retryOnVanishedVersion() {
-      val df = reader.readWindow(spark, symbol, start, end)
-      val observed = df.select(countDistinct(col("timestamp"))).collect().head.getLong(0)
-      val expected = ChronoUnit.MINUTES.between(start, end) + 1
-      (df, WindowCoverage(expected, observed))
+      val df0 = reader.readWindow(spark, symbol, start, end)
+      // Under a resolving committer, PIN the window eagerly INSIDE the
+      // guard (r17 advice): callers consume the returned frame outside
+      // it (candle aggregation, indicator collects, rebuild merges), so
+      // a version GC'd after this returns would otherwise surface the
+      // raw FileNotFound this guard exists to absorb. The coverage
+      // count below scans the full window anyway — the pin is that same
+      // scan, cached; serving windows are API-bounded, and Spark's
+      // ContextCleaner unpersists the cache once the frame goes out of
+      // driver scope. Identity deployments stay fully lazy (their paths
+      // never vanish) — zero change to the local/HDFS hot path.
+      val df = if (reader.resolvesVersions) df0.persist() else df0
+      try {
+        val observed = df.select(countDistinct(col("timestamp"))).collect().head.getLong(0)
+        val expected = ChronoUnit.MINUTES.between(start, end) + 1
+        (df, WindowCoverage(expected, observed))
+      } catch {
+        case e: Throwable =>
+          if (reader.resolvesVersions) df.unpersist()
+          throw e
+      }
     }
 
   /** End-time resolution (reference `service.py:944-966`): an explicit

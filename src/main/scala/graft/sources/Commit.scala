@@ -138,8 +138,10 @@ object RenameCommit extends CommitProtocol {
   * entries early. `publish` checks for evidence of a second,
   * ahead-of-us publisher (history stamps / manifest mtimes in our
   * future) and warns loudly; new stamps are clamped monotone vs the
-  * recorded history so grace clocks never run backward. Readers that
-  * outlive the window re-resolve on miss ([[ResolvedScan
+  * recorded history (never backward) but capped at
+  * now + [[ManifestCommit.ClockSkewToleranceMs]] so one forged
+  * far-future stamp cannot defer GC for every later version. Readers
+  * that outlive the window re-resolve on miss ([[ResolvedScan
   * .retryOnVanishedVersion]]). */
 class ManifestCommit(val graceMs: Long) extends CommitProtocol {
   import ManifestCommit._
@@ -198,7 +200,17 @@ class ManifestCommit(val graceMs: Long) extends CommitProtocol {
         "future. The manifest protocol requires a SINGLE coordinator per " +
         "lake; a second publisher with a skewed clock can prematurely " +
         "expire grace entries and break readers mid-scan.")
-    val stampNow = math.max(now, histStamps.maxOption.getOrElse(0L))
+    // Monotone vs recorded history so grace clocks never run backward
+    // under benign mtime jitter — but CAPPED at now + tolerance (r17
+    // advice): a single forged/erroneous far-future stamp must not
+    // propagate into every subsequent superseded entry, or version GC
+    // defers fleet-wide until wall clock passes the skewed stamp.
+    // With the cap, only the skewed entry itself lingers (sweep stays
+    // conservative on recorded stamps) and GC recovers after one
+    // grace window for everything published after it.
+    val stampNow = math.min(
+      math.max(now, histStamps.maxOption.getOrElse(0L)),
+      now + ClockSkewToleranceMs)
     // superseded history: previous live joins it now; entries older
     // than the grace window leave it (their dirs are GC'd below)
     val superseded = previous match {
@@ -310,6 +322,9 @@ object ManifestCommit extends ManifestCommit(3600000L) {
                           superseded: Seq[(String, Long)]) extends ManifestState
   }
 
+  private[sources] def readFullyOf(fs: FileSystem, p: HPath): Option[String] =
+    readFully(fs, p)
+
   private def readFully(fs: FileSystem, p: HPath): Option[String] =
     try {
       val in = fs.open(p)
@@ -364,6 +379,200 @@ object ManifestCommit extends ManifestCommit(3600000L) {
   }
 }
 
+/** Day-batched manifest commit (VERDICT r17 #5) — the hourly-layout
+  * answer to ManifestCommit's measured per-leaf publish price (12.8 ms
+  * and one pointer PUT per leaf; 24k leaves = 307 s and 24k billable
+  * PUTs on the r17 ManifestCostProbe run).
+  *
+  * ONE manifest object per DAY directory names the live version of
+  * EVERY hour leaf under it:
+  *
+  * {{{
+  *   .../day=01/_MANIFEST.7        hour=00\t.v_ab12           (live)
+  *                                 hour=00\t.v_9f03\t<atMs>   (grace)
+  *                                 hour=01\t.v_c4d5
+  *                                 __COMPLETE__
+  *   .../day=01/hour=00/.v_ab12/part-*.parquet
+  * }}}
+  *
+  * [[publishBatch]] commits any number of hour leaves under one day
+  * with a SINGLE pointer PUT — a bulk hourly ingest of K leaves pays
+  * K version materializations + 1 PUT instead of K of each, cutting
+  * pointer PUTs (and their LIST fan-out) by the batch factor (~24× on
+  * day-grain ingest). The crash analysis is unchanged from
+  * [[ManifestCommit]]: every version materializes under a hidden
+  * unique prefix invisible until named, and the commit is one
+  * single-object PUT of a NEW sequence name — a crash before it leaves
+  * the previous day manifest (all leaves' previous versions) in force;
+  * after it, the new one. There is no torn window, per-leaf or
+  * cross-leaf: the batch lands atomically as a unit.
+  *
+  * Grace/GC semantics, sequence naming, sentinel-gated parsing, the
+  * single-coordinator constraint, clock-skew warning and the
+  * now+tolerance stamp cap all mirror [[ManifestCommit]] (same
+  * helpers). A corrupt newest-manifest day (no valid fallback) reads
+  * as nothing-published for EVERY leaf; a subsequent publish starts a
+  * fresh manifest naming only its own leaves and SKIPS version GC —
+  * unaccountable versions are never swept on guesswork (recovery is a
+  * manual repoint), exactly the per-leaf contract. */
+class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
+  import ManifestCommit.{ManifestName, ManifestPrefix, VersionPrefix,
+    Sentinel, ClockSkewToleranceMs, manifestName, seqOfName, readFullyOf}
+
+  override def readThroughResolve: Boolean = true
+
+  /** Loud-warning hook (overridable in tests). */
+  protected def warn(msg: String): Unit = System.err.println(msg)
+
+  def publish(fs: FileSystem, tmpDir: String, destDir: String): Unit =
+    publishBatch(fs, Seq(tmpDir -> destDir))
+
+  /** Commit every (tmpDir → leafDir) pair, ONE pointer PUT per
+    * distinct parent day directory. */
+  def publishBatch(fs: FileSystem, entries: Seq[(String, String)]): Unit =
+    entries.groupBy { case (_, dest) => new HPath(dest).getParent.toString }
+      .toSeq.sortBy(_._1)
+      .foreach { case (dayDir, group) => publishDay(fs, dayDir, group) }
+
+  private final case class DayState(
+      seq: Long, live: Map[String, String],
+      superseded: Seq[(String, String, Long)], corrupt: Boolean)
+
+  private def parseDayBody(txt: String, seq: Long,
+                           requireSentinel: Boolean): Option[DayState] = {
+    val lines = txt.split('\n').map(_.trim).filter(_.nonEmpty)
+    if (requireSentinel && !lines.lastOption.contains(Sentinel)) return None
+    val rows = lines.takeWhile(_ != Sentinel)
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    val hist = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    rows.foreach { l =>
+      l.split('\t') match {
+        case Array(leaf, v) if v.startsWith(VersionPrefix) =>
+          live(leaf) = v
+        case Array(leaf, v, at) if v.startsWith(VersionPrefix) =>
+          at.toLongOption.foreach(a => hist += ((leaf, v, a)))
+        case _ => return None // any unparseable row = torn body
+      }
+    }
+    Some(DayState(seq, live.toMap, hist.toSeq, corrupt = false))
+  }
+
+  private def manifestFilesOf(
+      entries: Array[org.apache.hadoop.fs.FileStatus]) =
+    entries.filter(st => st.isFile && (st.getPath.getName == ManifestName ||
+      st.getPath.getName.startsWith(ManifestPrefix)))
+      .filter(st => seqOfName(st.getPath.getName) >= 0)
+
+  private def readDayState(
+      fs: FileSystem, dayDir: HPath,
+      listed: Option[Array[org.apache.hadoop.fs.FileStatus]] = None): DayState = {
+    val entries = listed.getOrElse(
+      try fs.listStatus(dayDir)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] })
+    val manifests = manifestFilesOf(entries)
+      .sortBy(st => seqOfName(st.getPath.getName)).reverse
+    if (manifests.isEmpty)
+      return DayState(0L, Map.empty, Seq.empty, corrupt = false)
+    manifests.iterator
+      .flatMap { st =>
+        val n = st.getPath.getName
+        readFullyOf(fs, st.getPath).flatMap(
+          parseDayBody(_, seqOfName(n), requireSentinel = true))
+      }
+      .nextOption()
+      .getOrElse(DayState(seqOfName(manifests.head.getPath.getName),
+        Map.empty, Seq.empty, corrupt = true))
+  }
+
+  private def publishDay(fs: FileSystem, dayDir: String,
+                         group: Seq[(String, String)]): Unit = {
+    val day = new HPath(dayDir)
+    fs.mkdirs(day)
+    val dayEntries = fs.listStatus(day)
+    val prev = readDayState(fs, day, Some(dayEntries))
+    val manifestFiles = manifestFilesOf(dayEntries)
+    val nextSeq = 1L +
+      (manifestFiles.map(st => seqOfName(st.getPath.getName)) :+ prev.seq :+ 0L).max
+    // materialize every leaf's new version under its hidden prefix —
+    // nothing reads a version no manifest names, so a crash anywhere
+    // in this loop is invisible
+    val newVers = group.map { case (tmp, dest) =>
+      val destP = new HPath(dest)
+      fs.mkdirs(destP)
+      val vname = VersionPrefix +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      if (!fs.rename(new HPath(tmp), new HPath(destP, vname)))
+        throw new RuntimeException(s"version materialization failed for $dest")
+      destP.getName -> vname
+    }.toMap
+    // single-coordinator clock check + capped monotone stamp — same
+    // contract as ManifestCommit.publish
+    val now = System.currentTimeMillis()
+    val histStamps = prev.superseded.map(_._3)
+    val newestSeenMs =
+      (histStamps ++ manifestFiles.map(_.getModificationTime) :+ 0L).max
+    if (newestSeenMs > now + ClockSkewToleranceMs)
+      warn(s"[graft][DayManifestCommit] CLOCK SKEW at $dayDir: existing " +
+        s"manifest state is ${newestSeenMs - now} ms in this publisher's " +
+        "future. The manifest protocol requires a SINGLE coordinator per " +
+        "lake; a second publisher with a skewed clock can prematurely " +
+        "expire grace entries and break readers mid-scan.")
+    val stampNow = math.min(
+      math.max(now, histStamps.maxOption.getOrElse(0L)),
+      now + ClockSkewToleranceMs)
+    val superseded = (prev.superseded ++
+      newVers.keysIterator.flatMap(leaf =>
+        prev.live.get(leaf).map(v => (leaf, v, stampNow))))
+      .filter { case (_, _, atMs) => atMs + graceMs > now }
+    val live = prev.live ++ newVers
+    // THE commit: one pointer PUT for the whole batch
+    val body = ((live.toSeq.sortBy(_._1).map { case (l, v) => s"$l\t$v" } ++
+      superseded.map { case (l, v, a) => s"$l\t$v\t$a" })
+      :+ Sentinel).mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val out = fs.create(new HPath(day, manifestName(nextSeq)), false)
+    try out.write(body)
+    finally out.close()
+    // GC — only when the previous state was accountable, and only the
+    // TOUCHED leaves (untouched leaves cannot have gained garbage):
+    // delete version dirs named by nobody
+    if (!prev.corrupt) {
+      newVers.keysIterator.foreach { leaf =>
+        val keep = live.get(leaf).toSet ++
+          superseded.collect { case (`leaf`, v, _) => v }
+        val leafP = new HPath(day, leaf)
+        try fs.listStatus(leafP).iterator
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
+          .filterNot(s => keep.contains(s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, true))
+        catch { case _: java.io.FileNotFoundException => () }
+      }
+    }
+    // superseded manifest files: kept one grace window past the moment
+    // they stopped being newest (same rule as ManifestCommit)
+    val sortedManifests = manifestFiles
+      .filter(s => s.getPath.getName.startsWith(ManifestPrefix))
+      .sortBy(s => seqOfName(s.getPath.getName))
+    sortedManifests.dropRight(1).zip(sortedManifests.drop(1)).foreach {
+      case (older, successor) =>
+        if (successor.getModificationTime + graceMs < now)
+          fs.delete(older.getPath, false)
+    }
+  }
+
+  def resolve(fs: FileSystem, destDir: String): Option[String] = {
+    val dest = new HPath(destDir)
+    readDayState(fs, dest.getParent).live.get(dest.getName)
+      .map(v => s"$destDir/$v").filter(p => fs.exists(new HPath(p)))
+  }
+
+  def putState(path: NPath, bytes: Array[Byte]): Unit =
+    RenameCommit.putState(path, bytes)
+}
+
+/** Default-grace instance (one hour), mirroring [[ManifestCommit]]. */
+object DayManifestCommit extends DayManifestCommit(3600000L)
+
 /** Reader-side manifest resolution (r15 verdict #1): the walk that
   * turns a Hive-layout subtree into the list of COMMITTED content
   * directories a reader should hand to `spark.read.parquet`.
@@ -414,8 +623,16 @@ private[graft] object ResolvedScan {
     * "re-run the read" IS "re-resolve"); this combinator re-runs it so
     * the restarted read resolves the CURRENT live version and
     * completes correctly instead of dying on a raw FileNotFound.
-    * Reads are side-effect-free, so the retry is safe by construction;
-    * never wrap writes in it. */
+    * Reads are side-effect-free, so the retry is safe by construction.
+    * Never wrap non-idempotent writes in it; the aggregator's
+    * tick/backfill verbs ARE wrapped whole because they are re-run-safe
+    * by the engine's own repair contract (atomic per-partition
+    * publishes of recomputed content, fingerprint write-skip, monotone
+    * watermark advance — the identical guarantee every scheduled
+    * re-poll of those verbs already relies on). A short linear backoff
+    * separates
+    * attempts so a retry racing the same in-flight publish cannot
+    * burn every attempt in milliseconds (r17 advice). */
   def retryOnVanishedVersion[T](attempts: Int = 3)(body: => T): T = {
     var tries = 0
     while (true) {
@@ -423,21 +640,30 @@ private[graft] object ResolvedScan {
       catch {
         case e: Throwable if tries + 1 < attempts && versionVanished(e) =>
           tries += 1
+          Thread.sleep(RetryBackoffMs * tries)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** A vanished-version failure anywhere in the cause chain: the
-    * typed FileNotFoundException when Spark preserves it, else the
-    * stable message shapes task failures and plan-time listing races
-    * surface it as. */
+  private[sources] val RetryBackoffMs = 50L
+
+  /** A vanished-VERSION failure anywhere in the cause chain: a
+    * missing-path signal (typed FileNotFoundException when Spark
+    * preserves it, else the stable message shapes task failures and
+    * plan-time listing races surface it as) whose message NAMES a
+    * `.v_*` version path. Requiring the version marker keeps
+    * genuinely-missing paths (wrong root, never-written symbol/day)
+    * and unrelated analysis errors out of the retry loop (r17
+    * advice) — only manifest-resolved paths can vanish benignly. */
   private def versionVanished(t: Throwable): Boolean =
-    t != null && (t.isInstanceOf[java.io.FileNotFoundException] || {
+    t != null && ({
       val m = t.getMessage
-      m != null && (m.contains("FileNotFoundException") ||
-        m.contains("Path does not exist") ||
-        m.contains("does not exist"))
+      val missingPath = t.isInstanceOf[java.io.FileNotFoundException] ||
+        (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("Path does not exist") ||
+          m.contains("does not exist")))
+      missingPath && m != null && m.contains(ManifestCommit.VersionPrefix)
     } || versionVanished(t.getCause))
 
   /** Every committed content dir under `base`: descend `key=value`

@@ -150,7 +150,29 @@ class HtfLakeReader(root: String, committer: CommitProtocol = RenameCommit) {
 
   def readWindow(spark: SparkSession, timeframe: String, symbol: String,
                  start: Instant, end: Instant,
-                 completeOnly: Boolean = true): Option[DataFrame] = {
+                 completeOnly: Boolean = true): Option[DataFrame] =
+    if (!committer.readThroughResolve)
+      readWindowOnce(spark, timeframe, symbol, start, end, completeOnly)
+    else
+      // manifest deployment (VERDICT r17 #2): resolve + plan + PIN
+      // inside the re-resolve guard, so the returned frame's later
+      // consumption (bar serving, alignment joins) cannot die on a
+      // version GC'd after this returns. HTF windows are serving-
+      // bounded (limit × bucket width); ContextCleaner reclaims the
+      // cache when the frame leaves driver scope. Identity deployments
+      // (above) stay fully lazy — their paths never vanish.
+      ResolvedScan.retryOnVanishedVersion() {
+        readWindowOnce(spark, timeframe, symbol, start, end, completeOnly)
+          .map { df =>
+            val pinned = df.persist()
+            try { pinned.count(); pinned }
+            catch { case e: Throwable => pinned.unpersist(); throw e }
+          }
+      }
+
+  private def readWindowOnce(spark: SparkSession, timeframe: String,
+                 symbol: String, start: Instant, end: Instant,
+                 completeOnly: Boolean): Option[DataFrame] = {
     val d = dir(timeframe, symbol)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val base =
@@ -218,6 +240,13 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None,
     * wide layout never needs this: its bulk writes commit through
     * Hadoop's committer and its deltas are append-only (§4.1). */
   private def mustResolve: Boolean = committer.readThroughResolve
+
+  /** Whether this reader's plans carry manifest-resolved `.v_*` paths
+    * that a later publish can GC mid-scan — serving layers use this to
+    * decide when a returned frame must be pinned eagerly inside a
+    * [[ResolvedScan.retryOnVanishedVersion]] guard (r17 advice).
+    * Identity deployments return false: their paths never vanish. */
+  def resolvesVersions: Boolean = committer.readThroughResolve
 
   private def hasData(spark: SparkSession): Boolean = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)

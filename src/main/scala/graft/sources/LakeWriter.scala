@@ -75,6 +75,64 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
                                 keys: Seq[String]): DataFrame =
     MinuteLakeWriter.mergeKeyed(existing, fresh, keys)
 
+  /** Bulk hourly ingest (VERDICT r17 #5): merge+stage every hour, then
+    * commit the batch — under [[DayManifestCommit]] ONE pointer PUT per
+    * touched day instead of one per hour leaf (the r17 ManifestCostProbe
+    * priced per-leaf publish at 12.8 ms and one billable PUT per leaf;
+    * a 24-hour day batches to 1/24th the PUTs). Identity and per-leaf
+    * manifest committers publish leaf-by-leaf through the same staging
+    * (same result, per-leaf cost). Merge semantics, DQ validation, and
+    * ledger bookkeeping are exactly [[writeHourPartition]]'s; the
+    * day-wide layout has no hour leaves to batch and delegates. */
+  def writeHourPartitionsBatched(symbol: String,
+      hours: Seq[(Instant, DataFrame)]): Seq[String] = {
+    if (hours.isEmpty) return Seq.empty
+    layout match {
+      case LakeLayout.DayWide(_) =>
+        return hours.map { case (h, f) => writeHourPartition(symbol, h, f) }
+      case LakeLayout.HourlySymbol => ()
+    }
+    val spark = hours.head._2.sparkSession
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val staged = hours.map { case (hourStart, frame) =>
+      val finalDir = partitionDir(symbol, hourStart)
+      val existingDir = committer.resolve(fs, finalDir)
+        .filter(d => fs.listStatus(new HPath(d)).exists(_.isFile))
+      val effective = existingDir match {
+        case Some(d) => mergePartitionFrames(spark.read.parquet(d), frame)
+        case None    => frame
+      }
+      val dq = DQValidator.validate(effective)
+      val tmpDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      effective.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(tmpDir)
+      (hourStart, finalDir, tmpDir, dq)
+    }
+    committer match {
+      case b: DayManifestCommit =>
+        b.publishBatch(fs, staged.map(s => s._3 -> s._2))
+      case c =>
+        staged.foreach(s => c.publish(fs, s._3, s._2))
+    }
+    staged.map { case (hourStart, finalDir, _, dq) =>
+      ledger.upsert(PartitionLedgerEntry(
+        symbol = symbol.toUpperCase,
+        day = hourStart.atZone(ZoneOffset.UTC).toLocalDate.toString,
+        hour = hourStart.atZone(ZoneOffset.UTC).getHour,
+        path = finalDir,
+        rowCount = dq.rowCount,
+        minTs = dq.minTs,
+        maxTs = dq.maxTs,
+        schemaHash = CanonicalSchema.schemaHash,
+        status = "COMMITTED",
+        committedAtUtc = Instant.now.toString,
+        contentHash = MinuteLakeWriter.contentHashOfDir(fs,
+          committer.resolve(fs, finalDir).getOrElse(finalDir))))
+      finalDir
+    }
+  }
+
   /** Write (merge if present) one symbol-hour partition. Atomicity =
     * write to `.tmp/<uuid>` then rename over the final directory — the
     * same tmp+replace choreography as `atomic.py:38-44`. */

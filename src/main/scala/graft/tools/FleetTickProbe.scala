@@ -190,6 +190,39 @@ object FleetTickProbe {
     println(f"[fleet] capped drain converged in $polls polls " +
       f"(${backlogHours}h backlog)")
 
+    // Budget-derived cap (VERDICT r17 #4): land ANOTHER backlog and let
+    // the daemon size the cap itself from a 30 s poll budget — the cap
+    // derives from (budget − steady floor) / (width × live-specs ×
+    // cost-estimate), and the estimate EWMAs toward each poll's
+    // measured wall/scanned, so no hand math. Every capped poll should
+    // land around the budget without tuning; convergence is
+    // cursor-guaranteed regardless.
+    val budget2Start = backlogStart.plus(backlogHours, ChronoUnit.HOURS)
+    val (_, backlog2Secs) = timed {
+      writer.writeDaysWide(HtfDepthProbe.minutesFrame(
+        spark, width, budget2Start, backlogHours * 60L), merge = true)
+    }
+    println(f"[fleet] second backlog landed in $backlog2Secs%.1f s " +
+      "(budget-derived-cap leg)")
+    val budgetMs = 30000L
+    var bpolls = 0
+    var bdrained = false
+    while (!bdrained && bpolls < 40) {
+      val (results, total) = timed {
+        AggregatorRunner.runFleetTick(spark, reader, htf, state,
+          s"$root/htf", specs, sourceLedger = ledger, pollBudgetMs = budgetMs)
+      }
+      bpolls += 1
+      val wrote = results.map(_._2.bucketsWritten).sum
+      val scanned = results.map(_._2.bucketsScanned).sum
+      bdrained = wrote == 0 && scanned == 0
+      val est = state.getCostPerBucketMs.getOrElse(-1.0)
+      println(f"[fleet] budget#$bpolls%-2d POLL TOTAL (12 specs)=$total%.2f s " +
+        f"scanned=$scanned written=$wrote " +
+        f"(budget=${budgetMs / 1000} s, cost-est=$est%.3f ms/bucket)")
+    }
+    println(f"[fleet] budget-capped drain converged in $bpolls polls")
+
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.AggregatorRunner
 import graft.operators.AggregatorRunner.AggregatorStateStore
 import graft.schema.Timeframes
-import graft.sources.{CommitProtocol, HtfLakeWriter, LakeLayout, ManifestCommit,
-  MinuteLakeReader, MinuteLakeWriter, PartitionLedger, RenameCommit}
+import graft.sources.{CommitProtocol, DayManifestCommit, HtfLakeWriter,
+  LakeLayout, ManifestCommit, MinuteLakeReader, MinuteLakeWriter,
+  PartitionLedger, RenameCommit}
 
 /** Prices the ManifestCommit deployment END-TO-END (VERDICT r16 #2):
   * every leg runs twice — identity committer ([[RenameCommit]]) vs
@@ -98,23 +99,32 @@ object ManifestCostProbe {
       dst.toString
     }
 
+    // day-batched committers publish whole (tmp → dest) batches with
+    // one pointer PUT per touched day dir (VERDICT r17 #5); the others
+    // keep their per-leaf loop
+    def publishAll(committer: CommitProtocol,
+                   pairs: Seq[(String, String)]): Unit = committer match {
+      case b: DayManifestCommit => b.publishBatch(fs, pairs)
+      case c => pairs.foreach { case (tmp, dest) => c.publish(fs, tmp, dest) }
+    }
+
     val results = Seq[(String, CommitProtocol)](
-      "identity" -> RenameCommit, "manifest" -> ManifestCommit).map {
+      "identity" -> RenameCommit, "manifest" -> ManifestCommit,
+      "day-batch" -> DayManifestCommit).map {
       case (label, committer) =>
         val root = java.nio.file.Files.createTempDirectory(s"graft-mc-$label").toString
         val lakeDir = s"$root/futures/um/minute"
 
-        // leg 1: per-leaf publish of every staged leaf (tmp copies so
-        // the stage survives for the second committer)
+        // leg 1: publish of every staged leaf (tmp copies so the stage
+        // survives for the later committers)
         val tmpRoot = java.nio.file.Files.createTempDirectory(s"graft-mc-tmp").toString
         val copies = leaves.map(copyLeafTo(tmpRoot, _))
         val (_, pubSecs) = timed {
-          copies.foreach { c =>
-            val dest = s"$lakeDir/${c.stripPrefix(tmpRoot).stripPrefix("/")}"
-            committer.publish(fs, c, dest)
-          }
+          publishAll(committer, copies.map { c =>
+            c -> s"$lakeDir/${c.stripPrefix(tmpRoot).stripPrefix("/")}"
+          })
         }
-        println(f"[mc] $label%-8s publish     ${leaves.length} leaves " +
+        println(f"[mc] $label%-9s publish     ${leaves.length} leaves " +
           f"wall=$pubSecs%7.1f s (${pubSecs * 1000 / leaves.length}%6.2f ms/leaf)")
 
         // leg 2: re-publish ONE day's leaves over the live versions
@@ -123,13 +133,12 @@ object ManifestCostProbe {
         val reTmp = java.nio.file.Files.createTempDirectory("graft-mc-re").toString
         val recopies = day1Leaves.map(copyLeafTo(reTmp, _))
         val (_, repubSecs) = timed {
-          recopies.zip(day1Leaves).foreach { case (c, l) =>
-            val dest = s"$lakeDir/${l.stripPrefix(stage).stripPrefix("/")}"
-            committer.publish(fs, c, dest)
-          }
+          publishAll(committer, recopies.zip(day1Leaves).map { case (c, l) =>
+            c -> s"$lakeDir/${l.stripPrefix(stage).stripPrefix("/")}"
+          })
         }
         fs.delete(new HPath(reTmp), true)
-        println(f"[mc] $label%-8s re-publish  ${day1Leaves.length} leaves " +
+        println(f"[mc] $label%-9s re-publish  ${day1Leaves.length} leaves " +
           f"wall=$repubSecs%7.1f s (${repubSecs * 1000 / day1Leaves.length}%6.2f ms/leaf)")
 
         val reader = new MinuteLakeReader(root, committer = committer)
@@ -140,13 +149,13 @@ object ManifestCostProbe {
             Day1.plus(2, ChronoUnit.HOURS),
             Day1.plus(5, ChronoUnit.HOURS).minusSeconds(60)).get.count()
         }
-        println(f"[mc] $label%-8s read-3h     rows=$n3 wall=$readSecs%7.1f s")
+        println(f"[mc] $label%-9s read-3h     rows=$n3 wall=$readSecs%7.1f s")
 
         // leg 4: latest-minute scan (tick prelude)
         val (latest, latestSecs) = timed {
           reader.latestMinuteAllSymbols(spark)
         }
-        println(f"[mc] $label%-8s latest-scan syms=${latest.size} " +
+        println(f"[mc] $label%-9s latest-scan syms=${latest.size} " +
           f"wall=$latestSecs%7.1f s")
 
         // leg 5: one incremental 15m tick — identity bulk HTF write vs
@@ -157,7 +166,7 @@ object ManifestCostProbe {
           AggregatorRunner.runIncrementalAll(spark, reader, htf, state,
             s"$root/htf", Timeframes.parse("15m"))
         }
-        println(f"[mc] $label%-8s tick-15m    written=${tick.bucketsWritten} " +
+        println(f"[mc] $label%-9s tick-15m    written=${tick.bucketsWritten} " +
           f"wall=$tickSecs%7.1f s")
 
         fs.delete(new HPath(root), true)
@@ -167,11 +176,13 @@ object ManifestCostProbe {
     fs.delete(new HPath(stage), true)
 
     val id = results.head
-    val mc = results.last
-    println("[mc] ---- identity vs manifest (ratio) ----")
-    println(f"[mc] publish    ${mc._2 / id._2}%5.2fx  re-publish ${mc._3 / id._3}%5.2fx  " +
-      f"read-3h ${mc._4 / id._4}%5.2fx  latest ${mc._5 / id._5}%5.2fx  " +
-      f"tick ${mc._6 / id._6}%5.2fx")
+    println("[mc] ---- ratios vs identity ----")
+    results.tail.foreach { r =>
+      println(f"[mc] ${r._1}%-9s publish ${r._2 / id._2}%5.2fx  " +
+        f"re-publish ${r._3 / id._3}%5.2fx  " +
+        f"read-3h ${r._4 / id._4}%5.2fx  latest ${r._5 / id._5}%5.2fx  " +
+        f"tick ${r._6 / id._6}%5.2fx")
+    }
     spark.stop()
   }
 }

@@ -526,6 +526,99 @@ class AggregatorRunnerSpec extends SparkSpec {
     assert(repaired == 501.0, s"repaired bucket content: $repaired")
   }
 
+  test("per-symbol drain cursor (r17 #3): skewed backlogs — a drained symbol scans ZERO on resume polls while the long one drains") {
+    val (dir, mw, ledger, reader, hw, state) = wideEnv()
+    val lg = Some(ledger)
+    val spec = Timeframes.parse("5m")
+    def symMinutes(s: String, startIso: String, n: Int, base: Double = 100.0) =
+      canonicalMinutes(startIso, n, base).withColumn("symbol", lit(s))
+    def tick() = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec, sourceLedger = lg, maxBucketsPerTick = 20)
+    // heterogeneous frontiers: AAA indexed to its head (16:35), BBB
+    // indexed only through 08:35 — then BBB's remaining 8 h lands, so
+    // the capped deployment wakes COLD (no token under the cap key)
+    // with AAA ~25 lookback-buckets behind and BBB 96 behind
+    mw.writeDaysWide(symMinutes("AAAUSDT", "2026-01-01T00:00:00Z", 1000)
+      .unionByName(symMinutes("BBBUSDT", "2026-01-01T00:00:00Z", 520)))
+    AggregatorRunner.runBackfillAll(spark, reader, hw, state, s"$dir/htf", spec)
+    Thread.sleep(10)
+    mw.writeDaysWide(symMinutes("BBBUSDT", "2026-01-01T08:40:00Z", 480, 500.0),
+      merge = true)
+    val polls = scala.collection.mutable.Buffer[AggregatorRunner.IncrementalResult]()
+    var steady = false
+    var i = 0
+    while (!steady && i < 15) {
+      val r = tick()
+      steady = r.bucketsScanned == 0 && r.bucketsWritten == 0
+      if (!steady) polls += r
+      i += 1
+    }
+    assert(steady, s"skewed capped drain must converge: $polls")
+    // AAA drains within two polls (blind-lookback window ≈ 25 buckets);
+    // from poll 3 on, every poll is BBB alone — ≤ 21 buckets, where the
+    // r17 fleet-wide cursor restarted AAA at BBB's frontier and scanned
+    // ~40 per poll re-aggregating AAA's already-drained ground
+    assert(polls.size >= 5, s"96-bucket backlog at cap 20: ${polls.size}")
+    assert(polls.drop(2).forall(_.bucketsScanned <= 21),
+      s"drained AAA must scan zero on resume polls: ${polls.map(_.bucketsScanned)}")
+    // exactly BBB's 96 fresh complete buckets get written; AAA's
+    // lookback re-scan is fully write-skipped
+    assert(polls.map(_.bucketsWritten).sum == 96L,
+      s"writes = BBB's patched buckets only: ${polls.map(_.bucketsWritten)}")
+    // cursor store cleared on convergence
+    assert(state.getDrainCursors("5m|ai=false|lb=120|cap=20").isEmpty,
+      "converged drain must clear its cursor block")
+    // the drained content landed (BBB bucket 08:40 open = 500+0... its
+    // first patched minute)
+    val landed = spark.read.parquet(s"$dir/htf/timeframe=5m")
+      .where(col("symbol") === "BBBUSDT" &&
+        col("bucket_start") === ts("2026-01-01T08:40:00Z"))
+      .select("open").head.getDouble(0)
+    assert(landed == 500.0, s"BBB repaired bucket content: $landed")
+  }
+
+  test("budget-derived cap (r17 #4): the daemon sizes the cap from the poll budget and adapts its cost estimate, convergence intact") {
+    val (dir, mw, ledger, reader, hw, state) = wideEnv()
+    val lg = Some(ledger)
+    val spec = Timeframes.parse("5m")
+    def tick() = AggregatorRunner.runFleetTick(spark, reader, hw, state,
+      s"$dir/htf", Seq(spec), sourceLedger = lg, pollBudgetMs = 6750)
+      .head._2
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:00:00Z", 1000))
+    AggregatorRunner.runBackfillAll(spark, reader, hw, state, s"$dir/htf", spec)
+    var guard = 0
+    while (tick().bucketsScanned > 0 && guard < 30) guard += 1
+    // seed a deliberately-pessimistic cost estimate: 40 ms/bucket at a
+    // 6.75 s budget (6 s steady floor) derives cap = 750/40 = 18
+    state.setCostPerBucketMs(40.0)
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 900.0),
+      merge = true)
+    val polls = scala.collection.mutable.Buffer[AggregatorRunner.IncrementalResult]()
+    var steady = false
+    var i = 0
+    while (!steady && i < 30) {
+      val r = tick()
+      steady = r.bucketsScanned == 0 && r.bucketsWritten == 0
+      if (!steady) polls += r
+      i += 1
+    }
+    assert(steady, s"budget-capped drain must converge: $polls")
+    // poll 1 honors the derived cap (18 buckets + the boundary bucket)
+    assert(polls.head.bucketsScanned <= 19,
+      s"first poll must respect the seeded-cost cap: ${polls.map(_.bucketsScanned)}")
+    assert(polls.map(_.bucketsWritten).sum == 97L,
+      s"the drain repairs exactly the 97 patched buckets: ${polls.map(_.bucketsWritten)}")
+    // the estimate adapted toward the measured (much cheaper) reality,
+    // so later polls were allowed bigger caps — no hand-tuning needed
+    val adapted = state.getCostPerBucketMs.get
+    assert(adapted < 40.0, s"cost estimate must EWMA toward measurement: $adapted")
+    // the steady token lives under the BUDGET key (the realized cap
+    // varies per poll and must not fragment tick state)
+    assert(state.getTickState("5m|ai=false|lb=120|budget=6750").isDefined,
+      "budget deployments key tick state by the budget")
+  }
+
   test("changedSince compaction-guard boundary: a drop stamped exactly AT the high-water distrusts the version log (ADVICE r16 #2)") {
     import graft.sources.PartitionLedgerEntry
     def entry(at: String, pmin: String) = PartitionLedgerEntry(

@@ -486,7 +486,7 @@ class CommitSeamSpec extends SparkSpec {
       .contains(Set("AAAUSDT", "BBBUSDT")))
   }
 
-  test("single-coordinator clock pin (r16 #5): a publisher behind the recorded history warns loudly and keeps grace stamps monotone") {
+  test("single-coordinator clock pin (r16 #5 + r17 advice): a publisher behind the recorded history warns loudly; new stamps are capped at now + tolerance") {
     val root = Files.createTempDirectory("graft-seam-clock").toString
     val dest = s"$root/data/part=a"
     val fs = localFs()
@@ -506,7 +506,9 @@ class CommitSeamSpec extends SparkSpec {
     val forged = fs.create(new HPath(dest, "_MANIFEST.3"), false)
     try forged.write(s"$v2\n$v1\t$future\n__COMPLETE__".getBytes("UTF-8"))
     finally forged.close()
+    val beforePublish = System.currentTimeMillis()
     mc.publish(fs, stage(root, Seq(3)), dest)
+    val afterPublish = System.currentTimeMillis()
     assert(warnings.nonEmpty && warnings.head.contains("CLOCK SKEW"),
       s"future-stamped history must trip the loud warning: $warnings")
     // the future-stamped version survives (no premature sweep), and the
@@ -525,8 +527,17 @@ class CommitSeamSpec extends SparkSpec {
     }
     val v2Stamp = body.split('\n').map(_.trim)
       .collectFirst { case l if l.startsWith(v2 + "\t") => l.split('\t')(1).toLong }
-    assert(v2Stamp.exists(_ >= future),
-      s"supersession stamps must stay monotone vs recorded history: $v2Stamp vs $future")
+    // r17 advice: the new stamp must NOT inherit the forged hour-future
+    // stamp (that would defer GC for every later version until wall
+    // clock passes it) — it is capped at now + ClockSkewToleranceMs,
+    // and never runs backward vs the publisher's own clock
+    assert(v2Stamp.exists(s => s >= beforePublish &&
+        s <= afterPublish + 5000L),
+      s"new supersession stamp must be capped at now + tolerance, not " +
+        s"inherit the forged future stamp: $v2Stamp vs forged $future")
+    // the forged entry itself still rides the history (no early sweep)
+    assert(body.contains(s"$v1\t$future"),
+      s"forged grace entry must survive conservatively in history: $body")
   }
 
   test("re-resolve-on-miss (r16 #6): a reader whose version is GC'd mid-scan completes against the new version") {
@@ -552,5 +563,260 @@ class CommitSeamSpec extends SparkSpec {
     }
     assert(attempts == 2, s"first attempt must fail vanished, second resolve fresh: $attempts")
     assert(rows == Seq(7, 8))
+  }
+
+  test("retry match is version-scoped (r17 advice): a genuinely-missing path never retries; a vanished .v_ path does, with backoff") {
+    var plainTries = 0
+    intercept[java.io.FileNotFoundException] {
+      ResolvedScan.retryOnVanishedVersion() {
+        plainTries += 1
+        throw new java.io.FileNotFoundException("/lake/symbol=X/day=01")
+      }
+    }
+    assert(plainTries == 1,
+      s"wrong-root / never-written paths must surface immediately: $plainTries")
+    var versionTries = 0
+    val t0 = System.nanoTime()
+    intercept[java.io.FileNotFoundException] {
+      ResolvedScan.retryOnVanishedVersion() {
+        versionTries += 1
+        throw new java.io.FileNotFoundException(
+          "/lake/symbol=X/day=01/.v_abc123/part-0.parquet does not exist")
+      }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(versionTries == 3, s"version-dir misses retry to exhaustion: $versionTries")
+    // linear backoff (50ms, 100ms) separates attempts so a retry racing
+    // an in-flight publish cannot burn every attempt in milliseconds
+    assert(elapsedMs >= 140,
+      s"attempts must be separated by the backoff, took ${elapsedMs}ms")
+  }
+
+  test("gated tick whose resolved version is GC'd mid-read completes against the live version (r17 #2)") {
+    import graft.operators.AggregatorRunner
+    import graft.operators.AggregatorRunner.AggregatorStateStore
+    import graft.schema.Timeframes
+    import java.time.Instant
+
+    def canonicalMinutes(startIso: String, n: Int) = {
+      val start = instant(startIso)
+      val rows = (0 until n).map { i =>
+        (java.sql.Timestamp.from(start.plusSeconds(60L * i)),
+          100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 1.0, 100000.0)
+      }.toDF("timestamp", "open", "high", "low", "close", "volume_btc", "volume_usdt")
+      MinuteBuilder.finalizeSchema(rows
+        .withColumn("trade_count", lit(10L))
+        .withColumn("mark_price_open", lit(100.0))
+        .withColumn("mark_price_close", lit(100.5))
+        .withColumn("index_price_open", lit(100.0))
+        .withColumn("index_price_close", lit(100.4)))
+    }
+
+    val dir = Files.createTempDirectory("graft-seam-tickgc").toString
+    val mc = gc0 // grace 0: any publish sweeps the superseded version
+    val mw = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"),
+      LakeLayout.HourlySymbol, mc)
+    val hw = new HtfLakeWriter(s"$dir/htf", LakeLayout.HourlySymbol, mc)
+    val state = new AggregatorStateStore(s"$dir/_aggstate", mc)
+    val spec5m = Timeframes.parse("5m")
+    val hour = instant("2026-01-01T00:00:00Z")
+    mw.writeHourPartition("BTCUSDT", hour,
+      canonicalMinutes("2026-01-01T00:00:00Z", 14))
+
+    // a reader whose FIRST window scan races a competing publish: the
+    // plan resolves version N, then the publish sweeps N (grace 0)
+    // before the tick materializes — the exact mid-read loss r17 #2
+    // names. The tick's whole-pass retry re-invokes this reader, which
+    // resolves fresh and completes against N+1.
+    var readCalls = 0
+    val reader = new MinuteLakeReader(dir, committer = mc) {
+      override def readWindowAllSymbols(spark: org.apache.spark.sql.SparkSession,
+          start: Instant, end: Instant): Option[DataFrame] = {
+        val planned = super.readWindowAllSymbols(spark, start, end)
+        readCalls += 1
+        if (readCalls == 1)
+          mw.writeHourPartition("BTCUSDT", hour,
+            canonicalMinutes("2026-01-01T00:14:00Z", 6))
+        planned
+      }
+    }
+
+    val res = AggregatorRunner.runIncrementalAll(spark, reader, hw, state,
+      s"$dir/htf", spec5m)
+    assert(readCalls == 2,
+      s"first window read must die vanished, the retry re-resolves: $readCalls")
+    // the completed tick saw the LIVE version: all 20 minutes → four
+    // complete 5m buckets aggregated and written
+    assert(res.bucketsWritten == 4, s"tick must complete against N+1: $res")
+    val served = new HtfLakeReader(s"$dir/htf", mc)
+      .readWindow(spark, "5m", "BTCUSDT",
+        instant("2026-01-01T00:00:00Z"), instant("2026-01-01T00:19:00Z")).get
+    assert(served.count() == 4)
+  }
+
+  test("loadCanonicalWindow pins the window under a resolving committer: consumption after a post-return GC survives (r17 advice)") {
+    val dir = Files.createTempDirectory("graft-seam-pin").toString
+    val mc = gc0
+    val mw = new MinuteLakeWriter(dir, new PartitionLedger(s"$dir/_state"),
+      LakeLayout.HourlySymbol, mc)
+    val hour = instant("2024-03-01T10:00:00Z")
+    mw.writeHourPartition("BTCUSDT", hour,
+      canonical("2024-03-01T10:00:00Z", 100.0)
+        .unionByName(canonical("2024-03-01T10:01:00Z", 101.0)))
+    val reader = new MinuteLakeReader(dir, committer = mc)
+    val (frame, cov) = graft.service.QueryService.loadCanonicalWindow(
+      spark, reader, "BTCUSDT",
+      instant("2024-03-01T10:00:00Z"), instant("2024-03-01T10:01:00Z"))
+    assert(cov.complete)
+    // a publish AFTER the load returns sweeps the version the frame's
+    // plan resolved (grace 0) — the advisor's exact scenario
+    mw.writeHourPartition("BTCUSDT", hour, canonical("2024-03-01T10:02:00Z", 300.0))
+    // the returned frame was pinned inside the guard: consuming it now
+    // serves the loaded snapshot instead of dying on a raw FileNotFound
+    val opens = frame.orderBy("timestamp").select("open").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(opens == Seq(100.0, 101.0), s"pinned snapshot must survive GC: $opens")
+    frame.unpersist()
+  }
+
+  test("HtfLakeReader pins served windows under a resolving committer (r17 #2)") {
+    import graft.schema.Timeframes
+    val root = Files.createTempDirectory("graft-seam-htfpin").toString
+    val mc = gc0
+    val hw = new HtfLakeWriter(s"$root/htf", LakeLayout.HourlySymbol, mc)
+    val spec = Timeframes.parse("5m")
+    def bucketRows(openBase: Double) = {
+      import org.apache.spark.sql.functions.{lit => L}
+      Seq((java.sql.Timestamp.from(instant("2026-01-01T00:00:00Z")),
+          openBase, openBase + 1, openBase - 1, openBase + 0.5,
+          5.0, 500000.0, 50L, true, 5L))
+        .toDF("bucket_start", "open", "high", "low", "close", "volume_btc",
+          "volume_usdt", "trade_count", "bucket_complete",
+          "observed_minutes_in_bucket")
+        .withColumn("vwap_bucket", L(openBase))
+    }
+    hw.writeBucketsBulk(spark, spec.name, "BTCUSDT", bucketRows(100.0))
+    val served = new HtfLakeReader(s"$root/htf", mc)
+      .readWindow(spark, "5m", "BTCUSDT",
+        instant("2026-01-01T00:00:00Z"), instant("2026-01-01T00:05:00Z")).get
+    // competing rewrite sweeps the version the served plan resolved
+    hw.writeBucketsBulk(spark, spec.name, "BTCUSDT", bucketRows(200.0))
+    val opens = served.select("open").collect().map(_.getDouble(0)).toSeq
+    assert(opens == Seq(100.0), s"pinned HTF window must survive GC: $opens")
+    served.unpersist()
+  }
+
+  test("day-batched manifest (r17 #5): K hour leaves commit with ONE pointer PUT; resolve/replace/GC per leaf") {
+    val root = Files.createTempDirectory("graft-seam-daybatch").toString
+    val fs = localFs()
+    val day = s"$root/data/day=01"
+    val dm = new DayManifestCommit(0L) // grace 0: sweeps on replace
+    val leaves = Seq("hour=00", "hour=01", "hour=02").map(h => s"$day/$h")
+    dm.publishBatch(fs, leaves.zipWithIndex.map { case (l, i) =>
+      stage(root, Seq(i * 10 + 1, i * 10 + 2)) -> l })
+    def dayManifests = fs.listStatus(new HPath(day))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_MANIFEST"))
+    assert(dayManifests.length == 1,
+      s"the whole batch is ONE pointer PUT: ${dayManifests.length}")
+    leaves.zipWithIndex.foreach { case (l, i) =>
+      assert(readVia(dm, fs, l).contains(Seq(i * 10 + 1, i * 10 + 2)),
+        s"leaf $l resolves through the day manifest")
+    }
+    // replace two of three leaves in a second batch: ONE more PUT,
+    // untouched leaf intact, superseded versions swept (grace 0)
+    dm.publishBatch(fs, Seq(
+      stage(root, Seq(100)) -> leaves(0),
+      stage(root, Seq(200)) -> leaves(2)))
+    assert(dayManifests.length <= 2, "second batch adds at most one PUT")
+    assert(readVia(dm, fs, leaves(0)).contains(Seq(100)))
+    assert(readVia(dm, fs, leaves(1)).contains(Seq(11, 12)),
+      "untouched leaf keeps its version across others' batches")
+    assert(readVia(dm, fs, leaves(2)).contains(Seq(200)))
+    Seq(leaves(0), leaves(2)).foreach { l =>
+      val versions = fs.listStatus(new HPath(l))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
+      assert(versions.length == 1, s"grace-0 GC keeps live only at $l")
+    }
+  }
+
+  test("day-batched manifest: complete old or complete new for EVERY leaf at every crash point") {
+    val root = Files.createTempDirectory("graft-seam-daycrash").toString
+    val day = s"$root/data/day=02"
+    val dm = new DayManifestCommit(0L)
+    val leaves = Seq(s"$day/hour=00", s"$day/hour=01")
+    dm.publishBatch(crashyFs(), Seq(
+      stage(root, Seq(1, 2)) -> leaves(0),
+      stage(root, Seq(3, 4)) -> leaves(1)))
+    def readAll() = leaves.map(l => readVia(dm, localFs(), l))
+    assert(readAll() == Seq(Some(Seq(1, 2)), Some(Seq(3, 4))))
+    // the batch materializes 2 leaves × 2 files before its single PUT —
+    // crash at every copy prefix: EVERY leaf must still read old
+    (0 until 4).foreach { k =>
+      val fs = crashyFs().armed(afterCopies = k)
+      intercept[InjectedCrash] {
+        dm.publishBatch(fs, Seq(
+          stage(root, Seq(7, 8)) -> leaves(0),
+          stage(root, Seq(9, 10)) -> leaves(1)))
+      }
+      assert(readAll() == Seq(Some(Seq(1, 2)), Some(Seq(3, 4))),
+        s"crash after $k copies: the un-PUT batch must be invisible as a UNIT")
+    }
+    // retry completes the whole batch atomically
+    dm.publishBatch(crashyFs(), Seq(
+      stage(root, Seq(7, 8)) -> leaves(0),
+      stage(root, Seq(9, 10)) -> leaves(1)))
+    assert(readAll() == Seq(Some(Seq(7, 8)), Some(Seq(9, 10))))
+    // crash leftovers (orphan versions from the aborted batches) are
+    // swept by the retry's GC down to live-only
+    leaves.foreach { l =>
+      val versions = localFs().listStatus(new HPath(l))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
+      assert(versions.length == 1,
+        s"retry GC sweeps crash orphans at $l: ${versions.length}")
+    }
+  }
+
+  test("day-batched manifest: grace window holds per leaf; writeHourPartitionsBatched round-trips through the reader") {
+    // grace: a reader holding a leaf's version N survives a later batch
+    val root = Files.createTempDirectory("graft-seam-daygrace").toString
+    val fs = localFs()
+    val day = s"$root/data/day=03"
+    val leaf = s"$day/hour=05"
+    DayManifestCommit.publish(fs, stage(root, Seq(1, 2)), leaf) // 1h grace
+    val held = DayManifestCommit.resolve(fs, leaf).get
+    DayManifestCommit.publish(fs, stage(root, Seq(3)), leaf)
+    assert(spark.read.parquet(held).select("v").collect()
+      .map(_.getInt(0)).toSeq.sorted == Seq(1, 2),
+      "held version torn out inside the grace window")
+    assert(readVia(DayManifestCommit, fs, leaf).contains(Seq(3)))
+
+    // writer integration: a 3-hour batch lands as one day-level PUT and
+    // the minute reader serves it through resolveLeaf
+    val lake = Files.createTempDirectory("graft-seam-daylake").toString
+    val dm = new DayManifestCommit(3600000L)
+    val w = new MinuteLakeWriter(lake, new PartitionLedger(s"$lake/_state"),
+      LakeLayout.HourlySymbol, dm)
+    val h0 = instant("2024-03-01T10:00:00Z")
+    val dirs = w.writeHourPartitionsBatched("BTCUSDT", Seq(
+      h0 -> canonical("2024-03-01T10:00:00Z", 100.0),
+      h0.plusSeconds(3600) -> canonical("2024-03-01T11:00:00Z", 110.0),
+      h0.plusSeconds(7200) -> canonical("2024-03-01T12:00:00Z", 120.0)))
+    assert(dirs.size == 3)
+    val dayDir = new HPath(dirs.head).getParent
+    val puts = fs.listStatus(dayDir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_MANIFEST"))
+    assert(puts.length == 1, s"3-hour batch = ONE pointer PUT: ${puts.length}")
+    val reader = new MinuteLakeReader(lake, committer = dm)
+    val rows = reader.readWindow(spark, "BTCUSDT",
+      instant("2024-03-01T10:00:00Z"), instant("2024-03-01T12:59:00Z"))
+      .orderBy("timestamp").select("open").collect().map(_.getDouble(0)).toSeq
+    assert(rows == Seq(100.0, 110.0, 120.0),
+      s"reader resolves batched leaves through the day manifest: $rows")
+    // a later single-hour write merges with the batched content
+    w.writeHourPartition("BTCUSDT", h0, canonical("2024-03-01T10:01:00Z", 101.0))
+    val merged = reader.readWindow(spark, "BTCUSDT",
+      instant("2024-03-01T10:00:00Z"), instant("2024-03-01T10:59:00Z"))
+      .orderBy("timestamp").select("open").collect().map(_.getDouble(0)).toSeq
+    assert(merged == Seq(100.0, 101.0), s"merge through the day pointer: $merged")
   }
 }
