@@ -258,7 +258,7 @@ object SparkEntry {
     * into a query wall-time total misleads round-over-round reads. */
   val engineRoundtrip: Set[String] =
     Set("s16_wide_lake_roundtrip", "s17_delta_overlay_precedence",
-      "s18_gated_tick_roundtrip")
+      "s18_gated_tick_roundtrip", "s19_capped_drain_roundtrip")
 
   /** Bench rows added AFTER the r13 ledger froze the `comparable`
     * subtotal's membership. [[Bench]] reports
@@ -273,7 +273,8 @@ object SparkEntry {
     "htf_aggregate_1mo",             // r15
     "s17_delta_overlay_precedence",  // r16 (also engine-roundtrip)
     "s18_gated_tick_roundtrip",      // r17 (also engine-roundtrip)
-    "stream_recall_ledger")          // r17
+    "stream_recall_ledger",          // r17
+    "s19_capped_drain_roundtrip")    // r18 (also engine-roundtrip)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2707,6 +2708,107 @@ object SparkEntry {
       }
     }),
 
+    // ST5/r17 #6: the CAPPED drain, oracle-pinned (row 100). s18 pins
+    // the gate; this row pins the bounded-drain choreography that r17
+    // left spec-only — a late one-day patch drained through capped
+    // polls (cap=400 buckets/symbol/poll) with the carried per-symbol
+    // cursor (r17 #3). The oracle derives, from the same events data,
+    // the EXACT drain arithmetic: polls = ceil(calendar window / cap),
+    // total scanned = observed buckets in the window scanned ONCE
+    // (cursor resume never re-scans, never gaps), total written =
+    // distinct patched buckets (write-skip leaves the rest), plus the
+    // final per-symbol HTF content. cap_violations pins every poll
+    // ≤ cap × width, s18-style (a 0 the engine must earn).
+    "s19_capped_drain_roundtrip" -> ((s, dir) => {
+      import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+      import graft.operators.AggregatorRunner
+      val ev = eventsK(s, dir)
+        .withColumn("symbol",
+          concat(lit("SYM"), lpad((col("user_id") % 5).cast("string"), 2, "0"),
+            lit("USDT")))
+      // last 2 event-days: the drain contract is shape-independent and
+      // s18 already prices the 7-day lifecycle
+      val maxDay = ev.agg(date_trunc("day", max(col("minute"))))
+        .collect()(0).getTimestamp(0)
+      val winLo = java.sql.Timestamp.from(
+        maxDay.toInstant.minus(1, java.time.temporal.ChronoUnit.DAYS))
+      val evw = ev.where(col("minute") >= winLo)
+      val root = java.nio.file.Files.createTempDirectory("graft-s19-lake").toString
+      try {
+        val ledger = new PartitionLedger(s"$root/_state")
+        val writer = new MinuteLakeWriter(root, ledger, LakeLayout.DayWide(filesPerDay = 4))
+        writer.writeDaysWide(wideCanon(evw, 0.0))
+        val reader = new MinuteLakeReader(root)
+        val hw = new HtfLakeWriter(s"$root/htf", LakeLayout.DayWide(filesPerDay = 4))
+        val state = new AggregatorRunner.AggregatorStateStore(s"$root/_aggstate")
+        // 1m spec: every observed minute IS a complete bucket, so the
+        // watermark sits at each symbol's head after the first drain —
+        // the patch drain's window floor is then EXACTLY the ledger's
+        // patch floor for every symbol (a sparse 15m corpus would pull
+        // watermark-rescue windows into the arithmetic), keeping the
+        // oracle's drain math closed-form
+        val spec = graft.schema.Timeframes.parse("1m")
+        val Cap = 400
+        // data-derived lookback: the cold capped tick's blind window
+        // must open exactly at the corpus floor (a fixed huge lookback
+        // would make the cursor walk months of EMPTY calendar at Cap
+        // buckets/poll — the cap bounds calendar span, not observed
+        // buckets)
+        val mm = evw.agg(min(col("minute")), max(col("minute"))).collect()(0)
+        val lookback = java.time.temporal.ChronoUnit.MINUTES.between(
+          mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant)
+        def tick() = AggregatorRunner.runIncrementalAll(s, reader, hw, state,
+          s"$root/htf", spec, allowIncomplete = true,
+          repairLookbackMinutes = lookback, sourceLedger = Some(ledger),
+          maxBucketsPerTick = Cap)
+        val tickKey = s"1m|ai=true|lb=$lookback|cap=$Cap"
+        // capped drain loop: poll until the carried cursor clears. Keys
+        // on pendingFrom, not scanned==0 — a capped span of pure
+        // calendar gap scans nothing yet MUST advance the cursor.
+        def drain() = {
+          val polls = scala.collection.mutable.Buffer(tick())
+          var guard = 0
+          while (state.getTickState(tickKey).exists(_.pendingFrom.isDefined) &&
+                 guard < 20) {
+            polls += tick()
+            guard += 1
+          }
+          polls.toSeq
+        }
+        val drain1 = drain()  // initial index: the capped BACKFILL drain
+        val steady = tick()   // unchanged ledger: MUST token-skip
+        // late repair: the last day's error minutes, bumped +1000
+        writer.writeDeltaPatch(wideCanon(
+          evw.where(col("event_type") === "error" && col("minute") >= maxDay),
+          1000.0))
+        val drain2 = drain()  // patch drain: window from the ledger's bounds
+        val width = evw.select("symbol").distinct().count()
+        val capViolations = (drain1 ++ drain2)
+          .count(_.bucketsScanned > Cap.toLong * width)
+        val summary = s.read.parquet(s"$root/htf/timeframe=1m")
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_buckets"),
+               round(sum(col("close")), 2).as("sum_close"),
+               sum(col("trade_count")).as("sum_trades"))
+          .withColumn("steady_scanned", lit(steady.bucketsScanned))
+          .withColumn("steady_written", lit(steady.bucketsWritten))
+          .withColumn("drain1_polls", lit(drain1.size.toLong))
+          .withColumn("drain1_scanned", lit(drain1.map(_.bucketsScanned).sum))
+          .withColumn("drain1_written", lit(drain1.map(_.bucketsWritten).sum))
+          .withColumn("drain2_polls", lit(drain2.size.toLong))
+          .withColumn("drain2_scanned", lit(drain2.map(_.bucketsScanned).sum))
+          .withColumn("drain2_written", lit(drain2.map(_.bucketsWritten).sum))
+          .withColumn("cap_violations", lit(capViolations.toLong))
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(summary.collect(): _*)),
+          summary.schema)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+    }),
+
     // ST-metrics: the streaming near-dup stage's recall-forfeit LEDGER
     // aggregation (VERDICT r16 #7) — the one aggregation family that
     // was spec-pinned only. The verdict fixture derives
@@ -3357,6 +3459,54 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS steady_written,
         |       (SELECT n FROM pb) AS patched_written
         |FROM buckets GROUP BY symbol""".stripMargin,
+
+    // the capped drain's declarative twin (r17 #6): same base/patch
+    // merge as s18 over the last TWO event-days, plus the drain
+    // arithmetic — polls = ceil(calendar window / cap), scanned =
+    // observed buckets in the window exactly once, written = distinct
+    // patched buckets, zero cap violations
+    "s19_capped_drain_roundtrip" ->
+      """WITH sym0 AS (
+        |  SELECT 'SYM' || lpad(CAST(user_id % 5 AS VARCHAR), 2, '0') || 'USDT'
+        |           AS symbol,
+        |         date_trunc('minute', ts) AS m, value, event_type
+        |  FROM events),
+        |cutoff AS (SELECT date_trunc('day', max(m)) AS c FROM sym0),
+        |sym AS (SELECT * FROM sym0
+        |        WHERE m >= (SELECT c - INTERVAL 1 DAY FROM cutoff)),
+        |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
+        |         FROM sym GROUP BY 1, 2),
+        |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
+        |          FROM sym
+        |          WHERE event_type = 'error' AND m >= (SELECT c FROM cutoff)
+        |          GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
+        |  FROM base b LEFT JOIN patch p ON b.symbol = p.symbol AND b.m = p.m),
+        |-- 1m spec: every observed minute is one complete bucket
+        |lk AS (SELECT date_diff('minute', min(m), max(m)) + 1 AS span FROM sym),
+        |f2 AS (SELECT min(m) AS f FROM patch),
+        |w2 AS (SELECT date_diff('minute', (SELECT f FROM f2), max(m)) + 1
+        |         AS span FROM sym),
+        |pm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM patch),
+        |sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+        |        WHERE m >= (SELECT f FROM f2)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       round(sum(open + 0.5), 2) AS sum_close,
+        |       CAST(10 * count(*) AS BIGINT) AS sum_trades,
+        |       CAST(0 AS BIGINT) AS steady_scanned,
+        |       CAST(0 AS BIGINT) AS steady_written,
+        |       CAST(ceil((SELECT span FROM lk) / 400.0) AS BIGINT)
+        |         AS drain1_polls,
+        |       (SELECT n FROM tot) AS drain1_scanned,
+        |       (SELECT n FROM tot) AS drain1_written,
+        |       CAST(ceil((SELECT span FROM w2) / 400.0) AS BIGINT)
+        |         AS drain2_polls,
+        |       (SELECT n FROM sc2) AS drain2_scanned,
+        |       (SELECT n FROM pm) AS drain2_written,
+        |       CAST(0 AS BIGINT) AS cap_violations
+        |FROM merged GROUP BY symbol""".stripMargin,
 
     // the recall ledger's declarative twin: identical md5-derived
     // verdict fixture, 15-minute tumbling windows (epoch-aligned, like
