@@ -2711,7 +2711,7 @@ object SparkEntry {
     // ST5/r17 #6: the CAPPED drain, oracle-pinned (row 100). s18 pins
     // the gate; this row pins the bounded-drain choreography that r17
     // left spec-only — a late one-day patch drained through capped
-    // polls (cap=400 buckets/symbol/poll) with the carried per-symbol
+    // polls (cap=480 buckets/symbol/poll) with the carried per-symbol
     // cursor (r17 #3). The oracle derives, from the same events data,
     // the EXACT drain arithmetic: polls = ceil(calendar window / cap),
     // total scanned = observed buckets in the window scanned ONCE
@@ -2748,7 +2748,7 @@ object SparkEntry {
         // watermark-rescue windows into the arithmetic), keeping the
         // oracle's drain math closed-form
         val spec = graft.schema.Timeframes.parse("1m")
-        val Cap = 400
+        val Cap = 480
         // data-derived lookback: the cold capped tick's blind window
         // must open exactly at the corpus floor (a fixed huge lookback
         // would make the cursor walk months of EMPTY calendar at Cap
@@ -3497,11 +3497,11 @@ object SparkEntry {
         |       CAST(10 * count(*) AS BIGINT) AS sum_trades,
         |       CAST(0 AS BIGINT) AS steady_scanned,
         |       CAST(0 AS BIGINT) AS steady_written,
-        |       CAST(ceil((SELECT span FROM lk) / 400.0) AS BIGINT)
+        |       CAST(ceil((SELECT span FROM lk) / 480.0) AS BIGINT)
         |         AS drain1_polls,
         |       (SELECT n FROM tot) AS drain1_scanned,
         |       (SELECT n FROM tot) AS drain1_written,
-        |       CAST(ceil((SELECT span FROM w2) / 400.0) AS BIGINT)
+        |       CAST(ceil((SELECT span FROM w2) / 480.0) AS BIGINT)
         |         AS drain2_polls,
         |       (SELECT n FROM sc2) AS drain2_scanned,
         |       (SELECT n FROM pm) AS drain2_written,
