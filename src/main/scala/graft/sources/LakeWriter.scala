@@ -1269,17 +1269,30 @@ class HtfLakeWriter(root: String,
         .distinct().collect()
         .map(r => (r.getString(0), r.getDate(1).toLocalDate))
         .sortBy(t => (t._1, t._2.toString))
-      touched.foreach { case (sym, day) =>
+      // stage every touched (symbol, day)'s merged content first, then
+      // commit the whole batch — one pointer PUT per parent dir under
+      // [[DayManifestCommit]] (the HTF leaf is the day dir, so the
+      // batch groups by its parent month dir — up to ~31× fewer PUTs
+      // on a backfill); other committers keep their per-leaf publish
+      val stagedLeaves = touched.map { case (sym, day) =>
         val slice = staged
           .where(symCol === sym &&
             to_date(col("bucket_start")) === java.sql.Date.valueOf(day))
-        writeBuckets(spark, timeframe, sym, day, slice)
+        stageBuckets(spark, timeframe, sym, day, slice)
+      }
+      committer match {
+        case b: DayManifestCommit => b.publishBatch(fs, stagedLeaves)
+        case c => stagedLeaves.foreach { case (tmp, dir) => c.publish(fs, tmp, dir) }
       }
     } finally fs.delete(new HPath(stageDir), true)
   }
 
-  def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
-                   day: java.time.LocalDate, buckets: DataFrame): String = {
+  /** Merge `buckets` with the (resolved) existing day content and stage
+    * the result under a tmp dir; returns (tmpDir, finalDir) for the
+    * committer to publish. */
+  private def stageBuckets(spark: SparkSession, timeframe: String,
+                           symbol: String, day: java.time.LocalDate,
+                           buckets: DataFrame): (String, String) = {
     val dir = partitionDir(timeframe, symbol, day)
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val existingDir = committer.resolve(fs, dir)
@@ -1296,6 +1309,13 @@ class HtfLakeWriter(root: String,
     val tmp = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     effective.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(tmp)
+    (tmp, dir)
+  }
+
+  def writeBuckets(spark: SparkSession, timeframe: String, symbol: String,
+                   day: java.time.LocalDate, buckets: DataFrame): String = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val (tmp, dir) = stageBuckets(spark, timeframe, symbol, day, buckets)
     committer.publish(fs, tmp, dir)
     dir
   }

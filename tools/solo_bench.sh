@@ -21,7 +21,10 @@
 # dedup_cc_verified_star_rescue this round, both of which enter the
 # slowest-6) plus two drift-watch rows (p3_book_ticker_exprs drifted
 # r12; mb_canonical_build is the API-latency representative, solo-
-# pinned since r13).
+# pinned since r13), plus — r18, VERDICT r17 #1 — the two rows whose
+# driver-ledger drift had no solo arbiter: j9_star_join_revenue
+# (+54% in the r17 driver run, settled as box by the r18 A/B) and
+# htf_aggregate_1mo (the calendar-frame representative).
 set -euo pipefail
 
 CLASSES="${1:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
@@ -32,7 +35,8 @@ MEM="${SPARK_DRIVER_MEM:-16g}"
 QUERIES="${SOLO_QUERIES:-s16_wide_lake_roundtrip dedup_cc_incremental \
 dedup_cc_verified_incremental dedup_cc_verified_star_rescue \
 dedup_cc_autosize dedup_cc_verified_star \
-mb_canonical_build p3_book_ticker_exprs}"
+mb_canonical_build p3_book_ticker_exprs \
+j9_star_join_revenue htf_aggregate_1mo}"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
