@@ -1304,8 +1304,25 @@ object AggregatorRunner {
       else {
         val width = math.max(latest.size, 1)
         val costMs = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
-        math.max(1, ((effBudget - SteadyFloorMs).toDouble /
-          (width.toDouble * math.max(live.size, 1) * costMs)).toInt)
+        val derived = ((effBudget - SteadyFloorMs).toDouble /
+          (width.toDouble * math.max(live.size, 1) * costMs)).toInt
+        // FLOOR at the r17-validated amortization cap: each poll pays a
+        // per-spec FIXED cost (day-granular window + index reads, write
+        // job submission) that the single-number estimate cannot
+        // separate from the marginal bucket cost. Below the floor that
+        // conflation death-spirals — the width-10k probe measured
+        // cap→1 polls at 160–190 s doing 50k buckets, where cap=20
+        // polls did 200k+ buckets in 27–108 s. When even the floor
+        // overshoots the budget, the budget is infeasible for this
+        // width × spec-count: say so loudly instead of thrashing.
+        if (derived < MinBudgetCap)
+          System.err.println(s"[graft][AggregatorRunner] poll budget " +
+            s"${effBudget} ms is infeasible at width=$width x " +
+            s"live-specs=${live.size} (derived cap $derived < floor " +
+            s"$MinBudgetCap at ${costMs} ms/bucket): polls will overshoot " +
+            "the budget; raise the budget, shrink the spec set, or accept " +
+            s"floor-cap drains")
+        math.max(MinBudgetCap, derived)
       }
 
     // shared source: the union of live windows. Window lo per spec =
@@ -1438,6 +1455,14 @@ object AggregatorRunner {
     * the rest on buckets. */
   private[graft] val DefaultBucketCostMs = 0.15
   private[graft] val SteadyFloorMs = 6000L
+
+  /** Budget-cap floor: below ~this many buckets per symbol per poll,
+    * per-spec fixed costs dominate and shrinking the cap further makes
+    * every poll SLOWER per unit of progress (measured, width 10k × 12
+    * specs: cap=20 polls drained 200–650k buckets at 27–108 s; the
+    * unfloored spiral reached cap=1 polls doing 50k buckets in
+    * 160–190 s). The r17-validated amortization point. */
+  private[graft] val MinBudgetCap = 20
 
   /** Partition-change detection (reference `aggregator/main.py:102-137`):
     * diff of partition-directory snapshots; any change re-triggers

@@ -588,9 +588,12 @@ class AggregatorRunnerSpec extends SparkSpec {
     AggregatorRunner.runBackfillAll(spark, reader, hw, state, s"$dir/htf", spec)
     var guard = 0
     while (tick().bucketsScanned > 0 && guard < 30) guard += 1
-    // seed a deliberately-pessimistic cost estimate: 40 ms/bucket at a
-    // 6.75 s budget (6 s steady floor) derives cap = 750/40 = 18
-    state.setCostPerBucketMs(40.0)
+    // seed a deliberately-pessimistic cost estimate: 25 ms/bucket at a
+    // 6.75 s budget (6 s steady floor) derives cap = 750/25 = 30
+    // (above the amortization floor of 20 — a sub-floor derivation
+    // clamps to the floor with a loud infeasibility warning instead of
+    // death-spiraling into fixed-cost-dominated polls)
+    state.setCostPerBucketMs(25.0)
     Thread.sleep(10)
     mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 900.0),
       merge = true)
@@ -604,15 +607,25 @@ class AggregatorRunnerSpec extends SparkSpec {
       i += 1
     }
     assert(steady, s"budget-capped drain must converge: $polls")
-    // poll 1 honors the derived cap (18 buckets + the boundary bucket)
-    assert(polls.head.bucketsScanned <= 19,
+    // poll 1 honors the derived cap (30 buckets + the boundary bucket)
+    assert(polls.head.bucketsScanned <= 31,
       s"first poll must respect the seeded-cost cap: ${polls.map(_.bucketsScanned)}")
     assert(polls.map(_.bucketsWritten).sum == 97L,
       s"the drain repairs exactly the 97 patched buckets: ${polls.map(_.bucketsWritten)}")
     // the estimate adapted toward the measured (much cheaper) reality,
     // so later polls were allowed bigger caps — no hand-tuning needed
     val adapted = state.getCostPerBucketMs.get
-    assert(adapted < 40.0, s"cost estimate must EWMA toward measurement: $adapted")
+    assert(adapted < 25.0, s"cost estimate must EWMA toward measurement: $adapted")
+    // a derivation BELOW the amortization floor clamps to the floor
+    // (never the fixed-cost death zone): re-seed absurdly high and
+    // check one more backlog drains at cap ≥ 20 per poll
+    state.setCostPerBucketMs(10000.0)
+    Thread.sleep(10)
+    mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 901.0),
+      merge = true)
+    val floored = tick()
+    assert(floored.bucketsScanned >= 20 && floored.bucketsScanned <= 21,
+      s"sub-floor derivations clamp to the floor cap: $floored")
     // the steady token lives under the BUDGET key (the realized cap
     // varies per poll and must not fragment tick state)
     assert(state.getTickState("5m|ai=false|lb=120|budget=6750").isDefined,
