@@ -2726,13 +2726,13 @@ object SparkEntry {
         .withColumn("symbol",
           concat(lit("SYM"), lpad((col("user_id") % 5).cast("string"), 2, "0"),
             lit("USDT")))
-      // last 2 event-days: the drain contract is shape-independent and
-      // s18 already prices the 7-day lifecycle
+      // last event-day only: the drain contract is shape-independent,
+      // s18 already prices the multi-day lifecycle, and every extra
+      // 480-bucket cap window is another full poll cycle in the timed
+      // body
       val maxDay = ev.agg(date_trunc("day", max(col("minute"))))
         .collect()(0).getTimestamp(0)
-      val winLo = java.sql.Timestamp.from(
-        maxDay.toInstant.minus(1, java.time.temporal.ChronoUnit.DAYS))
-      val evw = ev.where(col("minute") >= winLo)
+      val evw = ev.where(col("minute") >= maxDay)
       val root = java.nio.file.Files.createTempDirectory("graft-s19-lake").toString
       try {
         val ledger = new PartitionLedger(s"$root/_state")
@@ -3473,7 +3473,7 @@ object SparkEntry {
         |  FROM events),
         |cutoff AS (SELECT date_trunc('day', max(m)) AS c FROM sym0),
         |sym AS (SELECT * FROM sym0
-        |        WHERE m >= (SELECT c - INTERVAL 1 DAY FROM cutoff)),
+        |        WHERE m >= (SELECT c FROM cutoff)),
         |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
         |         FROM sym GROUP BY 1, 2),
         |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
