@@ -383,8 +383,7 @@ object AggregatorRunner {
     if (fs.exists(new HPath(symDir))) {
       var days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
       if (committer.readThroughResolve)
-        days = days.flatMap(d =>
-          graft.sources.ResolvedScan.resolveLeaf(fs, d, committer))
+        days = graft.sources.ResolvedScan.resolveLeaves(fs, days, committer)
       if (days.isEmpty) empty()
       else spark.read.option("basePath", symDir).parquet(days: _*)
         .select("bucket_start", "bucket_complete")
@@ -447,8 +446,7 @@ object AggregatorRunner {
     if (fs.exists(new HPath(symDir))) {
       var days = graft.sources.DayDirs.inRange(fs, symDir, from, farEnd)
       if (committer.readThroughResolve)
-        days = days.flatMap(d =>
-          graft.sources.ResolvedScan.resolveLeaf(fs, d, committer))
+        days = graft.sources.ResolvedScan.resolveLeaves(fs, days, committer)
       if (days.isEmpty) None
       else Some(spark.read.option("basePath", symDir).parquet(days: _*)
         .drop("year", "month", "day"))
@@ -1090,13 +1088,15 @@ object AggregatorRunner {
       graft.sources.DayDirs.inRange(fs, tfDir, loBound, farEnd)
     // hourly tree under a manifest deployment: window-bound each
     // symbol's day walk, then resolve each leaf through the pointer
-    lazy val hourlyResolvedWindowLeaves: Seq[String] =
-      fs.listStatus(new HPath(tfDir)).iterator
+    lazy val hourlyResolvedWindowLeaves: Seq[String] = {
+      val windowLeafDirs = fs.listStatus(new HPath(tfDir)).iterator
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("symbol="))
         .flatMap(st => graft.sources.DayDirs.inRange(fs, st.getPath.toString,
           loBound, farEnd))
-        .flatMap(d => graft.sources.ResolvedScan.resolveLeaf(fs, d, writer.committer))
         .toSeq
+      graft.sources.ResolvedScan.resolveLeaves(fs, windowLeafDirs,
+        writer.committer)
+    }
     val mustResolve = writer.committer.readThroughResolve
     val existing =
       if (!fs.exists(new HPath(tfDir))) emptyIndex

@@ -180,14 +180,14 @@ class HtfLakeReader(root: String, committer: CommitProtocol = RenameCommit) {
         // manifest deployment: the live day versions sit behind each
         // leaf's pointer (dot-prefixed — a plain subtree read sees
         // nothing); window-bound the leaf walk first, then resolve
-        val inWin = DayDirs.inRange(fs, d, start, end)
-          .flatMap(leaf => ResolvedScan.resolveLeaf(fs, leaf, committer))
+        val inWin = ResolvedScan.resolveLeaves(fs,
+          DayDirs.inRange(fs, d, start, end), committer)
         // in-range-empty window still reads ONE committed day so the
         // result keeps the real schema (mirrors the wide branch)
         val days =
           if (inWin.nonEmpty) inWin
-          else DayDirs.deepest(fs, d, 1)
-            .flatMap(leaf => ResolvedScan.resolveLeaf(fs, leaf, committer))
+          else ResolvedScan.resolveLeaves(fs,
+            DayDirs.deepest(fs, d, 1), committer)
         if (days.isEmpty) return None
         spark.read.option("basePath", d).parquet(days: _*)
       }
@@ -526,7 +526,8 @@ class MinuteLakeReader(root: String, layoutHint: Option[LakeLayout] = None,
       .flatMap(sd => maxChild(sd).flatMap(maxChild).flatMap(maxChild).flatMap(maxChild))
       .map(_.toString)
     if (mustResolve)
-      hourDirs = hourDirs.flatMap(d => ResolvedScan.resolveLeaf(fs, d, committer))
+      hourDirs = ResolvedScan.resolveLeaves(fs, hourDirs.toSeq, committer)
+        .toArray
     if (hourDirs.isEmpty) return Map.empty
     spark.read.option("basePath", lakeDir).parquet(hourDirs.toIndexedSeq: _*)
       .groupBy("symbol").agg(max("timestamp").as("latest"))

@@ -289,7 +289,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     // and the healing verb would then durably deny live symbols.
     val dirs =
       if (committer.readThroughResolve)
-        days.flatMap(d => ResolvedScan.resolveLeaf(fs, d, committer))
+        ResolvedScan.resolveLeaves(fs, days, committer)
       else days
     val symbols =
       if (dirs.isEmpty) Set.empty[String]

@@ -739,6 +739,37 @@ class CommitSeamSpec extends SparkSpec {
     }
   }
 
+  test("resolveLeaves reads each day manifest ONCE and preserves per-leaf fallbacks (r18)") {
+    val root = Files.createTempDirectory("graft-seam-batchresolve").toString
+    val fs = localFs()
+    val day = s"$root/data/day=04"
+    var stateReads = 0
+    val dm = new DayManifestCommit(3600000L) {
+      override private[graft] def liveVersions(
+          fs: FileSystem, dayDir: String): Map[String, String] = {
+        stateReads += 1
+        super.liveVersions(fs, dayDir)
+      }
+    }
+    val leaves = Seq("hour=00", "hour=01", "hour=02").map(h => s"$day/$h")
+    dm.publishBatch(fs, leaves.zipWithIndex.map { case (l, i) =>
+      stage(root, Seq(i + 1)) -> l })
+    // one bulk-written PLAIN leaf (no manifest entry) — the fallback
+    val plain = s"$day/hour=03"
+    Seq(9).toDF("v").write.parquet(plain)
+    val resolved = ResolvedScan.resolveLeaves(fs, leaves :+ plain, dm)
+    assert(stateReads == 1,
+      s"4 leaves under one day must cost ONE day-state read: $stateReads")
+    assert(resolved.size == 4)
+    // parity with per-leaf resolution, order preserved
+    val perLeaf = (leaves :+ plain).flatMap(l =>
+      ResolvedScan.resolveLeaf(fs, l, dm))
+    assert(resolved == perLeaf, s"batch must equal per-leaf: $resolved vs $perLeaf")
+    assert(resolved.last == plain, "plain bulk-written leaf falls back to itself")
+    assert(resolved.take(3).forall(_.contains("/.v_")),
+      "manifest leaves resolve to their live versions")
+  }
+
   test("day-batched manifest: complete old or complete new for EVERY leaf at every crash point") {
     val root = Files.createTempDirectory("graft-seam-daycrash").toString
     val day = s"$root/data/day=02"
