@@ -258,7 +258,8 @@ object SparkEntry {
     * into a query wall-time total misleads round-over-round reads. */
   val engineRoundtrip: Set[String] =
     Set("s16_wide_lake_roundtrip", "s17_delta_overlay_precedence",
-      "s18_gated_tick_roundtrip", "s19_capped_drain_roundtrip")
+      "s18_gated_tick_roundtrip", "s19_capped_drain_roundtrip",
+      "s20_budget_drain_roundtrip")
 
   /** Bench rows added AFTER the r13 ledger froze the `comparable`
     * subtotal's membership. [[Bench]] reports
@@ -274,7 +275,8 @@ object SparkEntry {
     "s17_delta_overlay_precedence",  // r16 (also engine-roundtrip)
     "s18_gated_tick_roundtrip",      // r17 (also engine-roundtrip)
     "stream_recall_ledger",          // r17
-    "s19_capped_drain_roundtrip")    // r18 (also engine-roundtrip)
+    "s19_capped_drain_roundtrip",    // r18 (also engine-roundtrip)
+    "s20_budget_drain_roundtrip")    // r19 (also engine-roundtrip)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2809,6 +2811,100 @@ object SparkEntry {
       }
     }),
 
+    // S20 (VERDICT r18 #3): the BUDGET-driven drain, oracle-pinned.
+    // s19 pins the capped drain with an EXPLICIT cap; this row drives
+    // the same lifecycle through `pollBudgetMs` with a deliberately
+    // PESSIMISTIC seeded cost (25 ms/bucket — the spec fixture's
+    // number, ~100× this box), so the first derived cap is small and
+    // the two-term model must adapt from its own (scanned, wall)
+    // observations mid-drain. The cap trajectory is therefore
+    // hardware-dependent BY DESIGN — the oracle pins only the
+    // trajectory-INDEPENDENT invariants: converged content (last-wins
+    // merge), cumulative scanned/written totals (cursor = each
+    // observed bucket exactly once; write-skip = patched buckets
+    // only), steady zeros, multi-poll shape (the seeded first cap is
+    // span/3, so a >cap span MUST take ≥2 polls), and convergence
+    // within the guard. Fixture: last SIX HOURS of the events corpus
+    // (s19 prices the full-day drain; the budget contract needs only
+    // enough span to out-size the first cap).
+    "s20_budget_drain_roundtrip" -> ((s, dir) => {
+      import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
+      import graft.operators.AggregatorRunner
+      val ev = eventsK(s, dir)
+        .withColumn("symbol",
+          concat(lit("SYM"), lpad((col("user_id") % 5).cast("string"), 2, "0"),
+            lit("USDT")))
+      val maxMin = ev.agg(max(col("minute"))).collect()(0).getTimestamp(0)
+      val cutoff = java.sql.Timestamp.from(
+        maxMin.toInstant.minus(6, java.time.temporal.ChronoUnit.HOURS))
+      val evw = ev.where(col("minute") >= cutoff)
+      val root = java.nio.file.Files.createTempDirectory("graft-s20-lake").toString
+      try {
+        val ledger = new PartitionLedger(s"$root/_state")
+        val writer = new MinuteLakeWriter(root, ledger, LakeLayout.DayWide(filesPerDay = 4))
+        writer.writeDaysWide(wideCanon(evw, 0.0))
+        val reader = new MinuteLakeReader(root)
+        val hw = new HtfLakeWriter(s"$root/htf", LakeLayout.DayWide(filesPerDay = 4))
+        val state = new AggregatorRunner.AggregatorStateStore(s"$root/_aggstate")
+        val spec = graft.schema.Timeframes.parse("1m")
+        val mm = evw.agg(min(col("minute")), max(col("minute")),
+          countDistinct(col("symbol"))).collect()(0)
+        val span = java.time.temporal.ChronoUnit.MINUTES.between(
+          mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant) + 1
+        val width = mm.getLong(2)
+        // budget sized so the SEEDED first derivation lands cap =
+        // span/3 (≥ the amortization floor): the drain cannot finish
+        // in one poll, forcing the cursor-carry + observation loop
+        val firstCap = math.max(AggregatorRunner.MinBudgetCap, (span / 3).toInt)
+        val budgetMs = AggregatorRunner.SteadyFloorMs +
+          (25.0 * width * firstCap).toLong
+        state.setCostPerBucketMs(25.0) // pessimistic seed
+        val lookback = span - 1
+        def tick() = AggregatorRunner.runFleetTick(s, reader, hw, state,
+          s"$root/htf", Seq(spec), allowIncomplete = true,
+          repairLookbackMinutes = lookback, sourceLedger = Some(ledger),
+          pollBudgetMs = budgetMs).head._2
+        val tickKey = s"1m|ai=true|lb=$lookback|budget=$budgetMs"
+        def drain() = {
+          val polls = scala.collection.mutable.Buffer(tick())
+          var guard = 0
+          while (state.getTickState(tickKey).exists(_.pendingFrom.isDefined) &&
+                 guard < 30) {
+            polls += tick()
+            guard += 1
+          }
+          (polls.toSeq, guard < 30)
+        }
+        val (drain1, ok1) = drain() // initial index under the budget cap
+        val steady = tick()         // unchanged ledger: MUST token-skip
+        // tiny SFs can have zero error minutes in the window — an empty
+        // patch means drain2 is a pure token-skip (oracle: pm/sc2 = 0)
+        val patch = wideCanon(evw.where(col("event_type") === "error"), 1000.0)
+        if (!patch.isEmpty) writer.writeDeltaPatch(patch)
+        val (drain2, ok2) = drain() // patch drain, budget-derived caps
+        val summary = s.read.parquet(s"$root/htf/timeframe=1m")
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("n_buckets"),
+               round(sum(col("close")), 2).as("sum_close"),
+               sum(col("trade_count")).as("sum_trades"))
+          .withColumn("steady_scanned", lit(steady.bucketsScanned))
+          .withColumn("steady_written", lit(steady.bucketsWritten))
+          .withColumn("drain1_scanned", lit(drain1.map(_.bucketsScanned).sum))
+          .withColumn("drain1_written", lit(drain1.map(_.bucketsWritten).sum))
+          .withColumn("drain2_scanned", lit(drain2.map(_.bucketsScanned).sum))
+          .withColumn("drain2_written", lit(drain2.map(_.bucketsWritten).sum))
+          .withColumn("multi_poll", lit(drain1.size >= 2))
+          .withColumn("converged", lit(ok1 && ok2))
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(summary.collect(): _*)),
+          summary.schema)
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+    }),
+
     // ST-metrics: the streaming near-dup stage's recall-forfeit LEDGER
     // aggregation (VERDICT r16 #7) — the one aggregation family that
     // was spec-pinned only. The verdict fixture derives
@@ -3461,7 +3557,7 @@ object SparkEntry {
         |FROM buckets GROUP BY symbol""".stripMargin,
 
     // the capped drain's declarative twin (r17 #6): same base/patch
-    // merge as s18 over the last TWO event-days, plus the drain
+    // merge as s18 over the last event-day, plus the drain
     // arithmetic — polls = ceil(calendar window / cap), scanned =
     // observed buckets in the window exactly once, written = distinct
     // patched buckets, zero cap violations
@@ -3506,6 +3602,48 @@ object SparkEntry {
         |       (SELECT n FROM sc2) AS drain2_scanned,
         |       (SELECT n FROM pm) AS drain2_written,
         |       CAST(0 AS BIGINT) AS cap_violations
+        |FROM merged GROUP BY symbol""".stripMargin,
+
+    // the budget-driven drain's declarative twin (r18 #3): same
+    // base/patch merge over the last SIX HOURS, but the cap trajectory
+    // is model-derived and hardware-dependent, so the oracle pins only
+    // the trajectory-INDEPENDENT invariants — content, cumulative
+    // scanned/written (cursor: each observed bucket exactly once;
+    // write-skip: patched buckets only), steady zeros, the multi-poll
+    // shape (first seeded cap is max(20, span/3), so a >20-minute span
+    // must take ≥2 polls), and convergence
+    "s20_budget_drain_roundtrip" ->
+      """WITH sym0 AS (
+        |  SELECT 'SYM' || lpad(CAST(user_id % 5 AS VARCHAR), 2, '0') || 'USDT'
+        |           AS symbol,
+        |         date_trunc('minute', ts) AS m, value, event_type
+        |  FROM events),
+        |cutoff AS (SELECT max(m) - INTERVAL 6 HOUR AS c FROM sym0),
+        |sym AS (SELECT * FROM sym0 WHERE m >= (SELECT c FROM cutoff)),
+        |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
+        |         FROM sym GROUP BY 1, 2),
+        |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
+        |          FROM sym WHERE event_type = 'error' GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
+        |  FROM base b LEFT JOIN patch p ON b.symbol = p.symbol AND b.m = p.m),
+        |lk AS (SELECT date_diff('minute', min(m), max(m)) + 1 AS span FROM sym),
+        |f2 AS (SELECT min(m) AS f FROM patch),
+        |pm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM patch),
+        |sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+        |        WHERE m >= (SELECT f FROM f2)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       round(sum(open + 0.5), 2) AS sum_close,
+        |       CAST(10 * count(*) AS BIGINT) AS sum_trades,
+        |       CAST(0 AS BIGINT) AS steady_scanned,
+        |       CAST(0 AS BIGINT) AS steady_written,
+        |       (SELECT n FROM tot) AS drain1_scanned,
+        |       (SELECT n FROM tot) AS drain1_written,
+        |       (SELECT n FROM sc2) AS drain2_scanned,
+        |       (SELECT n FROM pm) AS drain2_written,
+        |       ((SELECT span FROM lk) > 20) AS multi_poll,
+        |       TRUE AS converged
         |FROM merged GROUP BY symbol""".stripMargin,
 
     // the recall ledger's declarative twin: identical md5-derived

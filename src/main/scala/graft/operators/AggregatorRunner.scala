@@ -119,8 +119,43 @@ object AggregatorRunner {
     def getCostPerBucketMs: Option[Double] =
       readTicks().get(CostKey).flatMap(_.toDoubleOption)
     def setCostPerBucketMs(v: Double): Unit = synchronized {
-      writeTicks(readTicks() + (CostKey -> f"$v%.4f"))
+      // Locale.ROOT, not the f-interpolator: a comma-decimal default
+      // locale would write "0,1500", which toDoubleOption can't read —
+      // the estimate would silently reset to the seed every poll
+      // (r18 advice)
+      writeTicks(readTicks() +
+        (CostKey -> String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))))
     }
+
+    // ---- two-term cost observations (VERDICT r18 #2) ----
+    // Rolling (scanned, wallMs) pairs from budget-driven polls, the
+    // data behind the fixed+marginal fit: wall ≈ fixed + marginal ×
+    // scanned. One line in the tick file ("s:w;s:w;…"); its value
+    // never parses as a TickState, so older readers skip it.
+    private val ObsKey = "__cost_obs"
+    def getCostObservations: Seq[(Long, Double)] =
+      readTicks().get(ObsKey).toSeq.flatMap(_.split(';').toSeq.flatMap { p =>
+        p.split(':') match {
+          case Array(s, w) =>
+            for { sv <- s.toLongOption; wv <- w.toDoubleOption }
+              yield (sv, wv)
+          case _ => None
+        }
+      })
+    def addCostObservation(scanned: Long, wallMs: Double): Unit =
+      synchronized {
+        val obs = (getCostObservations :+ ((scanned, wallMs)))
+          .takeRight(MaxCostObservations)
+        writeTicks(readTicks() + (ObsKey -> obs.map { case (s, w) =>
+          s"$s:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))}"
+        }.mkString(";")))
+      }
+    private[graft] def setCostObservations(obs: Seq[(Long, Double)]): Unit =
+      synchronized {
+        writeTicks(readTicks() + (ObsKey -> obs.map { case (s, w) =>
+          s"$s:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))}"
+        }.mkString(";")))
+      }
 
     // ---- per-symbol drain cursors (VERDICT r17 #3) ----
     // An in-flight capped drain's resume points, one entry per symbol
@@ -138,18 +173,45 @@ object AggregatorRunner {
 
     def getDrainCursors(key: String): Map[String, Instant] = {
       val prefix = s"$key#"
-      readDrain().collect {
-        case (k, v) if k.startsWith(prefix) =>
-          scala.util.Try(Instant.parse(v)).toOption
-            .map(k.drop(prefix.length) -> _)
-      }.flatten.toMap
+      val raw = readDrain().collect {
+        case (k, v) if k.startsWith(prefix) => k.drop(prefix.length) -> v
+      }
+      val parsed = raw.map { case (sym, v) =>
+        sym -> scala.util.Try(Instant.parse(v)).toOption }
+      // An UNPARSABLE cursor must not be silently dropped: with a
+      // non-empty map, an absent symbol is read as DRAINED, so one
+      // corrupted entry would make that symbol skip its remaining
+      // backlog on pure-resume polls. Discard the WHOLE block for the
+      // key instead — the empty map is the pre-r18 legacy shape and
+      // every symbol falls back to the global pendingFrom floor
+      // (re-scans are write-skipped, so correct; r18 advice).
+      if (parsed.exists(_._2.isEmpty)) {
+        System.err.println(s"[graft][AggregatorStateStore] unparsable " +
+          s"drain cursor under '$key' — discarding the key's cursor " +
+          "block; this drain resumes every symbol from the global floor")
+        Map.empty
+      } else parsed.collect { case (sym, Some(at)) => sym -> at }.toMap
     }
 
     /** Replace `key`'s whole cursor block with `cursors` (empty map =
       * drain converged: the block is dropped). One read + one atomic
       * rewrite, O(width) — never call per symbol. */
+    /** Wall spent inside [[setDrainCursors]] since construction —
+      * probe-visible so the capped-drain legs can report the cursor
+      * store's share of poll wall (VERDICT r18 #6: price it before
+      * deciding whether the per-poll whole-file rewrite needs
+      * per-spec sharding). */
+    @volatile private[graft] var cursorWriteNanos: Long = 0L
+
     def setDrainCursors(key: String, cursors: Map[String, Instant]): Unit =
       synchronized {
+        val t0 = System.nanoTime()
+        try setDrainCursorsInner(key, cursors)
+        finally cursorWriteNanos += System.nanoTime() - t0
+      }
+    private def setDrainCursorsInner(key: String,
+                                     cursors: Map[String, Instant]): Unit =
+      {
         val prefix = s"$key#"
         val others = readDrain().filterNot(_._1.startsWith(prefix))
         if (cursors.isEmpty && others.isEmpty &&
@@ -1291,37 +1353,49 @@ object AggregatorRunner {
     val latest = reader.latestMinuteAllSymbols(spark, wmKeys)
     val latestFor = if (latest.isEmpty) None else Some(latest)
 
-    // Budget-derived cap (VERDICT r17 #4): size maxBucketsPerTick from
-    // the poll budget and the RUNNING per-bucket cost estimate instead
-    // of the r17 annex's hand math (cap ≈ (budget − steady floor) /
-    // (width × live-specs × ms-per-bucket)). The estimate seeds at the
-    // r17-measured 0.15 ms/bucket and EWMAs toward each poll's actual
-    // wall/scanned below, so a deployment converges onto its own
-    // hardware's number within a couple of polls. Floor 1: convergence
-    // is cursor-guaranteed at ANY cap.
+    // Budget-derived cap (VERDICT r17 #4, two-term since r19): size
+    // maxBucketsPerTick from the poll budget and the TWO-TERM cost
+    // model wall ≈ fixed + marginal × scanned, fit over the rolling
+    // (scanned, wall) observations the budget polls themselves record
+    // — cap = (budget − fixed) / (marginal × width × live-specs). The
+    // r18 probe proved the single ms/bucket EWMA conflated the
+    // per-poll FIXED cost (window/index reads, job submission) into
+    // the marginal term, which is exactly why the unfloored cap
+    // death-spiraled (VERDICT r18 #2); separating the terms derives
+    // correct caps for feasible budgets instead of flooring everything
+    // near the boundary. Before ≥2 usable observations exist the model
+    // falls back to (SteadyFloorMs, stored-or-default ms/bucket) — the
+    // r18 behavior, so seeded deployments start identically.
     val effCap =
       if (effBudget <= 0) maxBucketsPerTick
       else {
         val width = math.max(latest.size, 1)
-        val costMs = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
-        val derived = ((effBudget - SteadyFloorMs).toDouble /
-          (width.toDouble * math.max(live.size, 1) * costMs)).toInt
-        // FLOOR at the r17-validated amortization cap: each poll pays a
-        // per-spec FIXED cost (day-granular window + index reads, write
-        // job submission) that the single-number estimate cannot
-        // separate from the marginal bucket cost. Below the floor that
-        // conflation death-spirals — the width-10k probe measured
-        // cap→1 polls at 160–190 s doing 50k buckets, where cap=20
-        // polls did 200k+ buckets in 27–108 s. When even the floor
-        // overshoots the budget, the budget is infeasible for this
-        // width × spec-count: say so loudly instead of thrashing.
-        if (derived < MinBudgetCap)
+        val (fixedMs, margMs) = fitCostModel(state.getCostObservations,
+          state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs))
+        val denom = margMs * width.toDouble * math.max(live.size, 1)
+        val derived = ((effBudget.toDouble - fixedMs) / denom).toInt
+        // FLOOR at the r17-validated amortization cap: below ~20
+        // buckets/symbol/poll fixed costs dominate and shrinking the
+        // cap makes every poll SLOWER per unit of progress (width-10k
+        // probe: cap=1 polls moved 50k buckets in 160–190 s vs cap=20
+        // moving 200–650k in 27–108 s). When even the floor overshoots
+        // the budget, the budget is infeasible for this width ×
+        // spec-count: say so loudly — WITH the measured minimum
+        // feasible budget — instead of thrashing.
+        BudgetTelemetry.lastModel = (fixedMs, margMs)
+        BudgetTelemetry.lastDerivedCap = derived
+        if (derived < MinBudgetCap) {
+          val minFeasibleMs =
+            (fixedMs + denom * MinBudgetCap).toLong
           System.err.println(s"[graft][AggregatorRunner] poll budget " +
             s"${effBudget} ms is infeasible at width=$width x " +
             s"live-specs=${live.size} (derived cap $derived < floor " +
-            s"$MinBudgetCap at ${costMs} ms/bucket): polls will overshoot " +
-            "the budget; raise the budget, shrink the spec set, or accept " +
-            s"floor-cap drains")
+            s"$MinBudgetCap; model fixed=${fixedMs.toLong} ms + " +
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(margMs)) +
+            s" ms/bucket): measured minimum feasible budget is " +
+            s"~$minFeasibleMs ms; raise the budget, shrink the spec " +
+            "set, or accept floor-cap drains")
+        }
         math.max(MinBudgetCap, derived)
       }
 
@@ -1428,15 +1502,16 @@ object AggregatorRunner {
           else IncrementalResult(0, 0, 0, 0,
             storedBy(sp.name).flatMap(_.lagMinutes)))
       }
-      // close the budget loop: EWMA the estimate toward this poll's
-      // measured wall/scanned so the next derived cap reflects the
-      // deployment's real hardware, not the seed. Clamped — one
-      // pathological poll (GC storm, cold page cache) must not blow
-      // the estimate out by orders of magnitude.
+      // close the budget loop: record this poll's (scanned, wall)
+      // observation for the two-term fit, and keep the legacy
+      // single-term EWMA updated — it remains the marginal-term
+      // fallback until ≥2 usable observations exist (and the explicit
+      // seeding knob for deployments that know their hardware).
       if (effBudget > 0) {
         val scanned = results.map(_._2.bucketsScanned).sum
         if (scanned > 0) {
           val elapsedMs = (System.nanoTime() - t0) / 1e6
+          state.addCostObservation(scanned, elapsedMs)
           val measured = math.min(100.0, math.max(0.01,
             math.max(elapsedMs - SteadyFloorMs, 1.0) / scanned))
           val prev = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
@@ -1455,6 +1530,43 @@ object AggregatorRunner {
     * the rest on buckets. */
   private[graft] val DefaultBucketCostMs = 0.15
   private[graft] val SteadyFloorMs = 6000L
+  private[graft] val MaxCostObservations = 8
+
+  /** Last budget derivation, probe/spec-visible (driver-side only —
+    * the daemon poll loop IS single-driver by contract). Telemetry,
+    * never control flow. */
+  private[graft] object BudgetTelemetry {
+    @volatile var lastModel: (Double, Double) = (0.0, 0.0)
+    @volatile var lastDerivedCap: Int = 0
+  }
+
+  /** Two-term poll cost fit (VERDICT r18 #2): ordinary least squares
+    * of wall ≈ fixed + marginal × scanned over the rolling
+    * observations. Needs ≥2 usable points at DISTINCT scanned values;
+    * otherwise falls back to (SteadyFloorMs, seedMarginal) — the r18
+    * single-term shape, so cold and explicitly-seeded deployments
+    * derive the same first cap as before. The marginal term clamps to
+    * the r18 EWMA's [0.01, 100] ms/bucket band (one pathological poll
+    * — GC storm, cold page cache — must not blow the model out) and
+    * the fixed term to ≥ 0. */
+  private[graft] def fitCostModel(obs: Seq[(Long, Double)],
+                                  seedMarginal: Double): (Double, Double) = {
+    val usable = obs.filter { case (s, w) => s > 0 && w > 0 }
+    if (usable.map(_._1).distinct.size < 2)
+      (SteadyFloorMs.toDouble, seedMarginal)
+    else {
+      val n = usable.size.toDouble
+      val sMean = usable.map(_._1.toDouble).sum / n
+      val wMean = usable.map(_._2).sum / n
+      val sxx = usable.map { case (s, _) =>
+        (s - sMean) * (s - sMean) }.sum
+      val sxy = usable.map { case (s, w) =>
+        (s - sMean) * (w - wMean) }.sum
+      val marginal = math.min(100.0, math.max(0.01, sxy / sxx))
+      val fixed = math.max(0.0, wMean - marginal * sMean)
+      (fixed, marginal)
+    }
+  }
 
   /** Budget-cap floor: below ~this many buckets per symbol per poll,
     * per-spec fixed costs dominate and shrinking the cap further makes

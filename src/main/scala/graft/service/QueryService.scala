@@ -168,10 +168,18 @@ object QueryService {
     def complete: Boolean = expectedMinutes == observedMinutes
   }
 
+  /** A loaded canonical window plus its release handle.
+    * @param release unpersists the pinned window cache — EVERY serving
+    *                caller must invoke it once `frame` (or anything
+    *                derived from it) has been materialized. A no-op on
+    *                identity deployments (nothing was pinned). */
+  final case class PinnedWindow(frame: DataFrame, coverage: WindowCoverage,
+                                release: () => Unit)
+
   /** Load [start, end] canonical minutes with latest-wins dedup and
     * coverage check (reference `service.py:1036-1117`). */
   def loadCanonicalWindow(spark: SparkSession, reader: MinuteLakeReader,
-                          symbol: String, start: Instant, end: Instant): (DataFrame, WindowCoverage) =
+                          symbol: String, start: Instant, end: Instant): PinnedWindow =
     // re-resolve-on-miss (VERDICT r16 #6): a serving read that outlives
     // the manifest grace window can lose its `.v_*` dir to GC mid-scan;
     // readWindow resolves fresh on each attempt, so the retry restarts
@@ -184,18 +192,25 @@ object QueryService {
       // a version GC'd after this returns would otherwise surface the
       // raw FileNotFound this guard exists to absorb. The coverage
       // count below scans the full window anyway — the pin is that same
-      // scan, cached; serving windows are API-bounded, and Spark's
-      // ContextCleaner unpersists the cache once the frame goes out of
-      // driver scope. Identity deployments stay fully lazy (their paths
-      // never vanish) — zero change to the local/HDFS hot path.
+      // scan, cached. Dataset.persist registers the plan in the shared
+      // CacheManager, which holds a strong reference until an explicit
+      // unpersist (ContextCleaner reclaims only unreachable RDDs and
+      // broadcasts, NOT CacheManager entries — r18 advice), so the pin
+      // is returned WITH a release handle and every serving caller
+      // unpersists once its result is materialized. Identity
+      // deployments stay fully lazy (their paths never vanish) — zero
+      // change to the local/HDFS hot path, release is a no-op.
       val df = if (reader.resolvesVersions) df0.persist() else df0
+      val release: () => Unit =
+        if (reader.resolvesVersions) () => { df.unpersist(); () }
+        else () => ()
       try {
         val observed = df.select(countDistinct(col("timestamp"))).collect().head.getLong(0)
         val expected = ChronoUnit.MINUTES.between(start, end) + 1
-        (df, WindowCoverage(expected, observed))
+        PinnedWindow(df, WindowCoverage(expected, observed), release)
       } catch {
         case e: Throwable =>
-          if (reader.resolvesVersions) df.unpersist()
+          release()
           throw e
       }
     }
@@ -267,17 +282,21 @@ object QueryService {
       allowBinancePatch: Boolean = true): CanonicalWindowResult = {
     import graft.pipeline.Orchestrator
     require(!end.isBefore(start), "end_time must be on or after start_time")
-    val (local, coverage) = loadCanonicalWindow(spark, reader, symbol, start, end)
+    val win = loadCanonicalWindow(spark, reader, symbol, start, end)
+    val (local, coverage) = (win.frame, win.coverage)
     if (coverage.complete || !allowBinancePatch)
-      return CanonicalWindowResult(symbol, start, end, "local", local, coverage, Nil)
+      return CanonicalWindowResult(symbol, start, end, "local", local, coverage, Nil,
+        release = win.release)
     if (coverage.expectedMinutes > onDemandMaxMinutes) {
-      if (coverage.observedMinutes == 0)
+      if (coverage.observedMinutes == 0) {
+        win.release()
         throw new IllegalArgumentException(
           "Requested window is not available locally and is too large for " +
             "on-demand retrieval. Reduce limit or materialize the symbol " +
             "into the minute lake first.")
+      }
       return CanonicalWindowResult(symbol, start, end, "local", local, coverage,
-        Seq("window_too_large_for_on_demand_patch"))
+        Seq("window_too_large_for_on_demand_patch"), release = win.release)
     }
 
     val notes = scala.collection.mutable.Buffer[String]()
@@ -346,7 +365,10 @@ object QueryService {
       .collect().head.getLong(0)
     CanonicalWindowResult(symbol, start, end, source, combined,
       WindowCoverage(coverage.expectedMinutes, observedAfter), notes.toSeq,
-      release = () => patch.foreach { p => p.unpersist(); combined.unpersist(); () })
+      release = () => {
+        patch.foreach { p => p.unpersist(); combined.unpersist() }
+        win.release()
+      })
   }
 
   /** Frame granularity inference (reference `_infer_frame_minutes`,
@@ -381,8 +403,20 @@ object QueryService {
                  timeframe: String, start: Instant, end: Instant,
                  limit: Int = 200): DataFrame = {
     val spec = Timeframes.parse(timeframe)
-    val (window, _) = loadCanonicalWindow(spark, reader, symbol, start, end)
-    candleBarsFromFrame(window, spec, limit)
+    val win = loadCanonicalWindow(spark, reader, symbol, start, end)
+    val bars = candleBarsFromFrame(win.frame, spec, limit)
+    if (!reader.resolvesVersions) bars // identity: lazy, nothing pinned
+    else {
+      // manifest deployment: the caller collects `bars` AFTER this
+      // returns, so the window pin can't be dropped while `bars` still
+      // reads through it. The bars frame is request-bounded (≤ limit
+      // rows) — localCheckpoint materializes it off the window's
+      // lineage (RDD-level storage, which ContextCleaner DOES reclaim
+      // once the frame is unreachable), then the window cache is
+      // released immediately instead of leaking one CacheManager entry
+      // per request (r18 advice).
+      try bars.localCheckpoint() finally win.release()
+    }
   }
 
   /** The aggregate-vs-passthrough core of [[candleBars]], callable on any
@@ -487,10 +521,13 @@ object QueryService {
       notes += "btc_higher_tf_local_minute_aggregation_fallback"
     }
 
-    val (window, _) = loadCanonicalWindow(spark, minuteReader, symbol, start, resolvedEnd)
+    val win = loadCanonicalWindow(spark, minuteReader, symbol, start, resolvedEnd)
     val aggregate = QueryAggregator
-      .aggregateCanonicalFrame(window, spec, limit).persist()
-    val aggCount = aggregate.count()
+      .aggregateCanonicalFrame(win.frame, spec, limit).persist()
+    // the count materializes `aggregate` into its own cache, so the
+    // window pin is no longer load-bearing — release it here rather
+    // than leaking one CacheManager entry per request (r18 advice)
+    val aggCount = try aggregate.count() finally win.release()
     if (aggCount >= limit) {
       htfFrame.foreach(_.unpersist()) // losing frame
       notes += "using_local_btc_minute_lake"
@@ -611,7 +648,9 @@ object QueryService {
     val pivotStart = pivotSpec.addBuckets(endTime, -1)
     val start = if (emaStart.isBefore(pivotStart)) emaStart else pivotStart
 
-    val (window, _) = loadCanonicalWindow(spark, reader, symbol, start, endTime)
+    val win = loadCanonicalWindow(spark, reader, symbol, start, endTime)
+    val window = win.frame
+    try {
 
     // indicator bars use the dedicated OHLC aggregation with non-null
     // gates and end-exclusive bound (live_indicators/aggregation.py:22-75)
@@ -642,6 +681,9 @@ object QueryService {
       case _ => Map.empty[String, Double]
     }
     IndicatorPayload(emaTf, emaLength, emaVal, emaTs, pivotTf, pivots)
+    // everything above collects on the driver — the pin is done once
+    // the payload scalars exist (r18 advice: no per-request cache leak)
+    } finally win.release()
   }
 
   /** Per-timeframe result as the payload assembler consumes it —

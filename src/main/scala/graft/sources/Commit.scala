@@ -521,10 +521,18 @@ class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
     val stampNow = math.min(
       math.max(now, histStamps.maxOption.getOrElse(0L)),
       now + ClockSkewToleranceMs)
-    val superseded = (prev.superseded ++
+    val supersededAll = prev.superseded ++
       newVers.keysIterator.flatMap(leaf =>
-        prev.live.get(leaf).map(v => (leaf, v, stampNow))))
-      .filter { case (_, _, atMs) => atMs + graceMs > now }
+        prev.live.get(leaf).map(v => (leaf, v, stampNow)))
+    val superseded =
+      supersededAll.filter { case (_, _, atMs) => atMs + graceMs > now }
+    // leaves whose grace entries just expired OUT of the manifest: their
+    // old version dirs become unnamed by this publish, so they must be
+    // GC'd NOW even if the leaf itself wasn't touched — otherwise a
+    // leaf never republished leaks its superseded .v_ dir indefinitely
+    // (r18 advice)
+    val expiredLeaves = supersededAll.collect {
+      case (leaf, _, atMs) if atMs + graceMs <= now => leaf }.toSet
     val live = prev.live ++ newVers
     // THE commit: one pointer PUT for the whole batch
     val body = ((live.toSeq.sortBy(_._1).map { case (l, v) => s"$l\t$v" } ++
@@ -533,11 +541,12 @@ class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
     val out = fs.create(new HPath(day, manifestName(nextSeq)), false)
     try out.write(body)
     finally out.close()
-    // GC — only when the previous state was accountable, and only the
-    // TOUCHED leaves (untouched leaves cannot have gained garbage):
-    // delete version dirs named by nobody
+    // GC — only when the previous state was accountable, over the
+    // TOUCHED leaves plus any leaf whose superseded entry expired out
+    // of the manifest in this publish (untouched leaves otherwise
+    // cannot have gained garbage): delete version dirs named by nobody
     if (!prev.corrupt) {
-      newVers.keysIterator.foreach { leaf =>
+      (newVers.keySet ++ expiredLeaves).iterator.foreach { leaf =>
         val keep = live.get(leaf).toSet ++
           superseded.collect { case (`leaf`, v, _) => v }
         val leafP = new HPath(day, leaf)

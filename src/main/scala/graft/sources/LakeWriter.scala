@@ -1241,23 +1241,28 @@ class HtfLakeWriter(root: String,
     }
   }
 
-  /** Manifest-deployment bulk write (r15 #1): every leaf must be
-    * committed through the POINTER, never dynamic-partition overwrite
-    * (a plain rewrite of a day that already has a manifest leaves the
-    * stale pointer in force — resolving readers would keep serving the
-    * old version). The incoming frame is staged ONCE; each touched
-    * (symbol, day) slice is a cheap filtered re-read of the staged
-    * parquet routed through [[writeBuckets]] (merge + committer
-    * publish). O(touched symbol-days) small jobs — incremental ticks
-    * touch few; a backfill on a manifest deployment pays this price
-    * knowingly (the wide layout, which bulk-commits through Hadoop's
-    * committer, is the 10k-width shape anyway). */
+  /** Manifest-deployment bulk write (r15 #1, r19 batched staging —
+    * VERDICT r18 #4): every leaf must be committed through the
+    * POINTER, never dynamic-partition overwrite (a plain rewrite of a
+    * day that already has a manifest leaves the stale pointer in
+    * force — resolving readers would keep serving the old version).
+    *
+    * Staging is ONE partitioned Spark write for the whole batch, not
+    * one job per leaf (the r18 probe measured the per-leaf shape at
+    * ~5× identity on the first tick — WRITE-JOB-bound, not PUT-bound):
+    * incoming ∪ touched existing content merges last-wins keyed by
+    * (symbol, day, bucket_start) in one plan, lands partitioned by
+    * (__sym, __day) under a hidden tmp tree, and each partition dir IS
+    * the leaf's stage — the committer renames it into place. Commit
+    * stays batched: one pointer PUT per parent dir under
+    * [[DayManifestCommit]]; other committers publish per leaf. */
   private def writeBucketsBulkCommitted(spark: SparkSession, timeframe: String,
                                         buckets: DataFrame,
                                         symbolOverride: Option[String]): Unit = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    val tmpTree = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
       val staged = spark.read.parquet(stageDir)
       val symCol = symbolOverride match {
@@ -1269,22 +1274,67 @@ class HtfLakeWriter(root: String,
         .distinct().collect()
         .map(r => (r.getString(0), r.getDate(1).toLocalDate))
         .sortBy(t => (t._1, t._2.toString))
-      // stage every touched (symbol, day)'s merged content first, then
-      // commit the whole batch — one pointer PUT per parent dir under
-      // [[DayManifestCommit]] (the HTF leaf is the day dir, so the
-      // batch groups by its parent month dir — up to ~31× fewer PUTs
-      // on a backfill); other committers keep their per-leaf publish
+      // existing content of already-published touched leaves: resolved
+      // through the committer (ONE day-state read per parent under
+      // DayManifestCommit via resolveLeaves' cache path), read as a
+      // single multi-root scan — leaf identity re-derives from the
+      // DATA (day dirs hold one day; aggregator content carries its
+      // symbol), so no per-leaf union plan
+      val leafDirs = touched.map { case (sym, day) =>
+        partitionDir(timeframe, sym, day) }
+      val resolvedExisting = graft.sources.ResolvedScan
+        .resolveLeaves(fs, leafDirs, committer)
+        .filter(d => fs.listStatus(new HPath(d)).exists(_.isFile))
+      val existingAttr: Option[DataFrame] =
+        if (resolvedExisting.isEmpty) None
+        else {
+          val df = spark.read.parquet(resolvedExisting: _*)
+          val sym = symbolOverride match {
+            case Some(s) => lit(s.toUpperCase)
+            case None if df.columns.contains("symbol") => upper(col("symbol"))
+            case None =>
+              // legacy leaf content without a symbol column can't be
+              // re-attributed in a shared scan — impossible via this
+              // writer (the all-symbols path always carries `symbol`),
+              // guarded for hand-built lakes
+              throw new IllegalStateException(
+                "existing HTF leaf content lacks a symbol column; " +
+                  "cannot batch-merge an all-symbols bulk write over it")
+          }
+          Some(df.withColumn("__sym", sym)
+            .withColumn("__day", to_date(col("bucket_start")).cast("string")))
+        }
+      val incomingAttr = staged.withColumn("__sym", symCol)
+        .withColumn("__day", to_date(col("bucket_start")).cast("string"))
+      val merged = existingAttr match {
+        case None => incomingAttr
+        case Some(ex) =>
+          Ops.dedupKeepLast(
+            ex.withColumn("__src", lit(0))
+              .unionByName(incomingAttr.withColumn("__src", lit(1)),
+                allowMissingColumns = true),
+            Seq("__sym", "__day", "bucket_start"), Seq(col("__src")))
+            .drop("__src")
+      }
+      // ONE staging job: hash-clustered so each leaf lands as one file
+      // (the per-leaf coalesce(1) parity), partition dirs named by the
+      // leaf key
+      merged.repartition(col("__sym"), col("__day"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__sym", "__day")
+        .option("compression", "zstd").parquet(tmpTree)
       val stagedLeaves = touched.map { case (sym, day) =>
-        val slice = staged
-          .where(symCol === sym &&
-            to_date(col("bucket_start")) === java.sql.Date.valueOf(day))
-        stageBuckets(spark, timeframe, sym, day, slice)
+        (s"$tmpTree/__sym=$sym/__day=$day",
+          partitionDir(timeframe, sym, day))
       }
       committer match {
         case b: DayManifestCommit => b.publishBatch(fs, stagedLeaves)
         case c => stagedLeaves.foreach { case (tmp, dir) => c.publish(fs, tmp, dir) }
       }
-    } finally fs.delete(new HPath(stageDir), true)
+    } finally {
+      fs.delete(new HPath(stageDir), true)
+      fs.delete(new HPath(tmpTree), true)
+    }
   }
 
   /** Merge `buckets` with the (resolved) existing day content and stage

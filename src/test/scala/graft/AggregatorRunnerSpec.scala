@@ -616,10 +616,15 @@ class AggregatorRunnerSpec extends SparkSpec {
     // so later polls were allowed bigger caps — no hand-tuning needed
     val adapted = state.getCostPerBucketMs.get
     assert(adapted < 25.0, s"cost estimate must EWMA toward measurement: $adapted")
+    // the budget polls recorded (scanned, wall) observations for the
+    // two-term fit (r18 #2)
+    assert(state.getCostObservations.nonEmpty,
+      "budget polls must record cost observations")
     // a derivation BELOW the amortization floor clamps to the floor
-    // (never the fixed-cost death zone): re-seed absurdly high and
-    // check one more backlog drains at cap ≥ 20 per poll
-    state.setCostPerBucketMs(10000.0)
+    // (never the fixed-cost death zone): plant observations implying
+    // an absurd marginal cost and check one more backlog drains at
+    // cap ≥ 20 per poll — the floor path through the REAL model
+    state.setCostObservations(Seq((100L, 1000000.0), (200L, 2000000.0)))
     Thread.sleep(10)
     mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 901.0),
       merge = true)
@@ -630,6 +635,71 @@ class AggregatorRunnerSpec extends SparkSpec {
     // varies per poll and must not fragment tick state)
     assert(state.getTickState("5m|ai=false|lb=120|budget=6750").isDefined,
       "budget deployments key tick state by the budget")
+  }
+
+  test("two-term cost fit (r18 #2): separates fixed-per-poll from marginal-per-bucket; degenerate inputs fall back to the seeded single-term shape") {
+    import AggregatorRunner.fitCostModel
+    // clean synthetic polls: wall = 12000 + 0.2 × scanned
+    val obs = Seq((50000L, 22000.0), (100000L, 32000.0), (200000L, 52000.0))
+    val (f, m) = fitCostModel(obs, seedMarginal = 0.15)
+    assert(math.abs(f - 12000.0) < 1.0 && math.abs(m - 0.2) < 0.001,
+      s"OLS must recover (12000, 0.2): ($f, $m)")
+    // <2 distinct scanned values → the r18 fallback (floor, seed)
+    assert(fitCostModel(Nil, 0.15) == (6000.0, 0.15))
+    assert(fitCostModel(Seq((100L, 500.0)), 25.0) == (6000.0, 25.0))
+    assert(fitCostModel(Seq((100L, 500.0), (100L, 700.0)), 0.15) ==
+      (6000.0, 0.15), "same scanned twice cannot fit a slope")
+    // a negative-slope artifact (cache warm-up) clamps the marginal at
+    // its floor instead of deriving a runaway cap
+    val (f2, m2) = fitCostModel(Seq((100000L, 60000.0), (200000L, 30000.0)), 0.15)
+    assert(m2 == 0.01 && f2 >= 0.0, s"slope clamps: ($f2, $m2)")
+    // observations round-trip through the tick-state file
+    val dir = Files.createTempDirectory("graft-costobs").toString
+    val state = new AggregatorStateStore(dir)
+    state.addCostObservation(50000L, 22000.4)
+    state.addCostObservation(100000L, 32000.0)
+    assert(state.getCostObservations == Seq((50000L, 22000.4), (100000L, 32000.0)))
+    // rolling window caps at MaxCostObservations
+    (1 to 12).foreach(i => state.addCostObservation(i.toLong, i.toDouble))
+    assert(state.getCostObservations.size == AggregatorRunner.MaxCostObservations)
+    assert(state.getCostObservations.last == (12L, 12.0))
+  }
+
+  test("drain cursor store: an unparsable cursor discards the key's WHOLE block instead of silently classifying that symbol drained (r18 advice)") {
+    val dir = Files.createTempDirectory("graft-cursors").toString
+    val state = new AggregatorStateStore(dir)
+    val key = "5m|ai=false|lb=120|cap=20"
+    state.setDrainCursors(key, Map(
+      "AAAUSDT" -> instant("2026-01-01T00:00:00Z"),
+      "BBBUSDT" -> instant("2026-01-01T08:00:00Z")))
+    assert(state.getDrainCursors(key).size == 2)
+    // corrupt ONE entry in place (a hand edit / torn write)
+    val f = java.nio.file.Paths.get(dir, "drain_cursors.json")
+    java.nio.file.Files.writeString(f, java.nio.file.Files.readString(f)
+      .replace("2026-01-01T08:00:00Z", "not-a-timestamp"))
+    // a partial map would read BBBUSDT as DRAINED (absent from a
+    // non-empty map) and skip its remaining backlog; the empty map is
+    // the legacy shape — every symbol falls back to the global floor
+    assert(state.getDrainCursors(key).isEmpty,
+      "one corrupt cursor must discard the key's whole block")
+    // other keys' blocks are untouched by the discard
+    state.setDrainCursors("15m|cap=5", Map(
+      "CCCUSDT" -> instant("2026-01-02T00:00:00Z")))
+    assert(state.getDrainCursors("15m|cap=5").size == 1)
+  }
+
+  test("cost-estimate serialization is locale-proof: comma-decimal default locale round-trips (r18 advice)") {
+    val dir = Files.createTempDirectory("graft-cost-locale").toString
+    val state = new AggregatorStateStore(dir)
+    val prev = java.util.Locale.getDefault
+    try {
+      // France formats 0.15 as "0,15" through locale-sensitive
+      // formatting — the stored estimate must still parse back
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      state.setCostPerBucketMs(0.15)
+      assert(state.getCostPerBucketMs.contains(0.15),
+        s"estimate must survive a comma-decimal locale: ${state.getCostPerBucketMs}")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("changedSince compaction-guard boundary: a drop stamped exactly AT the high-water distrusts the version log (ADVICE r16 #2)") {

@@ -664,19 +664,23 @@ class CommitSeamSpec extends SparkSpec {
       canonical("2024-03-01T10:00:00Z", 100.0)
         .unionByName(canonical("2024-03-01T10:01:00Z", 101.0)))
     val reader = new MinuteLakeReader(dir, committer = mc)
-    val (frame, cov) = graft.service.QueryService.loadCanonicalWindow(
+    val win = graft.service.QueryService.loadCanonicalWindow(
       spark, reader, "BTCUSDT",
       instant("2024-03-01T10:00:00Z"), instant("2024-03-01T10:01:00Z"))
-    assert(cov.complete)
+    assert(win.coverage.complete)
     // a publish AFTER the load returns sweeps the version the frame's
     // plan resolved (grace 0) — the advisor's exact scenario
     mw.writeHourPartition("BTCUSDT", hour, canonical("2024-03-01T10:02:00Z", 300.0))
     // the returned frame was pinned inside the guard: consuming it now
     // serves the loaded snapshot instead of dying on a raw FileNotFound
-    val opens = frame.orderBy("timestamp").select("open").collect()
+    val opens = win.frame.orderBy("timestamp").select("open").collect()
       .map(_.getDouble(0)).toSeq
     assert(opens == Seq(100.0, 101.0), s"pinned snapshot must survive GC: $opens")
-    frame.unpersist()
+    // the release handle (r18 advice) drops the CacheManager entry so a
+    // long-running service doesn't accumulate one pin per request
+    win.release()
+    assert(win.frame.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release() must unpersist the pinned window")
   }
 
   test("HtfLakeReader pins served windows under a resolving committer (r17 #2)") {
@@ -737,6 +741,33 @@ class CommitSeamSpec extends SparkSpec {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
       assert(versions.length == 1, s"grace-0 GC keeps live only at $l")
     }
+  }
+
+  test("day-batched manifest GCs an UNTOUCHED leaf's version dir once its grace entry expires out of the manifest (r18 advice)") {
+    val root = Files.createTempDirectory("graft-seam-dayexpire").toString
+    val fs = localFs()
+    val day = s"$root/data/day=03"
+    val dm = new DayManifestCommit(graceMs = 50L)
+    val leaves = Seq("hour=00", "hour=01").map(h => s"$day/$h")
+    def versionDirs(l: String) = fs.listStatus(new HPath(l))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".v_"))
+    dm.publishBatch(fs, leaves.map(l => stage(root, Seq(1)) -> l))
+    // replace BOTH leaves: each old version enters grace
+    dm.publishBatch(fs, leaves.map(l => stage(root, Seq(2)) -> l))
+    assert(leaves.forall(l => versionDirs(l).length == 2),
+      "both superseded versions held through grace")
+    Thread.sleep(120) // grace expires for both entries
+    // a publish touching ONLY leaf 0 drops BOTH leaves' expired grace
+    // entries from the manifest — leaf 1's old version dir is now
+    // unnamed and must be swept in THIS publish (it may never be
+    // republished), not leak until a future touch
+    dm.publishBatch(fs, Seq(stage(root, Seq(3)) -> leaves(0)))
+    assert(versionDirs(leaves(1)).length == 1,
+      s"untouched leaf's expired version dir must be GC'd: ${
+        versionDirs(leaves(1)).map(_.getPath.getName).toSeq}")
+    assert(readVia(dm, fs, leaves(1)).contains(Seq(2)),
+      "untouched leaf still serves its live version")
+    assert(readVia(dm, fs, leaves(0)).contains(Seq(3)))
   }
 
   test("resolveLeaves reads each day manifest ONCE and preserves per-leaf fallbacks (r18)") {

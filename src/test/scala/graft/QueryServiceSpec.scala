@@ -273,8 +273,8 @@ class QueryServiceSpec extends SparkSpec {
         .withColumn("mark_price_close", lit(100.5))
         .withColumn("index_price_open", lit(100.0))
         .withColumn("index_price_close", lit(100.4))))
-    val (_, cov) = QueryService.loadCanonicalWindow(spark, reader, "BTCUSDT",
-      start, start.plusSeconds(9 * 60))
+    val cov = QueryService.loadCanonicalWindow(spark, reader, "BTCUSDT",
+      start, start.plusSeconds(9 * 60)).coverage
     assert(cov.expectedMinutes == 10 && cov.observedMinutes == 5 && !cov.complete)
 
     // end-to-end: candleBars over the 5 stored minutes at 5m

@@ -24,7 +24,10 @@
 # pinned since r13), plus — r18, VERDICT r17 #1 — the two rows whose
 # driver-ledger drift had no solo arbiter: j9_star_join_revenue
 # (+54% in the r17 driver run, settled as box by the r18 A/B) and
-# htf_aggregate_1mo (the calendar-frame representative).
+# htf_aggregate_1mo (the calendar-frame representative), plus — r19,
+# VERDICT r18 #5 — the engine tier's two heaviest rows
+# (s18_gated_tick_roundtrip, s19_capped_drain_roundtrip): the tier is
+# >50% of bench wall and its drift previously had no solo arbiter.
 set -euo pipefail
 
 CLASSES="${1:?usage: solo_bench.sh <classes-dir> <out.json> [samples]}"
@@ -36,7 +39,8 @@ QUERIES="${SOLO_QUERIES:-s16_wide_lake_roundtrip dedup_cc_incremental \
 dedup_cc_verified_incremental dedup_cc_verified_star_rescue \
 dedup_cc_autosize dedup_cc_verified_star \
 mb_canonical_build p3_book_ticker_exprs \
-j9_star_join_revenue htf_aggregate_1mo}"
+j9_star_join_revenue htf_aggregate_1mo \
+s18_gated_tick_roundtrip s19_capped_drain_roundtrip}"
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
