@@ -770,6 +770,38 @@ class CommitSeamSpec extends SparkSpec {
     assert(readVia(dm, fs, leaves(0)).contains(Seq(3)))
   }
 
+  test("resolvedLeaves batch-resolves the walk and leafFilter prunes BEFORE any day-state read (r19)") {
+    val root = Files.createTempDirectory("graft-seam-walkresolve").toString
+    val fs = localFs()
+    val readDays = scala.collection.mutable.Set[String]()
+    val dm = new DayManifestCommit(3600000L) {
+      override private[graft] def liveVersions(
+          fs: FileSystem, dayDir: String): Map[String, String] = {
+        readDays += dayDir
+        super.liveVersions(fs, dayDir)
+      }
+    }
+    // two day dirs × two hour leaves each
+    val leaves = for (d <- Seq("day=01", "day=02"); h <- Seq("hour=00", "hour=01"))
+      yield s"$root/data/sym=A/$d/$h"
+    dm.publishBatch(fs, leaves.zipWithIndex.map { case (l, i) =>
+      stage(root, Seq(i + 1)) -> l })
+    readDays.clear()
+    // unfiltered walk: 4 leaves under 2 days = 2 day-state reads (the
+    // r19 fix — the old per-leaf walk read a day's state once per LEAF)
+    val all = ResolvedScan.resolvedLeaves(fs, s"$root/data", dm)
+    assert(all.size == 4 && readDays.size == 2,
+      s"4 leaves / 2 days must cost 2 day-state reads: ${readDays.size}")
+    readDays.clear()
+    // windowed walk: the filter rejects day=02's leaves BEFORE
+    // resolution, so only day=01's state is ever read
+    val windowed = ResolvedScan.resolvedLeaves(fs, s"$root/data", dm,
+      leafFilter = p => p.contains("day=01"))
+    assert(windowed.size == 2 && windowed.forall(_.contains("day=01")))
+    assert(readDays.map(d => new HPath(d).getName) == Set("day=01"),
+      s"out-of-window days must cost ZERO day-state reads: $readDays")
+  }
+
   test("resolveLeaves reads each day manifest ONCE and preserves per-leaf fallbacks (r18)") {
     val root = Files.createTempDirectory("graft-seam-batchresolve").toString
     val fs = localFs()
