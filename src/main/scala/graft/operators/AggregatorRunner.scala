@@ -128,32 +128,35 @@ object AggregatorRunner {
     }
 
     // ---- two-term cost observations (VERDICT r18 #2) ----
-    // Rolling (scanned, wallMs) pairs from budget-driven polls, the
-    // data behind the fixed+marginal fit: wall ≈ fixed + marginal ×
-    // scanned. One line in the tick file ("s:w;s:w;…"); its value
-    // never parses as a TickState, so older readers skip it.
+    // Rolling (liveSpecs, scanned, wallMs) triples from budget-driven
+    // polls, the data behind the per-spec-fixed + marginal fit:
+    // wall ≈ fixed × liveSpecs + marginal × scanned. One line in the
+    // tick file ("l:s:w;…"); its value never parses as a TickState,
+    // so older readers skip it (and pre-r19 two-field pairs are
+    // dropped — tuning state, not durable data).
     private val ObsKey = "__cost_obs"
-    def getCostObservations: Seq[(Long, Double)] =
+    def getCostObservations: Seq[(Long, Long, Double)] =
       readTicks().get(ObsKey).toSeq.flatMap(_.split(';').toSeq.flatMap { p =>
         p.split(':') match {
-          case Array(s, w) =>
-            for { sv <- s.toLongOption; wv <- w.toDoubleOption }
-              yield (sv, wv)
+          case Array(l, s, w) =>
+            for { lv <- l.toLongOption; sv <- s.toLongOption
+                  wv <- w.toDoubleOption }
+              yield (lv, sv, wv)
           case _ => None
         }
       })
-    def addCostObservation(scanned: Long, wallMs: Double): Unit =
+    def addCostObservation(liveSpecs: Long, scanned: Long,
+                           wallMs: Double): Unit =
       synchronized {
-        val obs = (getCostObservations :+ ((scanned, wallMs)))
-          .takeRight(MaxCostObservations)
-        writeTicks(readTicks() + (ObsKey -> obs.map { case (s, w) =>
-          s"$s:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))}"
-        }.mkString(";")))
+        setCostObservations(
+          (getCostObservations :+ ((liveSpecs, scanned, wallMs)))
+            .takeRight(MaxCostObservations))
       }
-    private[graft] def setCostObservations(obs: Seq[(Long, Double)]): Unit =
+    private[graft] def setCostObservations(
+        obs: Seq[(Long, Long, Double)]): Unit =
       synchronized {
-        writeTicks(readTicks() + (ObsKey -> obs.map { case (s, w) =>
-          s"$s:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))}"
+        writeTicks(readTicks() + (ObsKey -> obs.map { case (l, s, w) =>
+          s"$l:$s:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(w))}"
         }.mkString(";")))
       }
 
@@ -1353,62 +1356,22 @@ object AggregatorRunner {
     val latest = reader.latestMinuteAllSymbols(spark, wmKeys)
     val latestFor = if (latest.isEmpty) None else Some(latest)
 
-    // Budget-derived cap (VERDICT r17 #4, two-term since r19): size
-    // maxBucketsPerTick from the poll budget and the TWO-TERM cost
-    // model wall ≈ fixed + marginal × scanned, fit over the rolling
-    // (scanned, wall) observations the budget polls themselves record
-    // — cap = (budget − fixed) / (marginal × width × live-specs). The
-    // r18 probe proved the single ms/bucket EWMA conflated the
-    // per-poll FIXED cost (window/index reads, job submission) into
-    // the marginal term, which is exactly why the unfloored cap
-    // death-spiraled (VERDICT r18 #2); separating the terms derives
-    // correct caps for feasible budgets instead of flooring everything
-    // near the boundary. Before ≥2 usable observations exist the model
-    // falls back to (SteadyFloorMs, stored-or-default ms/bucket) — the
-    // r18 behavior, so seeded deployments start identically.
-    val effCap =
-      if (effBudget <= 0) maxBucketsPerTick
-      else {
-        val width = math.max(latest.size, 1)
-        val (fixedMs, margMs) = fitCostModel(state.getCostObservations,
-          state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs))
-        val denom = margMs * width.toDouble * math.max(live.size, 1)
-        val derived = ((effBudget.toDouble - fixedMs) / denom).toInt
-        // FLOOR at the r17-validated amortization cap: below ~20
-        // buckets/symbol/poll fixed costs dominate and shrinking the
-        // cap makes every poll SLOWER per unit of progress (width-10k
-        // probe: cap=1 polls moved 50k buckets in 160–190 s vs cap=20
-        // moving 200–650k in 27–108 s). When even the floor overshoots
-        // the budget, the budget is infeasible for this width ×
-        // spec-count: say so loudly — WITH the measured minimum
-        // feasible budget — instead of thrashing.
-        BudgetTelemetry.lastModel = (fixedMs, margMs)
-        BudgetTelemetry.lastDerivedCap = derived
-        if (derived < MinBudgetCap) {
-          val minFeasibleMs =
-            (fixedMs + denom * MinBudgetCap).toLong
-          System.err.println(s"[graft][AggregatorRunner] poll budget " +
-            s"${effBudget} ms is infeasible at width=$width x " +
-            s"live-specs=${live.size} (derived cap $derived < floor " +
-            s"$MinBudgetCap; model fixed=${fixedMs.toLong} ms + " +
-            String.format(java.util.Locale.ROOT, "%.3f", Double.box(margMs)) +
-            s" ms/bucket): measured minimum feasible budget is " +
-            s"~$minFeasibleMs ms; raise the budget, shrink the spec " +
-            "set, or accept floor-cap drains")
-        }
-        math.max(MinBudgetCap, derived)
-      }
-
-    // shared source: the union of live windows. Window lo per spec =
-    // its changed-floor (or blind lookback, or its carried drain
-    // cursor), window hi = its capped end — same math the per-spec
-    // core applies, computed here only to BOUND the shared read; the
-    // core re-narrows per spec via its bounds join. Calendar specs
-    // floor to bucket starts, so only include specs whose gate could
-    // pass (a mid-bucket 1M spec would otherwise drag the union back
-    // to the month start for a scan it will never run).
-    val shared: Option[DataFrame] = latestFor.flatMap { lm =>
-      val bounds = live.flatMap { sp =>
+    // Pre-pass: every live spec's UNCAPPED per-symbol windows. Window
+    // lo per symbol = its changed-floor (or blind lookback, or its
+    // carried drain cursor) — the same math the per-spec core applies;
+    // hi = the symbol's latest minute. Computed BEFORE the cap so the
+    // budget sizer sees the REAL per-symbol backlogs (r19: the
+    // cap × width × live-specs volume estimate overstates scan cost by
+    // the deep-to-shallow backlog ratio — a 1h spec has 20× fewer
+    // pending buckets than 3m over the same lag). Gating here uses the
+    // uncapped end, which is equivalent: starts are bucket-aligned, so
+    // a capped window of ≥1 whole bucket completes a bucket iff the
+    // uncapped one does. Gated specs drop out — they launch no scan,
+    // pay no cap, and must not drag the union read backward.
+    val specWindows: Seq[(graft.schema.TimeframeSpec,
+                          Seq[(String, Instant, Instant)])] =
+      if (latest.isEmpty) Nil
+      else live.flatMap { sp =>
         val wmAll = state.getAll(sp.name)
         val cf = (for {
           s <- snap; st <- storedBy(sp.name); hw <- st.highWater
@@ -1428,7 +1391,7 @@ object AggregatorRunner {
               repairLookbackMinutes, maxBucketsPerTick = maxBucketsPerTick,
               pollBudgetMs = effBudget))
           else Map.empty
-        val spans = lm.toSeq.map { case (sym, latestMinute) =>
+        val spans = latest.toSeq.map { case (sym, latestMinute) =>
           val cursor = drainCursors.get(sym.toUpperCase)
           val start = if (pureResume)
             cursor.getOrElse(
@@ -1449,22 +1412,105 @@ object AggregatorRunner {
               case None => repairStart
             }
           }
+          (sym, start, latestMinute)
+        }
+        val gated = !allowIncomplete && spans.forall {
+          case (_, start, lmEnd) =>
+            sp.latestCompleteBucketStart(lmEnd).forall(_.isBefore(start))
+        }
+        if (gated) None else Some(sp -> spans)
+      }
+
+    // Budget-derived cap (VERDICT r17 #4; two-term + backlog-aware
+    // since r19): with a fitted model (wall ≈ fixed × scanning-specs +
+    // marginal × scanned — see fitCostModel), the cap is the largest c
+    // whose PREDICTED wall fits the budget, where predicted scan
+    // volume is Σ_spec Σ_sym min(c, backlog) over the pre-pass's real
+    // windows — not cap × width × live-specs, which overstates volume
+    // whenever spec backlogs are shallower than the cap and made the
+    // r19 probe's first feasible-budget leg land every poll far under
+    // budget. Before the model exists (cold start, <2 non-collinear
+    // observations) the r18 seeded closed form applies unchanged, so
+    // explicitly-seeded deployments derive the same first cap. FLOOR
+    // at the r17-validated amortization cap either way: below ~20
+    // buckets/symbol/poll fixed costs dominate and every poll gets
+    // SLOWER per unit of progress; an infeasible budget is reported
+    // loudly WITH the measured minimum feasible budget.
+    val effCap =
+      if (effBudget <= 0) maxBucketsPerTick
+      else fitCostModel(state.getCostObservations) match {
+        case Some((fSpec, mMs)) =>
+          val backlogs: Seq[Array[Long]] = specWindows.map { case (sp, spans) =>
+            spans.map { case (_, start, lmEnd) =>
+              bucketsSpanned(sp, start, lmEnd) }.toArray
+          }
+          val nScanning = math.max(specWindows.size, 1)
+          def predicted(c: Long): Double =
+            fSpec * nScanning + mMs * backlogs.iterator.map(arr =>
+              arr.iterator.map(b => math.min(b, c)).sum).sum
+          val maxBacklog = backlogs.iterator.flatMap(_.iterator)
+            .foldLeft(MinBudgetCap.toLong)(math.max)
+          BudgetTelemetry.lastModel = (fSpec, mMs)
+          if (predicted(MinBudgetCap.toLong) > effBudget) {
+            BudgetTelemetry.lastDerivedCap = 0 // sub-floor: infeasible
+            System.err.println(s"[graft][AggregatorRunner] poll budget " +
+              s"${effBudget} ms is infeasible at width=${latest.size} x " +
+              s"scanning-specs=$nScanning (model fixed=${fSpec.toLong} " +
+              "ms/spec + " +
+              String.format(java.util.Locale.ROOT, "%.3f", Double.box(mMs)) +
+              s" ms/bucket): measured minimum feasible budget is " +
+              s"~${predicted(MinBudgetCap.toLong).toLong} ms; raise the " +
+              "budget, shrink the spec set, or accept floor-cap drains")
+            MinBudgetCap
+          } else {
+            var lo = MinBudgetCap.toLong
+            var hi = maxBacklog
+            while (lo < hi) {
+              val mid = (lo + hi + 1) / 2
+              if (predicted(mid) <= effBudget) lo = mid else hi = mid - 1
+            }
+            BudgetTelemetry.lastDerivedCap = lo.toInt
+            lo.toInt
+          }
+        case None =>
+          // cold start: the r18 seeded closed form
+          val width = math.max(latest.size, 1)
+          val margMs = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
+          val denom = margMs * width.toDouble * math.max(live.size, 1)
+          val derived = ((effBudget.toDouble - SteadyFloorMs) / denom).toInt
+          BudgetTelemetry.lastModel = (SteadyFloorMs.toDouble, margMs)
+          BudgetTelemetry.lastDerivedCap = derived
+          if (derived < MinBudgetCap) {
+            val minFeasibleMs = (SteadyFloorMs + denom * MinBudgetCap).toLong
+            System.err.println(s"[graft][AggregatorRunner] poll budget " +
+              s"${effBudget} ms is infeasible at width=$width x " +
+              s"live-specs=${live.size} (derived cap $derived < floor " +
+              s"$MinBudgetCap at seeded " +
+              String.format(java.util.Locale.ROOT, "%.3f", Double.box(margMs)) +
+              s" ms/bucket): measured minimum feasible budget is " +
+              s"~$minFeasibleMs ms; raise the budget, shrink the spec " +
+              "set, or accept floor-cap drains")
+          }
+          math.max(MinBudgetCap, derived)
+      }
+
+    // shared source: the union of live windows — the pre-pass spans
+    // with each end capped at effCap buckets; the per-spec core
+    // re-narrows via its bounds join.
+    val shared: Option[DataFrame] = latestFor.flatMap { _ =>
+      val bounds = specWindows.map { case (sp, spans) =>
+        val capped = spans.map { case (_, start, lmEnd) =>
           val end =
-            if (effCap <= 0) latestMinute
+            if (effCap <= 0) lmEnd
             else {
               val capEnd = sp.addBuckets(start, effCap)
                 .minus(1, ChronoUnit.MINUTES)
-              if (capEnd.isBefore(latestMinute)) capEnd else latestMinute
+              if (capEnd.isBefore(lmEnd)) capEnd else lmEnd
             }
           (start, end)
         }
-        val gated = !allowIncomplete && lm.toSeq.zip(spans).forall {
-          case ((_, _), (start, end)) =>
-            sp.latestCompleteBucketStart(end).forall(_.isBefore(start))
-        }
-        if (gated) None
-        else Some((spans.map(_._1).minBy(_.toEpochMilli),
-          spans.map(_._2).maxBy(_.toEpochMilli)))
+        (capped.map(_._1).minBy(_.toEpochMilli),
+          capped.map(_._2).maxBy(_.toEpochMilli))
       }
       for {
         unionLo <- bounds.map(_._1).minByOption(_.toEpochMilli)
@@ -1502,16 +1548,18 @@ object AggregatorRunner {
           else IncrementalResult(0, 0, 0, 0,
             storedBy(sp.name).flatMap(_.lagMinutes)))
       }
-      // close the budget loop: record this poll's (scanned, wall)
-      // observation for the two-term fit, and keep the legacy
-      // single-term EWMA updated — it remains the marginal-term
-      // fallback until ≥2 usable observations exist (and the explicit
-      // seeding knob for deployments that know their hardware).
+      // close the budget loop: record this poll's (scanning-specs,
+      // scanned, wall) observation for the two-term fit, and keep the
+      // legacy single-term EWMA updated — it remains the marginal-term
+      // fallback until the model has ≥2 non-collinear observations
+      // (and the explicit seeding knob for deployments that know
+      // their hardware).
       if (effBudget > 0) {
         val scanned = results.map(_._2.bucketsScanned).sum
         if (scanned > 0) {
           val elapsedMs = (System.nanoTime() - t0) / 1e6
-          state.addCostObservation(scanned, elapsedMs)
+          state.addCostObservation(math.max(specWindows.size, 1).toLong,
+            scanned, elapsedMs)
           val measured = math.min(100.0, math.max(0.01,
             math.max(elapsedMs - SteadyFloorMs, 1.0) / scanned))
           val prev = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
@@ -1540,33 +1588,53 @@ object AggregatorRunner {
     @volatile var lastDerivedCap: Int = 0
   }
 
-  /** Two-term poll cost fit (VERDICT r18 #2): ordinary least squares
-    * of wall ≈ fixed + marginal × scanned over the rolling
-    * observations. Needs ≥2 usable points at DISTINCT scanned values;
-    * otherwise falls back to (SteadyFloorMs, seedMarginal) — the r18
-    * single-term shape, so cold and explicitly-seeded deployments
-    * derive the same first cap as before. The marginal term clamps to
-    * the r18 EWMA's [0.01, 100] ms/bucket band (one pathological poll
-    * — GC storm, cold page cache — must not blow the model out) and
-    * the fixed term to ≥ 0. */
-  private[graft] def fitCostModel(obs: Seq[(Long, Double)],
-                                  seedMarginal: Double): (Double, Double) = {
-    val usable = obs.filter { case (s, w) => s > 0 && w > 0 }
-    if (usable.map(_._1).distinct.size < 2)
-      (SteadyFloorMs.toDouble, seedMarginal)
-    else {
-      val n = usable.size.toDouble
-      val sMean = usable.map(_._1.toDouble).sum / n
-      val wMean = usable.map(_._2).sum / n
-      val sxx = usable.map { case (s, _) =>
-        (s - sMean) * (s - sMean) }.sum
-      val sxy = usable.map { case (s, w) =>
-        (s - sMean) * (w - wMean) }.sum
-      val marginal = math.min(100.0, math.max(0.01, sxy / sxx))
-      val fixed = math.max(0.0, wMean - marginal * sMean)
-      (fixed, marginal)
+  /** Two-term poll cost fit (VERDICT r18 #2): least squares of
+    * wall ≈ fixedPerSpec × liveSpecs + marginal × scanned (no
+    * intercept) over the rolling (liveSpecs, scanned, wall)
+    * observations. The fixed term is PER SCANNING SPEC, not per poll
+    * — the r19 width-10k probe data shows poll wall tracks
+    * ~4 s × live-specs + ~0.13 ms × buckets, and a per-poll intercept
+    * mis-fits drains whose live set shrinks as specs converge
+    * (the first feasible-budget leg measured fixed collapsing to 0
+    * and the marginal absorbing it). Needs ≥2 non-collinear points;
+    * returns None otherwise (caller falls back to the seeded r18
+    * closed form). Marginal clamps to the r18 EWMA's [0.01, 100]
+    * ms/bucket band, fixed to [0, 60 s] — one pathological poll must
+    * not blow the model out. */
+  private[graft] def fitCostModel(
+      obs: Seq[(Long, Long, Double)]): Option[(Double, Double)] = {
+    val usable = obs.filter { case (l, s, w) => l > 0 && s > 0 && w > 0 }
+    if (usable.size < 2) return None
+    var sll, sss, sls, slw, ssw = 0.0
+    usable.foreach { case (l, s, w) =>
+      val ld = l.toDouble; val sd = s.toDouble
+      sll += ld * ld; sss += sd * sd; sls += ld * sd
+      slw += ld * w; ssw += sd * w
     }
+    val det = sll * sss - sls * sls
+    if (det <= 1e-9 * sll * sss) return None // collinear: can't separate
+    val f = (slw * sss - ssw * sls) / det
+    val m = (ssw * sll - slw * sls) / det
+    Some((math.min(60000.0, math.max(0.0, f)),
+      math.min(100.0, math.max(0.01, m))))
   }
+
+  /** Calendar buckets spanned by [start, latest] for `sp` — the
+    * per-symbol backlog estimate behind budget cap sizing (observed
+    * buckets ≤ calendar buckets, so sparse lakes land UNDER budget —
+    * the safe direction). */
+  private[graft] def bucketsSpanned(sp: graft.schema.TimeframeSpec,
+                                    start: Instant, latest: Instant): Long =
+    if (latest.isBefore(start)) 0L
+    else sp.fixedMinutes match {
+      case Some(m) =>
+        ChronoUnit.MINUTES.between(start, sp.floorInstant(latest)) / m + 1
+      case None =>
+        var c = 0L
+        var t = start
+        while (!t.isAfter(latest) && c < 100000L) { c += 1; t = sp.addBuckets(t) }
+        c
+    }
 
   /** Budget-cap floor: below ~this many buckets per symbol per poll,
     * per-spec fixed costs dominate and shrinking the cap further makes

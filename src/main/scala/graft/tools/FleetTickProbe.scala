@@ -236,21 +236,25 @@ object FleetTickProbe {
     }
     println(f"[fleet] budget-capped drain converged in $bpolls polls")
 
-    // FEASIBLE budget leg (VERDICT r18 #2's done criterion): a third
-    // backlog drained under a 120 s budget. By now the two-term model
-    // is fit from the previous legs' real observations, so every
-    // derived cap should land its poll within ±25% of the budget
-    // WITHOUT touching the MinBudgetCap floor — the claim the
-    // single-term estimate could never deliver (it conflated fixed
-    // into marginal and floored near the boundary).
+    // FEASIBLE budget leg (VERDICT r18 #2's done criterion): an 8 h
+    // backlog drained under a 240 s budget. By now the two-term model
+    // is fit from the previous legs' real observations and the sizer
+    // predicts from REAL per-symbol backlogs, so every cap-limited
+    // poll should land within ±25% of the budget WITHOUT touching the
+    // MinBudgetCap floor — the claim the single-term estimate could
+    // never deliver (it conflated fixed into marginal and floored
+    // near the boundary). 240 s is the smallest round budget above
+    // the floor's predicted wall at this width (floor-cap polls cost
+    // ~150 s; a 120 s ask is genuinely infeasible and correctly warns).
+    val feasibleBacklogHours = 8L
     val budget3Start = budget2Start.plus(backlogHours, ChronoUnit.HOURS)
     val (_, backlog3Secs) = timed {
       writer.writeDaysWide(HtfDepthProbe.minutesFrame(
-        spark, width, budget3Start, backlogHours * 60L), merge = true)
+        spark, width, budget3Start, feasibleBacklogHours * 60L), merge = true)
     }
     println(f"[fleet] third backlog landed in $backlog3Secs%.1f s " +
       "(feasible-budget leg)")
-    val feasibleMs = 120000L
+    val feasibleMs = 240000L
     var fpolls = 0
     var fdrained = false
     var inBand = 0

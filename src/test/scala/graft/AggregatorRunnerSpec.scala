@@ -622,9 +622,12 @@ class AggregatorRunnerSpec extends SparkSpec {
       "budget polls must record cost observations")
     // a derivation BELOW the amortization floor clamps to the floor
     // (never the fixed-cost death zone): plant observations implying
-    // an absurd marginal cost and check one more backlog drains at
-    // cap ≥ 20 per poll — the floor path through the REAL model
-    state.setCostObservations(Seq((100L, 1000000.0), (200L, 2000000.0)))
+    // an absurd FIXED cost (~8 min per scanning spec, clamped to the
+    // 60 s model ceiling — still far past this 6.75 s budget) and
+    // check one more backlog drains at cap ≥ 20 per poll — the floor
+    // path through the REAL model
+    state.setCostObservations(
+      Seq((1L, 1000L, 500000.0), (2L, 1000L, 1000000.0)))
     Thread.sleep(10)
     mw.writeDaysWide(wideMinutes("2026-01-01T00:04:00Z", 480, baseOpen = 901.0),
       merge = true)
@@ -637,32 +640,51 @@ class AggregatorRunnerSpec extends SparkSpec {
       "budget deployments key tick state by the budget")
   }
 
-  test("two-term cost fit (r18 #2): separates fixed-per-poll from marginal-per-bucket; degenerate inputs fall back to the seeded single-term shape") {
+  test("two-term cost fit (r18 #2): separates fixed-per-SPEC from marginal-per-bucket; degenerate inputs fall back to None") {
     import AggregatorRunner.fitCostModel
-    // clean synthetic polls: wall = 12000 + 0.2 × scanned
-    val obs = Seq((50000L, 22000.0), (100000L, 32000.0), (200000L, 52000.0))
-    val (f, m) = fitCostModel(obs, seedMarginal = 0.15)
-    assert(math.abs(f - 12000.0) < 1.0 && math.abs(m - 0.2) < 0.001,
-      s"OLS must recover (12000, 0.2): ($f, $m)")
-    // <2 distinct scanned values → the r18 fallback (floor, seed)
-    assert(fitCostModel(Nil, 0.15) == (6000.0, 0.15))
-    assert(fitCostModel(Seq((100L, 500.0)), 25.0) == (6000.0, 25.0))
-    assert(fitCostModel(Seq((100L, 500.0), (100L, 700.0)), 0.15) ==
-      (6000.0, 0.15), "same scanned twice cannot fit a slope")
+    // clean synthetic polls: wall = 4000 × liveSpecs + 0.2 × scanned
+    // (the r19 width-10k probe's measured shape)
+    val obs = Seq((12L, 990000L, 246000.0), (3L, 440000L, 100000.0),
+      (2L, 280000L, 64000.0), (1L, 200000L, 44000.0))
+    val Some((f, m)) = fitCostModel(obs)
+    assert(math.abs(f - 4000.0) < 1.0 && math.abs(m - 0.2) < 0.001,
+      s"least squares must recover (4000/spec, 0.2/bucket): ($f, $m)")
+    // <2 usable or collinear points cannot separate the terms → None
+    // (caller falls back to the r18 seeded closed form)
+    assert(fitCostModel(Nil).isEmpty)
+    assert(fitCostModel(Seq((1L, 100L, 500.0))).isEmpty)
+    assert(fitCostModel(Seq((2L, 200L, 500.0), (4L, 400L, 1000.0))).isEmpty,
+      "proportional (live, scanned) rows are collinear")
     // a negative-slope artifact (cache warm-up) clamps the marginal at
     // its floor instead of deriving a runaway cap
-    val (f2, m2) = fitCostModel(Seq((100000L, 60000.0), (200000L, 30000.0)), 0.15)
-    assert(m2 == 0.01 && f2 >= 0.0, s"slope clamps: ($f2, $m2)")
+    val Some((f2, m2)) = fitCostModel(
+      Seq((1L, 100000L, 60000.0), (1L, 200000L, 30000.0)))
+    assert(m2 == 0.01 && f2 >= 0.0 && f2 <= 60000.0, s"clamps: ($f2, $m2)")
     // observations round-trip through the tick-state file
     val dir = Files.createTempDirectory("graft-costobs").toString
     val state = new AggregatorStateStore(dir)
-    state.addCostObservation(50000L, 22000.4)
-    state.addCostObservation(100000L, 32000.0)
-    assert(state.getCostObservations == Seq((50000L, 22000.4), (100000L, 32000.0)))
+    state.addCostObservation(12L, 50000L, 22000.4)
+    state.addCostObservation(3L, 100000L, 32000.0)
+    assert(state.getCostObservations ==
+      Seq((12L, 50000L, 22000.4), (3L, 100000L, 32000.0)))
     // rolling window caps at MaxCostObservations
-    (1 to 12).foreach(i => state.addCostObservation(i.toLong, i.toDouble))
+    (1 to 12).foreach(i => state.addCostObservation(1L, i.toLong, i.toDouble))
     assert(state.getCostObservations.size == AggregatorRunner.MaxCostObservations)
-    assert(state.getCostObservations.last == (12L, 12.0))
+    assert(state.getCostObservations.last == (1L, 12L, 12.0))
+  }
+
+  test("backlog-aware budget cap (r19): the sizer fits the predicted wall to the budget using real per-symbol backlogs") {
+    import AggregatorRunner.bucketsSpanned
+    val m5 = Timeframes.parse("5m")
+    assert(bucketsSpanned(m5, instant("2026-01-01T00:00:00Z"),
+      instant("2026-01-01T03:59:00Z")) == 48)
+    assert(bucketsSpanned(m5, instant("2026-01-01T00:00:00Z"),
+      instant("2026-01-01T00:00:00Z")) == 1)
+    assert(bucketsSpanned(m5, instant("2026-01-01T01:00:00Z"),
+      instant("2026-01-01T00:00:00Z")) == 0, "inverted window spans zero")
+    val mo = Timeframes.parse("1M")
+    assert(bucketsSpanned(mo, instant("2026-01-01T00:00:00Z"),
+      instant("2026-03-15T00:00:00Z")) == 3, "calendar specs step buckets")
   }
 
   test("drain cursor store: an unparsable cursor discards the key's WHOLE block instead of silently classifying that symbol drained (r18 advice)") {
