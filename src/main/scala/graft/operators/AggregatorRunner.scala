@@ -196,9 +196,6 @@ object AggregatorRunner {
       } else parsed.collect { case (sym, Some(at)) => sym -> at }.toMap
     }
 
-    /** Replace `key`'s whole cursor block with `cursors` (empty map =
-      * drain converged: the block is dropped). One read + one atomic
-      * rewrite, O(width) — never call per symbol. */
     /** Wall spent inside [[setDrainCursors]] since construction —
       * probe-visible so the capped-drain legs can report the cursor
       * store's share of poll wall (VERDICT r18 #6: price it before
@@ -206,6 +203,9 @@ object AggregatorRunner {
       * per-spec sharding). */
     @volatile private[graft] var cursorWriteNanos: Long = 0L
 
+    /** Replace `key`'s whole cursor block with `cursors` (empty map =
+      * drain converged: the block is dropped). One read + one atomic
+      * rewrite, O(width) — never call per symbol. */
     def setDrainCursors(key: String, cursors: Map[String, Instant]): Unit =
       synchronized {
         val t0 = System.nanoTime()

@@ -299,6 +299,13 @@ object QueryService {
         Seq("window_too_large_for_on_demand_patch"), release = win.release)
     }
 
+    // Any throw past this point must unwind the pinned window (and any
+    // frames this path persisted) before propagating — otherwise each
+    // failed patch request leaks a CacheManager entry, the exact leak
+    // class the release() seam exists to close (r19 advice).
+    var patchPinned: Option[DataFrame] = None
+    var combinedPinned: Option[DataFrame] = None
+    try {
     val notes = scala.collection.mutable.Buffer[String]()
     val band = Orchestrator.chooseBand(nowForBand, end)
     val patch =
@@ -308,6 +315,7 @@ object QueryService {
           notes += "binance_patch_no_source_rows"
           None
       }
+    patchPinned = patch
 
     val (combined0, source) = patch match {
       case Some(p) if coverage.observedMinutes > 0 =>
@@ -325,7 +333,7 @@ object QueryService {
     // be fully materialized into the cache first (eager count — the
     // reference's frames are eager by construction)
     val combined = if (patch.isDefined) combined0.persist() else combined0
-    if (patch.isDefined) combined.count()
+    if (patch.isDefined) { combinedPinned = Some(combined); combined.count() }
 
     // persist-back (service.py:694-751): only rows the lake does not
     // already have, hour by hour through the atomic writer (which
@@ -369,6 +377,13 @@ object QueryService {
         patch.foreach { p => p.unpersist(); combined.unpersist() }
         win.release()
       })
+    } catch {
+      case e: Throwable =>
+        combinedPinned.foreach(f => scala.util.Try(f.unpersist()))
+        patchPinned.foreach(f => scala.util.Try(f.unpersist()))
+        win.release()
+        throw e
+    }
   }
 
   /** Frame granularity inference (reference `_infer_frame_minutes`,

@@ -1288,21 +1288,36 @@ class HtfLakeWriter(root: String,
       val existingAttr: Option[DataFrame] =
         if (resolvedExisting.isEmpty) None
         else {
-          val df = spark.read.parquet(resolvedExisting: _*)
-          val sym = symbolOverride match {
-            case Some(s) => lit(s.toUpperCase)
-            case None if df.columns.contains("symbol") => upper(col("symbol"))
-            case None =>
-              // legacy leaf content without a symbol column can't be
-              // re-attributed in a shared scan — impossible via this
-              // writer (the all-symbols path always carries `symbol`),
-              // guarded for hand-built lakes
-              throw new IllegalStateException(
-                "existing HTF leaf content lacks a symbol column; " +
-                  "cannot batch-merge an all-symbols bulk write over it")
-          }
-          Some(df.withColumn("__sym", sym)
-            .withColumn("__day", to_date(col("bucket_start")).cast("string")))
+          // mergeSchema: the multi-root scan must union every leaf's
+          // schema — without it Spark infers from a file subset and a
+          // column present only in some leaves (schema-evolved lakes)
+          // would be silently dropped from the republished versions
+          // (r19 advice)
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(resolvedExisting: _*)
+          if (symbolOverride.isEmpty && !df.columns.contains("symbol"))
+            // legacy leaf content without a symbol column can't be
+            // re-attributed in a shared scan — impossible via this
+            // writer (the all-symbols path always carries `symbol`),
+            // guarded for hand-built lakes
+            throw new IllegalStateException(
+              "existing HTF leaf content lacks a symbol column; " +
+                "cannot batch-merge an all-symbols bulk write over it")
+          // Existing rows re-key from the LEAF DIR they were read from,
+          // not from to_date(bucket_start): the session timezone at
+          // write time may differ from the one that placed the row, and
+          // a derived day outside the touched set would land in a tmp
+          // partition that is never published — silently dropping the
+          // row from its republished leaf (r19 advice). The dir names
+          // are zero-padded by partitionDir, so string assembly matches
+          // the touched key exactly.
+          val file = input_file_name()
+          Some(df
+            .withColumn("__sym", upper(regexp_extract(file, "symbol=([^/]+)", 1)))
+            .withColumn("__day", concat_ws("-",
+              regexp_extract(file, "/year=(\\d{4})/", 1),
+              regexp_extract(file, "/month=(\\d{2})/", 1),
+              regexp_extract(file, "/day=(\\d{2})/", 1))))
         }
       val incomingAttr = staged.withColumn("__sym", symCol)
         .withColumn("__day", to_date(col("bucket_start")).cast("string"))
