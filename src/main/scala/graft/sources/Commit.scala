@@ -428,11 +428,47 @@ class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
     publishBatch(fs, Seq(tmpDir -> destDir))
 
   /** Commit every (tmpDir → leafDir) pair, ONE pointer PUT per
-    * distinct parent day directory. */
-  def publishBatch(fs: FileSystem, entries: Seq[(String, String)]): Unit =
-    entries.groupBy { case (_, dest) => new HPath(dest).getParent.toString }
+    * distinct parent day directory.
+    *
+    * Distinct day dirs are INDEPENDENT commit units (each has its own
+    * manifest and its own version dirs), so a multi-day batch publishes
+    * them on a bounded pool (r20, VERDICT r19 #4: the first-publish leg
+    * of ManifestCostProbe was metadata-latency-bound — 24k sequential
+    * renames + listings at 4.67 ms/leaf; parallel metadata ops are the
+    * standard object-store committer answer, and the single-coordinator
+    * constraint is about separate publisher PROCESSES, not threads of
+    * one publish). Atomicity is per DAY exactly as before — the
+    * sequential loop never offered cross-day atomicity either; a crash
+    * mid-batch leaves some days published and some not, in arbitrary
+    * rather than lexicographic order. Failures propagate with their
+    * original cause after every in-flight day settles. */
+  def publishBatch(fs: FileSystem, entries: Seq[(String, String)]): Unit = {
+    val groups = entries
+      .groupBy { case (_, dest) => new HPath(dest).getParent.toString }
       .toSeq.sortBy(_._1)
-      .foreach { case (dayDir, group) => publishDay(fs, dayDir, group) }
+    if (groups.sizeIs <= 1)
+      groups.foreach { case (dayDir, group) => publishDay(fs, dayDir, group) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(DayManifestCommit.PublishParallelism, groups.size))
+      try {
+        val futures = groups.map { case (dayDir, group) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = publishDay(fs, dayDir, group)
+          })
+        }
+        var firstFailure: Throwable = null
+        futures.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause
+          }
+        }
+        if (firstFailure != null) throw firstFailure
+      } finally pool.shutdown()
+    }
+  }
 
   private final case class DayState(
       seq: Long, live: Map[String, String],
@@ -544,8 +580,15 @@ class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
     // GC — only when the previous state was accountable, over the
     // TOUCHED leaves plus any leaf whose superseded entry expired out
     // of the manifest in this publish (untouched leaves otherwise
-    // cannot have gained garbage): delete version dirs named by nobody
-    if (!prev.corrupt) {
+    // cannot have gained garbage): delete version dirs named by nobody.
+    // FIRST publish (no manifest file existed) skips the sweep outright
+    // (r20, VERDICT r19 #4): nothing a manifest ever named can be
+    // garbage, so the per-leaf listings would only be hunting version
+    // dirs orphaned by a CRASHED earlier first publish — rare, invisible
+    // to every reader (unnamed), and swept by the leaf's next successful
+    // republish; paying one listing per leaf on every bulk ingest to
+    // find them was the single largest first-publish cost.
+    if (!prev.corrupt && manifestFiles.nonEmpty) {
       (newVers.keySet ++ expiredLeaves).iterator.foreach { leaf =>
         val keep = live.get(leaf).toSet ++
           superseded.collect { case (`leaf`, v, _) => v }
@@ -590,7 +633,14 @@ class DayManifestCommit(val graceMs: Long) extends CommitProtocol {
 }
 
 /** Default-grace instance (one hour), mirroring [[ManifestCommit]]. */
-object DayManifestCommit extends DayManifestCommit(3600000L)
+object DayManifestCommit extends DayManifestCommit(3600000L) {
+
+  /** Pool width for multi-day [[DayManifestCommit.publishBatch]] —
+    * bounds concurrent per-day metadata ops (renames, listings, the
+    * pointer PUT). Sized for driver-side metadata latency hiding, not
+    * CPU. */
+  private[sources] val PublishParallelism = 16
+}
 
 /** Reader-side manifest resolution (r15 verdict #1): the walk that
   * turns a Hive-layout subtree into the list of COMMITTED content
@@ -685,23 +735,51 @@ private[graft] object ResolvedScan {
       missingPath && m != null && m.contains(ManifestCommit.VersionPrefix)
     } || versionVanished(t.getCause))
 
+  /** Pool width for the walk's parallel LISTs, the batch resolution's
+    * parallel day-state GETs, and the per-leaf existence probes —
+    * driver-side metadata latency hiding, same sizing rationale as
+    * [[DayManifestCommit.PublishParallelism]]. */
+  private[sources] val WalkParallelism = 16
+
+  /** Ordered parallel map on a bounded pool; rethrows the first
+    * failure's original cause. Single-element input stays inline. */
+  private def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(WalkParallelism, items.size))
+      try {
+        val fs = items.map(i => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(i) }))
+        fs.map { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Resolve MANY already-pruned leaf dirs — the windowed readers'
     * shape. Under [[DayManifestCommit]] the leaves share day-level
     * manifests, so the batch reads each touched day's state ONCE and
     * resolves its leaves from the map (per-leaf [[resolveLeaf]] would
     * re-GET the same manifest per hour leaf — 1.50× on the r18 probe's
     * windowed-read leg); the plain-file fallback per leaf is
-    * preserved. Every other committer keeps the per-leaf loop.
+    * preserved. Day-state GETs and the per-leaf existence/fallback
+    * probes run on the bounded [[WalkParallelism]] pool (r20, VERDICT
+    * r19 #3 — at 240k leaves the sequential probes dominated the
+    * windowed read). Every other committer keeps the per-leaf loop.
     * Output order follows the input. */
   def resolveLeaves(fs: FileSystem, leaves: Seq[String],
                     committer: CommitProtocol): Seq[String] =
     committer match {
       case d: DayManifestCommit =>
-        val byDay = leaves.groupBy(l => new HPath(l).getParent.toString)
-        val liveByDay = byDay.map { case (day, _) =>
-          day -> d.liveVersions(fs, day)
-        }
-        leaves.flatMap { leaf =>
+        val days = leaves.map(l => new HPath(l).getParent.toString).distinct
+        val liveByDay = parMap(days)(day => day -> d.liveVersions(fs, day))
+          .toMap
+        parMap(leaves) { leaf =>
           val p = new HPath(leaf)
           liveByDay(p.getParent.toString).get(p.getName)
             .map(v => s"$leaf/$v").filter(x => fs.exists(new HPath(x)))
@@ -713,7 +791,7 @@ private[graft] object ResolvedScan {
                   })) Some(leaf)
               else None
             }
-        }
+        }.flatten
       case c => leaves.flatMap(l => resolveLeaf(fs, l, c))
     }
 
@@ -725,20 +803,56 @@ private[graft] object ResolvedScan {
     * per-leaf shape at ~11 s over a 24k-leaf windowed read: every hour
     * leaf re-read its day's 24-line manifest). `leafFilter` prunes
     * candidate leaf paths BEFORE resolution, so a windowed caller
-    * never pays day-state reads for out-of-window days. */
+    * never pays day-state reads for out-of-window days.
+    *
+    * The descent STOPS at manifest-bearing dirs (r20, VERDICT r19 #3):
+    * under [[DayManifestCommit]] the day manifest IS a leaf index —
+    * its entries name direct child dirs as the commit units, and every
+    * writer in this repo commits at exactly that grain — so the
+    * partition-dir children of a dir holding a `_MANIFEST[.seq]` file
+    * are leaf candidates as listed, without one LIST per child to
+    * re-discover leaf-ness (at width 10k × 24 h that re-discovery was
+    * 240k of the walk's 280k LISTs; bulk-written PLAIN leaves under
+    * the same day are still direct children, so the day listing
+    * captures them and the resolution fallback admits them). Listings
+    * fan out level-by-level on the bounded [[WalkParallelism]] pool.
+    * Output is lexicographically sorted (the legacy recursion's
+    * DFS-over-sorted-listings order, now restored explicitly after the
+    * parallel fan-out). */
   def resolvedLeaves(fs: FileSystem, base: String,
                      committer: CommitProtocol,
                      leafFilter: String => Boolean = _ => true): Seq[String] = {
     if (!fs.exists(new HPath(base))) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(p: HPath): Unit = {
-      val children = fs.listStatus(p)
-      val partDirs = children.filter(s =>
-        s.isDirectory && s.getPath.getName.contains("="))
-      if (partDirs.nonEmpty) partDirs.foreach(s => walk(s.getPath))
-      else if (leafFilter(p.toString)) out += p.toString
+    val dayIndexed = committer.isInstanceOf[DayManifestCommit]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var frontier: Seq[HPath] = Seq(new HPath(base))
+    while (frontier.nonEmpty)
+      frontier = parMap(frontier) { p =>
+        val children = fs.listStatus(p)
+        val partDirs = children.filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+        val manifested = dayIndexed && children.exists(s => s.isFile && {
+          val n = s.getPath.getName
+          n == ManifestCommit.ManifestName ||
+            n.startsWith(ManifestCommit.ManifestPrefix)
+        })
+        if (manifested && partDirs.nonEmpty) {
+          partDirs.foreach { s =>
+            val leaf = s.getPath.toString
+            if (leafFilter(leaf)) out.add(leaf)
+          }
+          Seq.empty[HPath]
+        } else if (partDirs.nonEmpty) partDirs.map(_.getPath).toSeq
+        else {
+          if (leafFilter(p.toString)) out.add(p.toString)
+          Seq.empty[HPath]
+        }
+      }.flatten
+    val leaves = {
+      val arr = new java.util.ArrayList(out)
+      java.util.Collections.sort(arr)
+      scala.jdk.CollectionConverters.ListHasAsScala(arr).asScala.toSeq
     }
-    walk(new HPath(base))
-    resolveLeaves(fs, out.toSeq, committer)
+    resolveLeaves(fs, leaves, committer)
   }
 }

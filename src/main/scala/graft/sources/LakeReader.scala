@@ -714,7 +714,7 @@ object MinuteLakeReader {
     * version dirs keep their `key=value` ancestry, so one optional
     * trailing non-kv segment is allowed); None when the path carries
     * no hour ancestry — callers must treat that as in-window. */
-  private[sources] def hourKeyOf(path: String): Option[String] = path match {
+  private[graft] def hourKeyOf(path: String): Option[String] = path match {
     case HourKeyRe(y, m, d, h) =>
       Some(f"${y.toInt}%04d${m.toInt}%02d${d.toInt}%02d${h.toInt}%02d")
     case _ => None

@@ -802,6 +802,48 @@ class CommitSeamSpec extends SparkSpec {
       s"out-of-window days must cost ZERO day-state reads: $readDays")
   }
 
+  test("resolvedLeaves stops the walk at manifest-bearing day dirs: no LIST lands on a committed hour leaf (r20)") {
+    val root = Files.createTempDirectory("graft-seam-dayindex").toString
+    val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(localFs()) {
+      override def listStatus(p: HPath): Array[org.apache.hadoop.fs.FileStatus] = {
+        listed.add(p.toString)
+        super.listStatus(p)
+      }
+    }
+    val dm = DayManifestCommit
+    val leaves =
+      for (d <- Seq("day=01", "day=02"); h <- Seq("hour=00", "hour=01", "hour=02"))
+        yield s"$root/data/sym=A/$d/$h"
+    dm.publishBatch(localFs(), leaves.zipWithIndex.map { case (l, i) =>
+      stage(root, Seq(i + 1)) -> l })
+    // one bulk-written PLAIN leaf (no manifest entry) — the day
+    // LISTING must still surface it for the resolution fallback
+    val plain = s"$root/data/sym=A/day=01/hour=03"
+    Seq(9).toDF("v").write.parquet(plain)
+    listed.clear()
+    val resolved = ResolvedScan.resolvedLeaves(fs, s"$root/data", dm)
+    assert(resolved.size == 7, s"6 committed + 1 plain leaf: $resolved")
+    assert(resolved.count(_.endsWith("hour=03")) == 1,
+      "plain bulk leaf surfaces via the day listing alone")
+    // the day manifest IS the leaf index (r20, VERDICT r19 #3): the
+    // walk must never LIST a committed hour leaf to re-discover
+    // leaf-ness — at width 10k × 24 h those listings were 240k of the
+    // walk's 280k LISTs. The only hour-dir LIST allowed is the
+    // resolution FALLBACK probing the plain leaf's visible files.
+    val hourLists = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(listed.iterator).asScala.toSeq
+      .filter(_.contains("hour="))
+    assert(hourLists.forall(_.endsWith("hour=03")),
+      s"walk must not LIST committed hour leaves: $hourLists")
+    // parity with per-leaf resolution (same committed content dirs)
+    val expected = (leaves :+ plain).flatMap(l =>
+      ResolvedScan.resolveLeaf(localFs(), l, dm)).sorted
+    assert(resolved.sorted.map(_.stripPrefix("file:")) ==
+      expected.map(_.stripPrefix("file:")),
+      s"day-index walk must resolve identically: $resolved vs $expected")
+  }
+
   test("resolveLeaves reads each day manifest ONCE and preserves per-leaf fallbacks (r18)") {
     val root = Files.createTempDirectory("graft-seam-batchresolve").toString
     val fs = localFs()
