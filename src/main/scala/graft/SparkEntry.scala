@@ -2600,14 +2600,22 @@ object SparkEntry {
     // contract: atomic.py:65-97.
     "s17_delta_overlay_precedence" -> ((s, dir) => {
       import graft.sources.{LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
-      val ev = eventsK(s, dir)
+      val evAll = eventsK(s, dir)
         .withColumn("symbol",
           concat(lit("SYM"), lpad((col("user_id") % 7).cast("string"), 2, "0"),
             lit("USDT")))
+      // last 24 HOURS only (r20, VERDICT r19 #5 — was the full corpus):
+      // this row's load is the ORDERING contract (double-patch,
+      // delta-only symbol, last-wins), which a bounded window carries
+      // in full; s16 keeps pricing the full-corpus bulk roundtrip
+      val maxMin17 = evAll.agg(max(col("minute"))).collect()(0).getTimestamp(0)
+      val cutoff17 = java.sql.Timestamp.from(
+        maxMin17.toInstant.minus(24, java.time.temporal.ChronoUnit.HOURS))
+      val ev = evAll.where(col("minute") >= cutoff17)
       // delta-only symbols, derived from click events so their days are
       // a subset of the base days (writeDeltaPatch's writer invariant)
       val newSym = eventsK(s, dir)
-        .where(col("event_type") === "click")
+        .where(col("event_type") === "click" && col("minute") >= cutoff17)
         .withColumn("symbol",
           concat(lit("NEW"), lpad((col("user_id") % 3).cast("string"), 2, "0"),
             lit("USDT")))
@@ -2728,13 +2736,17 @@ object SparkEntry {
         .withColumn("symbol",
           concat(lit("SYM"), lpad((col("user_id") % 5).cast("string"), 2, "0"),
             lit("USDT")))
-      // last event-day only: the drain contract is shape-independent,
-      // s18 already prices the multi-day lifecycle, and every extra
+      // last NINE HOURS only (r20, VERDICT r19 #5 — was the last
+      // event-day): the drain contract is shape-independent, s18
+      // already prices the multi-day lifecycle, and every extra
       // 480-bucket cap window is another full poll cycle in the timed
-      // body
-      val maxDay = ev.agg(date_trunc("day", max(col("minute"))))
-        .collect()(0).getTimestamp(0)
-      val evw = ev.where(col("minute") >= maxDay)
+      // body. Nine hours (~540 observed minutes) still forces a
+      // ≥2-poll capped drain — cursor-carry exercised — at one poll
+      // fewer per drain than the full day's three.
+      val maxMin9 = ev.agg(max(col("minute"))).collect()(0).getTimestamp(0)
+      val cutoff9 = java.sql.Timestamp.from(
+        maxMin9.toInstant.minus(9, java.time.temporal.ChronoUnit.HOURS))
+      val evw = ev.where(col("minute") >= cutoff9)
       val root = java.nio.file.Files.createTempDirectory("graft-s19-lake").toString
       try {
         val ledger = new PartitionLedger(s"$root/_state")
@@ -2779,9 +2791,16 @@ object SparkEntry {
         }
         val drain1 = drain()  // initial index: the capped BACKFILL drain
         val steady = tick()   // unchanged ledger: MUST token-skip
-        // late repair: the last day's error minutes, bumped +1000
+        // late repair: the last THREE HOURS' error minutes, bumped
+        // +1000 (r20, VERDICT r19 #5 — was the full 9 h window: the
+        // cursor-carry contract is already exercised by drain1's two
+        // polls; a ≤480-minute patch window makes the patch drain
+        // single-poll, and the oracle's ceil(window/cap) arithmetic is
+        // data-derived so it follows)
+        val patchCut9 = java.sql.Timestamp.from(
+          maxMin9.toInstant.minus(3, java.time.temporal.ChronoUnit.HOURS))
         writer.writeDeltaPatch(wideCanon(
-          evw.where(col("event_type") === "error" && col("minute") >= maxDay),
+          evw.where(col("event_type") === "error" && col("minute") >= patchCut9),
           1000.0))
         val drain2 = drain()  // patch drain: window from the ledger's bounds
         val width = evw.select("symbol").distinct().count()
@@ -2823,10 +2842,20 @@ object SparkEntry {
     // merge), cumulative scanned/written totals (cursor = each
     // observed bucket exactly once; write-skip = patched buckets
     // only), steady zeros, multi-poll shape (the seeded first cap is
-    // span/3, so a >cap span MUST take ≥2 polls), and convergence
-    // within the guard. Fixture: last SIX HOURS of the events corpus
-    // (s19 prices the full-day drain; the budget contract needs only
-    // enough span to out-size the first cap).
+    // span·2/3, so a >cap span MUST take ≥2 polls), and convergence
+    // within the guard. Fixture: last 75 MINUTES of the events corpus
+    // (r20, VERDICT r19 #5 — was six hours: the budget contract needs
+    // only enough span to out-size the first seeded cap, and the
+    // 20-bucket floor needs just over half an hour; s19 prices the
+    // longer drain). Two cost-model columns joined the pinned set
+    // (VERDICT r19 #6): `cost_obs_present` (the __cost_obs store holds
+    // ≥2 (specs, scanned, wall) triples after the forced multi-poll
+    // drain) and `model_engaged` (fitCostModel returns a fit on them —
+    // the drain's later caps were MODEL-derived, not seed-derived).
+    // Both are trajectory-independent: every drain1 poll scans >0 on a
+    // dense corpus so observations accumulate one per poll, and the
+    // EWMA-adapted second cap differs from the first, so the two
+    // triples cannot be collinear.
     "s20_budget_drain_roundtrip" -> ((s, dir) => {
       import graft.sources.{HtfLakeWriter, LakeLayout, MinuteLakeReader, MinuteLakeWriter, PartitionLedger}
       import graft.operators.AggregatorRunner
@@ -2836,7 +2865,7 @@ object SparkEntry {
             lit("USDT")))
       val maxMin = ev.agg(max(col("minute"))).collect()(0).getTimestamp(0)
       val cutoff = java.sql.Timestamp.from(
-        maxMin.toInstant.minus(6, java.time.temporal.ChronoUnit.HOURS))
+        maxMin.toInstant.minus(75, java.time.temporal.ChronoUnit.MINUTES))
       val evw = ev.where(col("minute") >= cutoff)
       val root = java.nio.file.Files.createTempDirectory("graft-s20-lake").toString
       try {
@@ -2853,9 +2882,14 @@ object SparkEntry {
           mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant) + 1
         val width = mm.getLong(2)
         // budget sized so the SEEDED first derivation lands cap =
-        // span/3 (≥ the amortization floor): the drain cannot finish
-        // in one poll, forcing the cursor-carry + observation loop
-        val firstCap = math.max(AggregatorRunner.MinBudgetCap, (span / 3).toInt)
+        // span·2/3 (≥ the amortization floor): the drain cannot finish
+        // in one poll — cursor-carry + observation loop forced — and
+        // completes in exactly TWO seeded polls whose scan volumes
+        // DIFFER (cap vs span−cap), so the two-term fit's collinearity
+        // guard (det = (s1−s2)²) accepts the pair (r20, VERDICT r19
+        // #5: the old span/3 seed took 4 polls to the same pinned
+        // invariants — two extra ticks of pure fixed cost)
+        val firstCap = math.max(AggregatorRunner.MinBudgetCap, (span * 2 / 3).toInt)
         val budgetMs = AggregatorRunner.SteadyFloorMs +
           (25.0 * width * firstCap).toLong
         state.setCostPerBucketMs(25.0) // pessimistic seed
@@ -2876,6 +2910,13 @@ object SparkEntry {
           (polls.toSeq, guard < 30)
         }
         val (drain1, ok1) = drain() // initial index under the budget cap
+        // cost-model round-trip (VERDICT r19 #6): after the forced
+        // multi-poll drain the observation store must hold ≥2 triples
+        // and the two-term fit must ENGAGE on them — pinned here, where
+        // the trajectory is already behind us
+        val obs = state.getCostObservations
+        val costObsPresent = obs.size >= 2
+        val modelEngaged = AggregatorRunner.fitCostModel(obs).isDefined
         val steady = tick()         // unchanged ledger: MUST token-skip
         // tiny SFs can have zero error minutes in the window — an empty
         // patch means drain2 is a pure token-skip (oracle: pm/sc2 = 0)
@@ -2895,6 +2936,8 @@ object SparkEntry {
           .withColumn("drain2_written", lit(drain2.map(_.bucketsWritten).sum))
           .withColumn("multi_poll", lit(drain1.size >= 2))
           .withColumn("converged", lit(ok1 && ok2))
+          .withColumn("cost_obs_present", lit(costObsPresent))
+          .withColumn("model_engaged", lit(modelEngaged))
         s.createDataFrame(
           new java.util.ArrayList(java.util.Arrays.asList(summary.collect(): _*)),
           summary.schema)
@@ -3480,13 +3523,16 @@ object SparkEntry {
     // the overlay-precedence roundtrip's declarative equivalent: four
     // frames at ascending priority (base < patch1 < patch2 < new-symbol
     // patch), merged max-priority-wins per (symbol, minute) — what the
-    // physical base∪delta read must resolve via __delta_seq ordering
+    // physical base∪delta read must resolve via __delta_seq ordering;
+    // bounded to the last 24 h (r20, VERDICT r19 #5)
     "s17_delta_overlay_precedence" ->
-      """WITH sym AS (
+      """WITH sym0 AS (
         |  SELECT 'SYM' || lpad(CAST(user_id % 7 AS VARCHAR), 2, '0') || 'USDT'
         |           AS symbol,
         |         date_trunc('minute', ts) AS m, value, event_type, user_id
         |  FROM events),
+        |cutoff AS (SELECT max(m) - INTERVAL 24 HOUR AS c FROM sym0),
+        |sym AS (SELECT * FROM sym0 WHERE m >= (SELECT c FROM cutoff)),
         |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
         |         FROM sym GROUP BY 1, 2),
         |p1 AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
@@ -3498,7 +3544,10 @@ object SparkEntry {
         |                AS symbol,
         |              date_trunc('minute', ts) AS m,
         |              round(sum(value), 4) + 3000.0 AS open
-        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |       FROM events
+        |       WHERE event_type = 'click'
+        |         AND date_trunc('minute', ts) >= (SELECT c FROM cutoff)
+        |       GROUP BY 1, 2),
         |u AS (
         |  SELECT symbol, m, open, 0 AS pri FROM base
         |  UNION ALL SELECT symbol, m, open, 1 FROM p1
@@ -3557,7 +3606,7 @@ object SparkEntry {
         |FROM buckets GROUP BY symbol""".stripMargin,
 
     // the capped drain's declarative twin (r17 #6): same base/patch
-    // merge as s18 over the last event-day, plus the drain
+    // merge as s18 over the last nine hours, plus the drain
     // arithmetic — polls = ceil(calendar window / cap), scanned =
     // observed buckets in the window exactly once, written = distinct
     // patched buckets, zero cap violations
@@ -3567,14 +3616,15 @@ object SparkEntry {
         |           AS symbol,
         |         date_trunc('minute', ts) AS m, value, event_type
         |  FROM events),
-        |cutoff AS (SELECT date_trunc('day', max(m)) AS c FROM sym0),
+        |cutoff AS (SELECT max(m) - INTERVAL 9 HOUR AS c FROM sym0),
         |sym AS (SELECT * FROM sym0
         |        WHERE m >= (SELECT c FROM cutoff)),
         |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
         |         FROM sym GROUP BY 1, 2),
         |patch AS (SELECT symbol, m, round(sum(value), 4) + 1000.0 AS open
         |          FROM sym
-        |          WHERE event_type = 'error' AND m >= (SELECT c FROM cutoff)
+        |          WHERE event_type = 'error'
+        |            AND m >= (SELECT max(m) - INTERVAL 3 HOUR FROM sym)
         |          GROUP BY 1, 2),
         |merged AS (
         |  SELECT b.symbol, b.m, coalesce(p.open, b.open) AS open
@@ -3605,20 +3655,22 @@ object SparkEntry {
         |FROM merged GROUP BY symbol""".stripMargin,
 
     // the budget-driven drain's declarative twin (r18 #3): same
-    // base/patch merge over the last SIX HOURS, but the cap trajectory
-    // is model-derived and hardware-dependent, so the oracle pins only
-    // the trajectory-INDEPENDENT invariants — content, cumulative
-    // scanned/written (cursor: each observed bucket exactly once;
-    // write-skip: patched buckets only), steady zeros, the multi-poll
-    // shape (first seeded cap is max(20, span/3), so a >20-minute span
-    // must take ≥2 polls), and convergence
+    // base/patch merge over the last 75 MINUTES, but the cap
+    // trajectory is model-derived and hardware-dependent, so the
+    // oracle pins only the trajectory-INDEPENDENT invariants —
+    // content, cumulative scanned/written (cursor: each observed
+    // bucket exactly once; write-skip: patched buckets only), steady
+    // zeros, the multi-poll shape (first seeded cap is
+    // max(20, span·2/3), so a >20-minute span must take ≥2 polls),
+    // convergence, and (r20) the cost-model round-trip: ≥2 stored
+    // observations and an engaged two-term fit after drain1
     "s20_budget_drain_roundtrip" ->
       """WITH sym0 AS (
         |  SELECT 'SYM' || lpad(CAST(user_id % 5 AS VARCHAR), 2, '0') || 'USDT'
         |           AS symbol,
         |         date_trunc('minute', ts) AS m, value, event_type
         |  FROM events),
-        |cutoff AS (SELECT max(m) - INTERVAL 6 HOUR AS c FROM sym0),
+        |cutoff AS (SELECT max(m) - INTERVAL 75 MINUTE AS c FROM sym0),
         |sym AS (SELECT * FROM sym0 WHERE m >= (SELECT c FROM cutoff)),
         |base AS (SELECT symbol, m, round(sum(value), 4) + 0.0 AS open
         |         FROM sym GROUP BY 1, 2),
@@ -3643,7 +3695,9 @@ object SparkEntry {
         |       (SELECT n FROM sc2) AS drain2_scanned,
         |       (SELECT n FROM pm) AS drain2_written,
         |       ((SELECT span FROM lk) > 20) AS multi_poll,
-        |       TRUE AS converged
+        |       TRUE AS converged,
+        |       TRUE AS cost_obs_present,
+        |       TRUE AS model_engaged
         |FROM merged GROUP BY symbol""".stripMargin,
 
     // the recall ledger's declarative twin: identical md5-derived
