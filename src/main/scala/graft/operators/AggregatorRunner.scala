@@ -1183,12 +1183,20 @@ object AggregatorRunner {
     try {
       val kept =
         if (allowIncomplete) aggregated else aggregated.where(col("bucket_complete"))
-      val m = aggregated.agg(
-        count(lit(1)).as("total"),
-        sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("n_complete"))
-        .collect()(0)
-      val total = m.getLong(0)
-      val nComplete = if (m.isNullAt(1)) 0L else m.getLong(1)
+      // ONE action over the persisted aggregation serves BOTH the
+      // global counters and the per-symbol complete-bucket watermarks
+      // advanceAll needs below (r20): the busy tick previously paid a
+      // second full stage over the cached frame for the watermark
+      // collect — at width 10k that is a second 10k-group aggregation
+      // per spec per poll. The collect is width-bounded (one row per
+      // symbol), the same bound advanceAll's collect already had.
+      val perSym = aggregated.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("bucket_complete"), 1L).otherwise(0L)).as("nc"),
+        max(when(col("bucket_complete"), col("bucket_start"))).as("wm"))
+        .collect()
+      val total = perSym.map(_.getLong(1)).sum
+      val nComplete = perSym.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
       val nKept = if (allowIncomplete) total else nComplete
       var repaired = 0L
       var nWritten = 0L
@@ -1276,12 +1284,12 @@ object AggregatorRunner {
         } finally { changedPersisted.unpersist(); () }
         // watermarks advance on every observed-complete bucket, written
         // or skipped-as-unchanged — both mean the bucket is current;
-        // one batched monotone rewrite, not a per-symbol loop
+        // one batched monotone rewrite, not a per-symbol loop. The map
+        // derives from the perSym pass above — no extra Spark action.
         state.advanceAll(spec.name,
-          aggregated.where(col("bucket_complete"))
-            .groupBy("symbol").agg(max("bucket_start").as("wm"))
-            .collect()
-            .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap)
+          perSym.iterator
+            .filter(!_.isNullAt(3))
+            .map(r => r.getString(0) -> r.getTimestamp(3).toInstant).toMap)
       }
       // lag = worst symbol's distance from its own latest minute; a
       // symbol with minutes but NO completed bucket yet has unbounded
