@@ -3647,8 +3647,11 @@ object SparkEntry {
         |         AS drain1_polls,
         |       (SELECT n FROM tot) AS drain1_scanned,
         |       (SELECT n FROM tot) AS drain1_written,
-        |       CAST(ceil((SELECT span FROM w2) / 480.0) AS BIGINT)
-        |         AS drain2_polls,
+        |       -- empty patch (no error minutes in the patch window at
+        |       -- tiny SFs): the engine's drain loop still runs exactly
+        |       -- one poll, which token-skips — 1, not NULL
+        |       CAST(coalesce(ceil((SELECT span FROM w2) / 480.0), 1)
+        |              AS BIGINT) AS drain2_polls,
         |       (SELECT n FROM sc2) AS drain2_scanned,
         |       (SELECT n FROM pm) AS drain2_written,
         |       CAST(0 AS BIGINT) AS cap_violations

@@ -1147,8 +1147,6 @@ object AggregatorRunner {
     // its tree is per-symbol). An empty day set reads as an empty frame.
     val wideTf = graft.sources.LakeLayout.detect(fs, tfDir)
       .exists(_.isInstanceOf[graft.sources.LakeLayout.DayWide])
-    def emptyIndex = bounds.limit(0).select(col("symbol"),
-      col("__start").as("bucket_start"), lit(true).as("bucket_complete"))
     lazy val windowDays =
       graft.sources.DayDirs.inRange(fs, tfDir, loBound, farEnd)
     // hourly tree under a manifest deployment: window-bound each
@@ -1163,19 +1161,6 @@ object AggregatorRunner {
         writer.committer)
     }
     val mustResolve = writer.committer.readThroughResolve
-    val existing =
-      if (!fs.exists(new HPath(tfDir))) emptyIndex
-      else if (wideTf) {
-        if (windowDays.isEmpty) emptyIndex
-        else spark.read.option("basePath", tfDir).parquet(windowDays: _*)
-          .select("symbol", "bucket_start", "bucket_complete")
-      } else if (mustResolve) {
-        if (hourlyResolvedWindowLeaves.isEmpty) emptyIndex
-        else spark.read.option("basePath", tfDir)
-          .parquet(hourlyResolvedWindowLeaves: _*)
-          .select("symbol", "bucket_start", "bucket_complete")
-      } else
-        spark.read.parquet(tfDir).select("symbol", "bucket_start", "bucket_complete")
 
     val aggregated = HtfAggregator
       .aggregateMinutes(source, spec, symbol = "", byCols = Seq("symbol"))
@@ -1212,12 +1197,22 @@ object AggregatorRunner {
         // collides on values containing the separator), and nulls stay
         // explicit so ("x", null) != (null, "x").
         val tfDirPath = new HPath(tfDir)
+        // `__complete_old` rides the fingerprint join (r20): the repaired
+        // count used to be a SECOND action — a semi-join of the changed
+        // rows against a separate window read of the existing index —
+        // paid on every writing poll. The HTF tree is keyed-unique on
+        // (symbol, bucket_start) by construction (every writer path
+        // merges keyed last-wins), so a left join carries the existing
+        // row's completeness through the same shuffle the write-skip
+        // compare already pays, and one aggregate action below yields
+        // nWritten AND repaired together.
         val changed =
           if (!fs.exists(tfDirPath) || (wideTf && windowDays.isEmpty) ||
-              (mustResolve && !wideTf && hourlyResolvedWindowLeaves.isEmpty)) kept
+              (mustResolve && !wideTf && hourlyResolvedWindowLeaves.isEmpty))
+            kept.withColumn("__complete_old", lit(null).cast("boolean"))
           else {
             // bound the comparison read to the lookback window. Wide
-            // tree: explicit window day dirs (see `existing` above — a
+            // tree: explicit window day dirs (a
             // root read + partition predicate would still LIST every
             // file in the tree first). Hourly tree: the year/month/day
             // PARTITION-column predicate (lpad-normalized, robust to
@@ -1247,39 +1242,46 @@ object AggregatorRunner {
                   .drop("year", "month", "day")
                   .where(col("bucket_start") >= java.sql.Timestamp.from(lo))
               }
+            val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
+            def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
+              md5(to_json(struct(cmpCols.map(col): _*),
+                Map("ignoreNullFields" -> "false"))))
+            // shuffle_hash, NEVER broadcast: the existing side is
+            // window-buckets × width — at width 10k one HTF day is
+            // 4.8M rows behind a single-digit-MiB zstd footprint, so
+            // file-size stats sell it as broadcastable and the build
+            // collects GiBs to the driver (measured: maxResultSize
+            // abort on the first busy fleet tick). A per-partition
+            // hash build is bounded at any width; when the side is
+            // genuinely small the extra exchange costs milliseconds
+            val joined = fp(kept).join(
+                fp(existingFull)
+                  .select(col("symbol"), col("bucket_start"),
+                    col("__fp").as("__fp_old"),
+                    col("bucket_complete").as("__complete_old"))
+                  .hint("shuffle_hash"),
+                Seq("symbol", "bucket_start"), "left")
             // same schema-evolution guard as changedAgainst: a
             // kept-only column means fingerprints can't see the
             // difference — rewrite the window rather than skip it
-            if (kept.columns.exists(c => !existingFull.columns.contains(c))) kept
-            else {
-              val cmpCols = kept.columns.filter(existingFull.columns.contains).sorted
-              def fp(df: org.apache.spark.sql.DataFrame) = df.withColumn("__fp",
-                md5(to_json(struct(cmpCols.map(col): _*),
-                  Map("ignoreNullFields" -> "false"))))
-              // shuffle_hash, NEVER broadcast: the existing side is
-              // window-buckets × width — at width 10k one HTF day is
-              // 4.8M rows behind a single-digit-MiB zstd footprint, so
-              // file-size stats sell it as broadcastable and the build
-              // collects GiBs to the driver (measured: maxResultSize
-              // abort on the first busy fleet tick). A per-partition
-              // hash build is bounded at any width; when the side is
-              // genuinely small the extra exchange costs milliseconds
-              fp(kept).join(
-                  fp(existingFull).select("symbol", "bucket_start", "__fp")
-                    .hint("shuffle_hash"),
-                  Seq("symbol", "bucket_start", "__fp"), "left_anti")
-                .drop("__fp")
-            }
+            val guard = kept.columns.exists(c => !existingFull.columns.contains(c))
+            (if (guard) joined
+             else joined.where(col("__fp_old").isNull ||
+                               col("__fp_old") =!= col("__fp")))
+              .drop("__fp", "__fp_old")
           }
         val changedPersisted = changed.persist()
         try {
-          nWritten = changedPersisted.count()
+          // ONE action: changed count + repaired count (changed rows
+          // whose superseded stored row was complete)
+          val cnt = changedPersisted.agg(
+            count(lit(1)).as("n"),
+            count(when(col("__complete_old"), lit(1))).as("rep")).collect()(0)
+          nWritten = cnt.getLong(0)
           if (nWritten > 0) {
-            repaired = changedPersisted.join(
-              existing.where(col("bucket_complete")).select("symbol", "bucket_start")
-                .hint("shuffle_hash"), // same width-unbounded side
-              Seq("symbol", "bucket_start"), "left_semi").count()
-            writer.writeBucketsBulkAllSymbols(spark, spec.name, changedPersisted)
+            repaired = cnt.getLong(1)
+            writer.writeBucketsBulkAllSymbols(spark, spec.name,
+              changedPersisted.drop("__complete_old"))
           }
         } finally { changedPersisted.unpersist(); () }
         // watermarks advance on every observed-complete bucket, written
@@ -1562,12 +1564,20 @@ object AggregatorRunner {
       // fallback until the model has ≥2 non-collinear observations
       // (and the explicit seeding knob for deployments that know
       // their hardware).
-      if (effBudget > 0) {
+      if (effBudget > 0 && specWindows.nonEmpty) {
+        // record every poll that actually launched spec scans — a capped
+        // poll whose window held only calendar gap (scanned = 0, sparse
+        // corpus) still paid the per-spec fixed machinery, and its
+        // (liveSpecs, 0, wall) triple anchors the two-term fit's FIXED
+        // term directly (r20: the old scanned>0 gate starved the model
+        // of its second observation on sparse corpora — one scan poll +
+        // one gap poll left cost_obs_present=false). Token-skip polls
+        // never reach here (specWindows is empty for them). The EWMA
+        // marginal estimate still needs scanned > 0.
         val scanned = results.map(_._2.bucketsScanned).sum
+        val elapsedMs = (System.nanoTime() - t0) / 1e6
+        state.addCostObservation(specWindows.size.toLong, scanned, elapsedMs)
         if (scanned > 0) {
-          val elapsedMs = (System.nanoTime() - t0) / 1e6
-          state.addCostObservation(math.max(specWindows.size, 1).toLong,
-            scanned, elapsedMs)
           val measured = math.min(100.0, math.max(0.01,
             math.max(elapsedMs - SteadyFloorMs, 1.0) / scanned))
           val prev = state.getCostPerBucketMs.getOrElse(DefaultBucketCostMs)
@@ -1606,12 +1616,17 @@ object AggregatorRunner {
     * (the first feasible-budget leg measured fixed collapsing to 0
     * and the marginal absorbing it). Needs ≥2 non-collinear points;
     * returns None otherwise (caller falls back to the seeded r18
-    * closed form). Marginal clamps to the r18 EWMA's [0.01, 100]
-    * ms/bucket band, fixed to [0, 60 s] — one pathological poll must
-    * not blow the model out. */
+    * closed form). Zero-SCAN observations are usable — a capped poll
+    * that crossed only calendar gap samples w ≈ fixed × liveSpecs
+    * directly, the cleanest fixed-term anchor there is (r20; on
+    * sparse corpora they can be half the drain's polls) — the
+    * collinearity guard still rejects an all-gap set, which cannot
+    * price the marginal. Marginal clamps to the r18 EWMA's
+    * [0.01, 100] ms/bucket band, fixed to [0, 60 s] — one
+    * pathological poll must not blow the model out. */
   private[graft] def fitCostModel(
       obs: Seq[(Long, Long, Double)]): Option[(Double, Double)] = {
-    val usable = obs.filter { case (l, s, w) => l > 0 && s > 0 && w > 0 }
+    val usable = obs.filter { case (l, s, w) => l > 0 && s >= 0 && w > 0 }
     if (usable.size < 2) return None
     var sll, sss, sls, slw, ssw = 0.0
     usable.foreach { case (l, s, w) =>

@@ -249,10 +249,15 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * Called BEFORE the data commit (r15 advice #2): premature
     * registration is harmless in a superset; late registration races a
     * reader into falsely denying a just-committed new symbol. */
-  private def registerSymbols(fs: FileSystem, frame: DataFrame): Unit = {
+  private def registerSymbols(fs: FileSystem, frame: DataFrame): Unit =
+    registerSymbolSet(fs, frame.select(upper(col("symbol"))).distinct()
+      .collect().map(_.getString(0)).toSet)
+
+  /** Symbol-set form of [[registerSymbols]] for callers that already
+    * hold the distinct symbols from another pass (the bulk writer's
+    * fused stats job) — same registry rules, no extra Spark job. */
+  private def registerSymbolSet(fs: FileSystem, fresh: Set[String]): Unit = {
     val lakeDir = s"$root/futures/um/minute"
-    val fresh = frame.select(upper(col("symbol"))).distinct()
-      .collect().map(_.getString(0)).toSet
     val regPath = new HPath(s"$lakeDir/${MinuteLakeWriter.SymbolsRegistry}")
     MinuteLakeWriter.readSymbolRegistry(fs, lakeDir) match {
       case Some(existing) =>
@@ -473,11 +478,23 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     frame.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
     try {
       val staged = spark.read.parquet(stageDir)
-      val touched = withPartCols(staged)
-        .select(col("year").cast("int").as("year"),
-                col("month").cast("int").as("month"),
-                col("day").cast("int").as("day"))
-        .distinct().collect()
+      // ONE stats pass over the staged increment serves the touched-day
+      // set, the per-day patch bounds, and the symbol registry (r20):
+      // these were four separate jobs (touched distinct, registerSymbols
+      // distinct, bounds, patchBounds) — each a full pass over the
+      // staged parquet, pure fixed cost per bulk write. The per-day
+      // symbol sets are width-bounded (strings per day), the same bound
+      // the registry write already carries.
+      val stagedStats = withPartCols(staged)
+        .groupBy(col("year").cast("int").as("y"),
+                 col("month").cast("int").as("m"),
+                 col("day").cast("int").as("d"))
+        .agg(count(lit(1)).as("n"),
+             unix_micros(min(col("timestamp"))).as("mn"),
+             unix_micros(max(col("timestamp"))).as("mx"),
+             collect_set(upper(col("symbol"))).as("syms"))
+        .collect()
+      val touched = stagedStats.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
       val nDays = touched.length.max(1)
 
       val hasExisting = merge && fs.exists(new HPath(lakeDir)) &&
@@ -494,8 +511,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           // before pruning, so merging one day into a years-deep lake
           // paid O(depth) listing (same fix as the reader paths); the
           // walk itself descends only the touched years/months
-          val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-          val touchedDirs = DayDirs.matching(fs, lakeDir, touchedSet)
+          val touchedDirs = DayDirs.matching(fs, lakeDir, touched.toSet)
           if (touchedDirs.isEmpty) staged
           else {
             val existingTouched = spark.read.option("basePath", lakeDir)
@@ -510,7 +526,8 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       // racing the gap between data commit and a late registration
       // would falsely deny a just-committed NEW symbol; early
       // registration is safe (superset)
-      registerSymbols(fs, staged)
+      registerSymbolSet(fs,
+        stagedStats.iterator.flatMap(_.getSeq[String](6)).toSet)
 
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // sort by the PARTITION columns first: FileFormatWriter's required
@@ -535,35 +552,37 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       // the hourly path records per symbol-hour, computed DISTRIBUTED
       // (one executors-side hash job for all touched days) because a
       // bulk day at production width is hundreds of MB
-      val touchedYmd = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-      val committedDirs = DayDirs.matching(fs, lakeDir, touchedYmd)
+      val committedDirs = DayDirs.matching(fs, lakeDir, touched.toSet)
         .map(p => DayDirs.ymdOf(p) -> p).toMap
       val hashes = MinuteLakeWriter.dayContentHashes(spark, committedDirs.values.toSeq)
       // bounds via unix_micros + driver-side UTC render: the strings are
       // windowed on by the incremental tick, so they must not depend on
-      // the session time zone (ADVICE r16 #1; see LedgerBounds)
-      val bounds = withPartCols(effective)
-        .groupBy(col("year").cast("int").as("y"),
-                 col("month").cast("int").as("m"),
-                 col("day").cast("int").as("d"))
-        .agg(count(lit(1)).as("n"),
-             unix_micros(min(col("timestamp"))).as("mn"),
-             unix_micros(max(col("timestamp"))).as("mx"))
-        .collect()
+      // the session time zone (ADVICE r16 #1; see LedgerBounds). When
+      // nothing was merged, effective IS staged and the stats pass above
+      // already holds its per-day bounds — no second job.
+      val bounds: Seq[((Int, Int, Int), Long, Long, Long)] =
+        if (mergeTmp.isEmpty || (effective eq staged))
+          stagedStats.toSeq.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        else withPartCols(effective)
+          .groupBy(col("year").cast("int").as("y"),
+                   col("month").cast("int").as("m"),
+                   col("day").cast("int").as("d"))
+          .agg(count(lit(1)).as("n"),
+               unix_micros(min(col("timestamp"))).as("mn"),
+               unix_micros(max(col("timestamp"))).as("mx"))
+          .collect().toSeq
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
       // patch bounds: what THIS write touched, per day — the staged
-      // increment's bounds, not the merged day's. The incremental
-      // tick's data-driven repair window reads these; without them a
-      // one-minute merge into today attributes the change to the whole
-      // day and the tick re-aggregates day-to-date × width per poll
-      val patchBounds = withPartCols(staged)
-        .groupBy(col("year").cast("int").as("y"),
-                 col("month").cast("int").as("m"),
-                 col("day").cast("int").as("d"))
-        .agg(unix_micros(min(col("timestamp"))).as("mn"),
-             unix_micros(max(col("timestamp"))).as("mx"))
-        .collect()
+      // increment's bounds, not the merged day's (both come from the
+      // shared stats pass). The incremental tick's data-driven repair
+      // window reads these; without them a one-minute merge into today
+      // attributes the change to the whole day and the tick
+      // re-aggregates day-to-date × width per poll
+      val patchBounds = stagedStats
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-          (LedgerBounds.iso(r.getLong(3)), LedgerBounds.iso(r.getLong(4)))).toMap
+          (LedgerBounds.iso(r.getLong(4)), LedgerBounds.iso(r.getLong(5)))).toMap
       // A non-merge rewrite of an ALREADY-COMMITTED day can shrink it:
       // rows earlier than the new content's min vanish, and a patch
       // range covering only the new content would leave those minutes
@@ -576,8 +595,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         else ledger.all()
           .filter(e => e.symbol == "__ALL__" && e.status == "COMMITTED")
           .map(e => e.day -> (e.minTs, e.maxTs)).toMap
-      bounds.foreach { r =>
-        val ymd = (r.getInt(0), r.getInt(1), r.getInt(2))
+      bounds.foreach { case (ymd, nRows, mnMicros, mxMicros) =>
         committedDirs.get(ymd).foreach { dayDir =>
           val dayKey = f"${ymd._1}%04d-${ymd._2}%02d-${ymd._3}%02d"
           val patch = patchBounds.get(ymd).map { case (mn, mx) =>
@@ -598,9 +616,9 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
             day = dayKey,
             hour = -1,
             path = dayDir,
-            rowCount = r.getLong(3),
-            minTs = LedgerBounds.iso(r.getLong(4)),
-            maxTs = LedgerBounds.iso(r.getLong(5)),
+            rowCount = nRows,
+            minTs = LedgerBounds.iso(mnMicros),
+            maxTs = LedgerBounds.iso(mxMicros),
             schemaHash = CanonicalSchema.schemaHash,
             status = "COMMITTED",
             committedAtUtc = Instant.now.toString,
@@ -643,7 +661,7 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
     * covers the delta tree exactly like the base.
     *
     * @return the touched delta day directories */
-  def writeDeltaPatch(frame: DataFrame): Seq[String] = {
+  def writeDeltaPatch(frame0: DataFrame): Seq[String] = {
     layout match {
       case LakeLayout.DayWide(_) => ()
       case LakeLayout.HourlySymbol =>
@@ -651,6 +669,18 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
           "writeDeltaPatch requires LakeLayout.DayWide; hourly repairs " +
             "rewrite their one symbol-hour partition (already O(patch))")
     }
+    // pin the patch once: four actions consume it (touched-days collect,
+    // DQ validation, symbol registration, the write itself), and the
+    // caller's frame is typically the tail of a pipeline — unpinned,
+    // that whole upstream re-ran per action (measured 3.5–6.3 s of the
+    // s16/s18 bench rows for a patch whose own write job is ~50 ms).
+    // O(patch) memory by this method's contract: a patch is small.
+    val frame = frame0.persist()
+    try writeDeltaPatchPinned(frame)
+    finally { frame.unpersist(); () }
+  }
+
+  private def writeDeltaPatchPinned(frame: DataFrame): Seq[String] = {
     val spark = frame.sparkSession
     val lakeDir = s"$root/futures/um/minute"
     val deltaRoot = s"$lakeDir/${MinuteLakeWriter.DeltaSubdir}"
@@ -661,11 +691,19 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       .withColumn("month", date_format(col("timestamp"), "MM"))
       .withColumn("day", date_format(col("timestamp"), "dd"))
 
-    // a patch is small by definition: the touched-day set is a tiny
-    // driver-side collect, and the write is one coalesced task
-    val touched = withPartCols(frame)
-      .select(col("year").cast("int"), col("month").cast("int"), col("day").cast("int"))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    // ONE pass over the pinned patch serves the DQ gate, the touched-day
+    // set, and the symbol registry (r20): previously three separate
+    // full-frame jobs. Both extra sets are tiny by the patch contract
+    // (days touched, symbols present).
+    val (_, extras) = DQValidator.validateKeyedCollecting(
+      frame, Seq("symbol", "timestamp"),
+      Seq(collect_set(struct(
+            year(col("timestamp")).as("y"),
+            month(col("timestamp")).as("m"),
+            dayofmonth(col("timestamp")).as("d"))).as("__days"),
+          collect_set(upper(col("symbol"))).as("__syms")))
+    val touched = extras(0).asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     if (touched.isEmpty) return Seq.empty
     val baseDays = DayDirs.matching(fs, lakeDir, touched).map(DayDirs.ymdOf).toSet
     require(touched.subsetOf(baseDays),
@@ -684,13 +722,12 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
 
-    DQValidator.validateKeyed(frame, Seq("symbol", "timestamp"))
-
     // a patch can introduce a symbol new to the lake (only the DAY must
     // pre-exist) — register BEFORE the append (r15 advice #2: premature
     // registration is safe, late registration races readers into
     // denying the new symbol)
-    registerSymbols(fs, frame)
+    registerSymbolSet(fs,
+      extras(1).asInstanceOf[scala.collection.Seq[String]].toSet)
 
     withPartCols(frame)
       .coalesce(1)
@@ -1184,13 +1221,23 @@ class HtfLakeWriter(root: String,
       .withColumn("month", date_format(col("bucket_start"), "MM"))
       .withColumn("day", date_format(col("bucket_start"), "dd"))
 
-    // stage once: day count + range sampling + final write must not
-    // re-run the upstream aggregation plan (see writeDaysWide Scaladoc)
-    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // Pin the increment once: day count + range sampling + final write
+    // must not re-run the upstream aggregation plan (see writeDaysWide
+    // Scaladoc). When the caller already persisted the frame (the
+    // incremental tick hands in its cached changed-buckets frame),
+    // re-running actions over it hits the cache — skip the parquet
+    // staging round-trip outright (r20: the stage write + read-back was
+    // a full extra pass over the increment on EVERY writing poll).
+    val alreadyPinned = buckets.queryExecution.optimizedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]).isDefined
+    val stageDir =
+      if (alreadyPinned) None
+      else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
     var mergeTmpDir: Option[String] = None
-    buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    stageDir.foreach(d =>
+      buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(d))
     try {
-      val staged = spark.read.parquet(stageDir)
+      val staged = stageDir.map(spark.read.parquet(_)).getOrElse(buckets)
       val touched = withPartCols(staged)
         .select(col("year").cast("int").as("year"),
                 col("month").cast("int").as("month"),
@@ -1203,40 +1250,71 @@ class HtfLakeWriter(root: String,
         if (!hasExisting) None
         else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
       mergeTmpDir = mergeTmp
-      val effective = mergeTmp match {
-        case None => staged
+      mergeTmp match {
+        case None =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          // partition columns lead the sort — see writeDaysWide:
+          // satisfies the dynamic-partition writer's required ordering
+          // so no unstable extra sort is inserted above the
+          // (symbol, bucket_start) clustering
+          withPartCols(staged)
+            .repartitionByRange(nDays * filesPerDay,
+              col("year"), col("month"), col("day"), col("symbol"), col("bucket_start"))
+            .sortWithinPartitions("year", "month", "day", "symbol", "bucket_start")
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("year", "month", "day")
+            .option("compression", "zstd")
+            .parquet(dir)
         case Some(t) =>
           // explicit touched-day read — same no-root-listing rule as
           // writeDaysWide's merge; descends only touched years/months
           val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
           val touchedDirs = DayDirs.matching(fs, dir, touchedSet)
-          if (touchedDirs.isEmpty) staged
-          else {
-            val existingTouched = spark.read.option("basePath", dir)
-              .parquet(touchedDirs: _*).drop("year", "month", "day")
-            Ops.dedupKeepLast(
-              existingTouched.withColumn("__src", lit(0))
-                .unionByName(staged.withColumn("__src", lit(1)), allowMissingColumns = true),
-              Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src")
-              .write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(t)
-            spark.read.parquet(t)
+          val merged =
+            if (touchedDirs.isEmpty) withPartCols(staged)
+            else {
+              val existingTouched = spark.read.option("basePath", dir)
+                .parquet(touchedDirs: _*).drop("year", "month", "day")
+              withPartCols(Ops.dedupKeepLast(
+                existingTouched.withColumn("__src", lit(0))
+                  .unionByName(staged.withColumn("__src", lit(1)), allowMissingColumns = true),
+                Seq("symbol", "bucket_start"), Seq(col("__src"))).drop("__src"))
+            }
+          // ONE clustered write into the merge tmp, published by a
+          // per-day directory swap (r20): the old shape wrote the
+          // merged days to tmp, then re-sampled and re-WROTE them
+          // through the dynamic-partition committer — the merged data
+          // crossed parquet twice on every busy poll. The range
+          // sample's second pass over the merge plan reuses the dedup
+          // shuffle's map output (same query), so the merge itself
+          // still computes once. The delete→rename swap per touched
+          // day has the same crash window the dynamic-partition
+          // commit had (day-granular, non-atomic across days); the
+          // manifest committer remains the atomicity answer.
+          merged
+            .repartitionByRange(nDays * filesPerDay,
+              col("year"), col("month"), col("day"), col("symbol"), col("bucket_start"))
+            .sortWithinPartitions("year", "month", "day", "symbol", "bucket_start")
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("year", "month", "day")
+            .option("compression", "zstd")
+            .parquet(t)
+          DayDirs.ascending(fs, t).foreach { srcDay =>
+            // walked paths come back fs-qualified — rebuild the
+            // year=/month=/day= tail instead of string-stripping the tmp
+            // prefix (same technique as DayDirs.ymdOf)
+            val rel = srcDay.split('/').takeRight(3).mkString("/")
+            val target = new HPath(s"$dir/$rel")
+            fs.delete(target, true)
+            fs.mkdirs(target.getParent)
+            if (!fs.rename(new HPath(srcDay), target))
+              throw new java.io.IOException(
+                s"bulk publish: rename $srcDay -> $target failed")
           }
       }
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // partition columns lead the sort — see writeDaysWide: satisfies
-      // the dynamic-partition writer's required ordering so no unstable
-      // extra sort is inserted above the (symbol, bucket_start) clustering
-      withPartCols(effective)
-        .repartitionByRange(nDays * filesPerDay,
-          col("year"), col("month"), col("day"), col("symbol"), col("bucket_start"))
-        .sortWithinPartitions("year", "month", "day", "symbol", "bucket_start")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("year", "month", "day")
-        .option("compression", "zstd")
-        .parquet(dir)
     } finally {
       // stage + merge tmp both cleaned on failure too
-      fs.delete(new HPath(stageDir), true)
+      stageDir.foreach(d => fs.delete(new HPath(d), true))
       mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
     }
   }

@@ -19,7 +19,17 @@ object DQValidator {
   /** [[validate]] with an explicit uniqueness key: per-symbol frames
     * dedup on `timestamp` alone; multi-symbol frames (the day-wide bulk
     * and delta-patch paths) on (symbol, timestamp). */
-  def validateKeyed(frame: DataFrame, keys: Seq[String]): DQResult = {
+  def validateKeyed(frame: DataFrame, keys: Seq[String]): DQResult =
+    validateKeyedCollecting(frame, keys, Nil)._1
+
+  /** [[validateKeyed]] with caller-supplied EXTRA aggregate columns
+    * folded into the same single pass — writers that need further
+    * frame-level facts (touched days, distinct symbols) collect them
+    * here instead of paying one more full-frame job each (r20).
+    * Returns the validated result plus the extra aggregates' values in
+    * `extra` order. */
+  def validateKeyedCollecting(frame: DataFrame, keys: Seq[String],
+                              extra: Seq[org.apache.spark.sql.Column]): (DQResult, Seq[Any]) = {
     val missing = CanonicalSchema.columnNames.toSet -- frame.columns.toSet
     if (missing.nonEmpty)
       throw new DataQualityException(
@@ -34,7 +44,7 @@ object DQValidator {
       count(lit(1)).as("__rows"),
       countDistinct(struct(keys.map(col): _*)).as("__distinct_ts"),
       unix_micros(min(col("timestamp"))).as("__min_ts"),
-      unix_micros(max(col("timestamp"))).as("__max_ts")) ++ nullCounts
+      unix_micros(max(col("timestamp"))).as("__max_ts")) ++ nullCounts ++ extra
     val r = frame.agg(aggs.head, aggs.tail: _*).collect().head
 
     val rows = r.getLong(0)
@@ -44,16 +54,22 @@ object DQValidator {
         s"Found ${rows - distinctTs} duplicated " +
           s"${keys.mkString("(", ", ", ")")} buckets")
 
-    val violations = CanonicalSchema.hardRequired.zipWithIndex.collect {
-      case (c, i) if r.getLong(4 + i) > 0 => s"$c=${r.getLong(4 + i)}"
-    }
+    // an empty frame aggregates its null counts to NULL — nothing to
+    // gate (callers with empty-input semantics decide downstream)
+    val violations =
+      if (rows == 0) Nil
+      else CanonicalSchema.hardRequired.zipWithIndex.collect {
+        case (c, i) if r.getLong(4 + i) > 0 => s"$c=${r.getLong(4 + i)}"
+      }
     if (violations.nonEmpty)
       throw new DataQualityException(
         s"HARD_REQUIRED null violations: ${violations.mkString(", ")}")
 
     def bound(i: Int): String =
       if (r.isNullAt(i)) "" else graft.sources.LedgerBounds.iso(r.getLong(i))
-    DQResult(rows, bound(2), bound(3))
+    val extraBase = 4 + CanonicalSchema.hardRequired.size
+    (DQResult(rows, bound(2), bound(3)),
+      extra.indices.map(i => r.get(extraBase + i)))
   }
 }
 
