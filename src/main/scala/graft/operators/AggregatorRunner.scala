@@ -1273,15 +1273,24 @@ object AggregatorRunner {
         val changedPersisted = changed.persist()
         try {
           // ONE action: changed count + repaired count (changed rows
-          // whose superseded stored row was complete)
+          // whose superseded stored row was complete) + the touched-day
+          // set the bulk writer would otherwise re-derive with its own
+          // distinct pass (r20); day derivation matches the writer's
+          // date_format partition columns (both session-TZ)
           val cnt = changedPersisted.agg(
             count(lit(1)).as("n"),
-            count(when(col("__complete_old"), lit(1))).as("rep")).collect()(0)
+            count(when(col("__complete_old"), lit(1))).as("rep"),
+            collect_set(struct(
+              year(col("bucket_start")).as("y"),
+              month(col("bucket_start")).as("m"),
+              dayofmonth(col("bucket_start")).as("d"))).as("days")).collect()(0)
           nWritten = cnt.getLong(0)
           if (nWritten > 0) {
             repaired = cnt.getLong(1)
+            val days = cnt.getSeq[org.apache.spark.sql.Row](2)
+              .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
             writer.writeBucketsBulkAllSymbols(spark, spec.name,
-              changedPersisted.drop("__complete_old"))
+              changedPersisted.drop("__complete_old"), touchedDays = Some(days))
           }
         } finally { changedPersisted.unpersist(); () }
         // watermarks advance on every observed-complete bucket, written

@@ -72,11 +72,11 @@ object GraphOps {
       // just that value) — the convergence check then scans the
       // checkpointed result instead of paying a second label-sized join
       // per round
-      val gathered = checkpointer(
+      val gatherPlan =
         labels.select(col("id"), col("comp"), lit(true).as("isPrev"))
           .union(propagated)
           .groupBy("id").agg(min(col("comp")).as("comp"),
-                             max(when(col("isPrev"), col("comp"))).as("prev")))
+                             max(when(col("isPrev"), col("comp"))).as("prev"))
       // pointer doubling from round 3: jump to the label OF my label
       // (comp values are vertex ids, so one self-join shortcuts a hop —
       // convergence in O(log diameter) rounds instead of O(diameter)).
@@ -85,11 +85,16 @@ object GraphOps {
       // corpora where bucket-min stars compose into long paths) blew
       // the 25-round bound under plain propagation — measured at the
       // 5M-doc probe corpus, which converges in a handful of doubled
-      // rounds.
+      // rounds. The doubling self-join composes with the gather in ONE
+      // materialization (r20): both sides of the join share the gather
+      // subtree, whose exchange the planner reuses (ReusedExchange), so
+      // a doubled round checkpoints one label-sized frame, not two —
+      // per-round label materializations halve on the graphs that need
+      // doubling at all.
       val next =
-        if (round < 3) gathered
-        else checkpointer(gathered.as("a")
-          .join(gathered.select(col("id").as("lid"), col("comp").as("lcomp")).as("b"),
+        if (round < 3) checkpointer(gatherPlan)
+        else checkpointer(gatherPlan.as("a")
+          .join(gatherPlan.select(col("id").as("lid"), col("comp").as("lcomp")).as("b"),
                 col("a.comp") === col("b.lid"), "left")
           .select(col("a.id").as("id"),
                   least(col("a.comp"), coalesce(col("lcomp"), col("a.comp"))).as("comp"),

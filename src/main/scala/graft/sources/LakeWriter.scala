@@ -1155,10 +1155,11 @@ class HtfLakeWriter(root: String,
     * semantics match [[writeBucketsBulk]], with the semi-join keyed by
     * (symbol, year, month, day). */
   def writeBucketsBulkAllSymbols(spark: SparkSession, timeframe: String,
-                                 buckets: DataFrame): Unit = {
+                                 buckets: DataFrame,
+                                 touchedDays: Option[Seq[(Int, Int, Int)]] = None): Unit = {
     layout match {
       case LakeLayout.DayWide(f) =>
-        writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f); return
+        writeBucketsBulkAllSymbolsWide(spark, timeframe, buckets, f, touchedDays); return
       case LakeLayout.HourlySymbol => ()
     }
     if (committer.readThroughResolve) {
@@ -1212,7 +1213,8 @@ class HtfLakeWriter(root: String,
     * dedup last-wins on (symbol, bucket_start), incoming wins. */
   private def writeBucketsBulkAllSymbolsWide(spark: SparkSession, timeframe: String,
                                              buckets: DataFrame,
-                                             filesPerDay: Int): Unit = {
+                                             filesPerDay: Int,
+                                             touchedDays: Option[Seq[(Int, Int, Int)]] = None): Unit = {
     val dir = s"$root/timeframe=$timeframe"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
@@ -1238,11 +1240,16 @@ class HtfLakeWriter(root: String,
       buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(d))
     try {
       val staged = stageDir.map(spark.read.parquet(_)).getOrElse(buckets)
-      val touched = withPartCols(staged)
-        .select(col("year").cast("int").as("year"),
-                col("month").cast("int").as("month"),
-                col("day").cast("int").as("day"))
-        .distinct().collect()
+      // the incremental tick already knows its changed rows' day set
+      // from the fused count action — accept it and skip the distinct
+      // pass (r20); cold callers still derive it here
+      val touched: Seq[(Int, Int, Int)] = touchedDays.getOrElse(
+        withPartCols(staged)
+          .select(col("year").cast("int").as("year"),
+                  col("month").cast("int").as("month"),
+                  col("day").cast("int").as("day"))
+          .distinct().collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))))
       val nDays = touched.length.max(1)
 
       val hasExisting = fs.exists(new HPath(dir)) && fs.listStatus(new HPath(dir)).nonEmpty
@@ -1268,8 +1275,7 @@ class HtfLakeWriter(root: String,
         case Some(t) =>
           // explicit touched-day read — same no-root-listing rule as
           // writeDaysWide's merge; descends only touched years/months
-          val touchedSet = touched.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-          val touchedDirs = DayDirs.matching(fs, dir, touchedSet)
+          val touchedDirs = DayDirs.matching(fs, dir, touched.toSet)
           val merged =
             if (touchedDirs.isEmpty) withPartCols(staged)
             else {
