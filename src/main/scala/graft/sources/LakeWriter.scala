@@ -472,12 +472,15 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
       .withColumn("month", date_format(col("timestamp"), "MM"))
       .withColumn("day", date_format(col("timestamp"), "dd"))
 
-    // stage the increment once (see Scaladoc)
-    val stageDir = s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // pin the increment once (see Scaladoc): day stats, range sampling,
+    // the merge read, and the final write must not re-run the caller's
+    // aggregation plan. A MEMORY_AND_DISK persist replaces the r13-era
+    // parquet staging round-trip (r20) — blocks spill to disk under
+    // pressure but are never recomputed, and the increment no longer
+    // crosses parquet twice per bulk write.
     var mergeTmpDir: Option[String] = None
-    frame.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(stageDir)
+    val staged = frame.persist()
     try {
-      val staged = spark.read.parquet(stageDir)
       // ONE stats pass over the staged increment serves the touched-day
       // set, the per-day patch bounds, and the symbol registry (r20):
       // these were four separate jobs (touched distinct, registerSymbols
@@ -628,8 +631,8 @@ class MinuteLakeWriter(root: String, ledger: PartitionLedger,
         }
       }
     } finally {
-      // stage + merge tmp both cleaned on failure too
-      fs.delete(new HPath(stageDir), true)
+      // pin + merge tmp both released on failure too
+      staged.unpersist()
       mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
     }
   }
@@ -1226,20 +1229,16 @@ class HtfLakeWriter(root: String,
     // Pin the increment once: day count + range sampling + final write
     // must not re-run the upstream aggregation plan (see writeDaysWide
     // Scaladoc). When the caller already persisted the frame (the
-    // incremental tick hands in its cached changed-buckets frame),
-    // re-running actions over it hits the cache — skip the parquet
-    // staging round-trip outright (r20: the stage write + read-back was
-    // a full extra pass over the increment on EVERY writing poll).
+    // incremental tick hands in its cached changed-buckets frame), use
+    // it as-is; otherwise pin it here — MEMORY_AND_DISK spills under
+    // pressure but never recomputes, and the increment no longer
+    // crosses parquet twice per bulk write (r20; was a stage write +
+    // read-back on EVERY writing poll).
     val alreadyPinned = buckets.queryExecution.optimizedPlan.find(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]).isDefined
-    val stageDir =
-      if (alreadyPinned) None
-      else Some(s"$root/.tmp/${java.util.UUID.randomUUID().toString.replace("-", "")}")
     var mergeTmpDir: Option[String] = None
-    stageDir.foreach(d =>
-      buckets.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(d))
+    val staged = if (alreadyPinned) buckets else buckets.persist()
     try {
-      val staged = stageDir.map(spark.read.parquet(_)).getOrElse(buckets)
       // the incremental tick already knows its changed rows' day set
       // from the fused count action — accept it and skip the distinct
       // pass (r20); cold callers still derive it here
@@ -1319,8 +1318,9 @@ class HtfLakeWriter(root: String,
           }
       }
     } finally {
-      // stage + merge tmp both cleaned on failure too
-      stageDir.foreach(d => fs.delete(new HPath(d), true))
+      // pin + merge tmp both released on failure too (a caller-owned
+      // pin stays the caller's to release)
+      if (!alreadyPinned) { staged.unpersist(); () }
       mergeTmpDir.foreach(t => fs.delete(new HPath(t), true))
     }
   }
